@@ -1,0 +1,57 @@
+"""Order-independent float aggregation helpers.
+
+Double summation is not associative: Spark (partial aggregates across 32+
+partitions) and DuckDB (single-threaded scan here) would produce sums that
+differ in the last bits, failing the driver's exact value-hash compare.
+
+Fix: cast each value to an exact DECIMAL before summing. Decimal addition
+is exact and order-independent, so both engines produce identical digits;
+a final cast to DOUBLE yields bit-identical IEEE values. The same pattern
+works at 100 TB — Spark's decimal sum is still a single-pass partial
+aggregate (map-side combine + one shuffle), just with exact arithmetic.
+
+Oracle-side mirror (DuckDB SQL)::
+
+    CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DECIMAL(38,8)) AS DOUBLE)
+
+is spelled by :func:`o_dsum` so Spark and SQL always agree on precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 8 fractional digits captures the fixtures' value scale exactly enough
+# that the per-row double→decimal rounding is identical in both engines;
+# 30 integer+fraction digits leaves headroom for 100 TB row counts.
+_PREC = 30
+_SCALE = 8
+_DEC = f"decimal({_PREC},{_SCALE})"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Exact, order-independent sum of a double column, as DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast(_DEC).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent mean: exact decimal sum / count, in doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast(_DEC).cast("double") / F.count(c).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def o_dsum(expr: str) -> str:
+    """DuckDB SQL mirror of :func:`dsum` for oracle strings."""
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))) "
+        f"AS DECIMAL(38,{_SCALE})) AS DOUBLE)"
+    )
+
+
+def o_davg(expr: str) -> str:
+    """DuckDB SQL mirror of :func:`davg`."""
+    return f"({o_dsum(expr)} / CAST(COUNT({expr}) AS DOUBLE))"

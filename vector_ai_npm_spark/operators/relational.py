@@ -1,0 +1,593 @@
+"""Relational operator suite (SURVEY.md §2B B3–B16).
+
+Every query is a declarative DataFrame program — Catalyst owns predicate
+pushdown, column pruning, and join-strategy selection; AQE owns runtime
+coalescing and skew splitting. Each docstring notes the physical plan we
+expect and why it survives a 100 TB scale-up.
+
+Reference context: the reference (AnonJon/vector-ai-npm) delegates all
+relational work to Postgres (vector-client.ts:402-404); this module is the
+engine those delegated queries run on when the store is parquet at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.functions.numeric import davg, dsum, o_davg, o_dsum
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# B3 — filter + projection (predicate pushdown / column pruning showcase)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: TPC-H Q6-shaped scan.
+
+    Plan: single parquet scan; all four predicates reach PushedFilters,
+    ReadSchema is exactly the 6 referenced columns. No shuffle at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B4 — broadcast equi-join (fact ⋈ small dim)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT p.p_brand,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: fact-to-dim join with an explicit broadcast hint.
+
+    Plan: BroadcastHashJoin (dim `part` is KBs..GBs even at SF1e5) — the
+    100-TB fact side never shuffles for the join; the only shuffle is the
+    final partial→final hash aggregation on p_brand.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — multi-way shuffle join chain (planner-chosen SMJ/SHJ)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_sortmerge",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {o_dsum('o.o_totalprice')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: orders ⋈ customer ⋈ nation ⋈ region revenue rollup.
+
+    Plan: orders⋈customer is the one genuine shuffle join (both sides
+    large at scale — SMJ/SHJ chosen by the planner + AQE); nation and
+    region auto-broadcast under the 10MB threshold. Filter on
+    o_orderstatus is pushed to the orders scan.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 — semi / anti joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_mktsegment, 'with_orders' AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'without_orders' AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: customers with orders (LEFT SEMI) vs without (LEFT ANTI).
+
+    Plan: semi/anti hash joins never materialize the probe payload —
+    orders contributes only its join key. At scale the orders side is
+    pre-aggregated to distinct keys by the join itself (no explosion).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = c.c_custkey == o.o_custkey
+    semi = (
+        c.join(o, cond, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("c_mktsegment", F.lit("with_orders").alias("cohort"), "n_customers")
+    )
+    anti = (
+        c.join(o, cond, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("c_mktsegment", F.lit("without_orders").alias("cohort"), "n_customers")
+    )
+    return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------------
+# B7 — range (equi + interval) join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT e.event_id AS error_event_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS clicks_before
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts >  e.ts - INTERVAL 30 MINUTE
+     AND c.ts <= e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: per error event, clicks by the same user in the prior 30 min.
+
+    Plan: the equi key (user_id) makes this a hash/SMJ join with the ts
+    interval as a post-join predicate — NOT a nested-loop cross product.
+    At 100 TB this shuffles both sides once on user_id; skewed users are
+    split by AQE skew-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = err.join(
+        clk,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_ts") > F.col("e_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "left",
+    )
+    return joined.groupBy("error_event_id").agg(
+        F.count("click_event_id").alias("clicks_before")
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — as-of join (latest prior click per purchase)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT * FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT * FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           c.event_id AS last_click_event_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: as-of join — for each purchase, the latest click at-or-before it.
+
+    Spark has no native as-of join; the scalable formulation is the
+    union-and-carry-forward trick: union both sides tagged, sort within
+    each user_id partition by (ts, side), and carry the latest click's id
+    forward with last(..., ignorenulls) over an unbounded-preceding
+    window. ONE shuffle on user_id, no join explosion — compare the
+    naive range-join+row_number which materializes every (purchase,
+    earlier-click) pair before discarding all but one.
+
+    Tie semantics: a click with ts == purchase ts counts (matches DuckDB
+    ASOF `>=`); side ordering puts clicks before purchases at equal ts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("side"), F.col("event_id").alias("purchase_id"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_click_event_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("side") == 1).select(
+        F.col("purchase_id").alias("purchase_event_id"),
+        "user_id",
+        "last_click_event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — hash aggregation (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: TPC-H Q1-shaped pricing summary (the flagship relational agg).
+
+    Plan: scan (shipdate filter pushed) → partial HashAggregate on every
+    executor → single shuffle on the 2 grouping cols (≈6 groups) → final
+    HashAggregate. Map-side combine means the shuffle carries ~6 rows per
+    task regardless of input SF — this is exactly the shape that holds at
+    100 TB. Decimal-path sums keep the value-hash stable vs the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — exact distinct aggregation (+ approx variant, rows-only)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11a: exact distinct users per event type.
+
+    Plan: Spark expands count(distinct) into a two-phase aggregate
+    (partial distinct on (event_type, user_id), then final count) — the
+    shuffle carries deduplicated pairs, not raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL implementations differ by engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11b: approx_count_distinct — the 100 TB path for high-cardinality
+    keys (HyperLogLog++, no exact-distinct shuffle blowup). No oracle:
+    sketch values are implementation-defined; tests assert relative error
+    vs exact instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — rollup / grouping sets
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS lvl,
+           {o_dsum('c.c_acctbal')} AS total_acctbal,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: customer balance rollup region → nation → grand total.
+
+    Plan: Spark expands rollup into an Expand node feeding one hash
+    aggregate — still a single shuffle. grouping_id disambiguates NULL
+    group keys from NULL data (same bitmask convention as DuckDB's
+    GROUPING, high bit = first rollup column).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            dsum("c_acctbal", "total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select("r_name", "n_name", "lvl", "total_acctbal", "n_customers")
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — ranking window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(RANK() OVER w AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: top-3 orders per customer with row_number/rank/dense_rank.
+
+    Plan: one shuffle on o_custkey, in-partition sort. The rn<=3
+    predicate triggers Spark's WindowGroupLimit pushdown — each task
+    keeps only 3 rows per key before the full window evaluates.
+    Deterministic tiebreak (o_orderkey) keeps the oracle hash stable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — analytic window with running frame + lag/lead
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w
+                AS DECIMAL(38,8)) AS DOUBLE) AS running_spend,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: running spend per customer + lag/lead neighbors.
+
+    Plan: single shuffle on o_custkey; cumulative frame is O(1) per row.
+    The running sum uses the exact-decimal path so partial-order effects
+    can't perturb low bits vs the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .over(wrun)
+        .cast("decimal(38,8)")
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — global top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: global top-25 orders by price, deterministic tiebreak.
+
+    Plan: TakeOrderedAndProject — each task keeps a 25-row heap, driver
+    merges heaps. No global sort, no full shuffle; the classic top-k
+    shape that is O(k) memory per task at any SF.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "setops",
+    oracle="""
+    WITH building AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), rich AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    SELECT 'union_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM building UNION ALL SELECT * FROM rich)
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM building EXCEPT ALL SELECT * FROM rich)
+    """,
+)
+def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: union / intersect / exceptAll over two customer cohorts.
+
+    Plan: union is metadata-only (no shuffle); intersect/exceptAll are
+    hash-based distinct joins (one shuffle each on the full row key).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+
+    def counted(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        counted("union_all", building.unionByName(rich))
+        .unionByName(counted("intersect", building.intersect(rich)))
+        .unionByName(counted("except_all", building.exceptAll(rich)))
+    )

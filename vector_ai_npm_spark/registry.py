@@ -1,0 +1,70 @@
+"""Query registry: the single source of truth behind __spark_entry__.py.
+
+Every operator from SURVEY.md §2 registers here as a named query —
+a callable ``(spark, sf_dir) -> DataFrame`` — optionally paired with a
+DuckDB-oracle SQL string. The driver hash-compares the two at sf0.01
+(row-count + schema + order-insensitive value-hash), so:
+
+  * every computed column is aliased identically in both
+  * float aggregates go through exact decimal summation, then a final
+    CAST to DOUBLE in both engines (order-independent bits — see
+    functions.numeric)
+  * results never rely on output order (the compare sorts)
+
+Register with the decorator::
+
+    @query("agg_groupby", oracle=\"\"\"SELECT ... FROM lineitem ...\"\"\")
+    def agg_groupby(spark, sf_dir):
+        ...
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import vector_ai_npm_spark.operators.relational  # noqa: F401
+    import vector_ai_npm_spark.operators.functions_suite  # noqa: F401
+    import vector_ai_npm_spark.chunking.queries  # noqa: F401
+    import vector_ai_npm_spark.embedding.queries  # noqa: F401
+    import vector_ai_npm_spark.retrieval.queries  # noqa: F401
+    import vector_ai_npm_spark.rag.queries  # noqa: F401
+    import vector_ai_npm_spark.dedup.queries  # noqa: F401
+    import vector_ai_npm_spark.multimodal.queries  # noqa: F401
+    import vector_ai_npm_spark.streaming.queries  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all_modules()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all_modules()
+    return dict(_ORACLES)
+
+
+def run(name: str, spark: SparkSession, sf_dir: str) -> Any:
+    return all_queries()[name](spark, sf_dir)

@@ -1,0 +1,63 @@
+"""SparkSession construction with scale-aware defaults.
+
+Sessions here are for tests/bench; the driver passes its own session into
+``__spark_entry__.entry``/``queries()``, so every query function must also
+work on a session it did not create. Runtime-settable confs that queries
+depend on (session timezone, parquet nanos handling) are therefore applied
+again in ``io.sources.load_table`` rather than only at build time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and wanted) on any session, local or cluster.
+# All of these are runtime-settable.
+RUNTIME_CONFS: dict[str, str] = {
+    # deterministic tz: fixtures carry naive timestamps; UTC makes Spark's
+    # tz-aware types agree with DuckDB's naive ones byte-for-byte
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet uses INT64 TIMESTAMP(NANOS) which the vectorized
+    # reader refuses by default; read as long, convert with `div 1000`
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    # Essential at 100 TB, harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-owned session (driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf may be static on some builds; queries must still run
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "vector-ai-npm-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a local session sized from $SPARK_GRAFT_CPUS (default all)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 0
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32) if cpus else 32
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Arrow for pandas_udf / applyInPandas / toPandas hot paths
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
