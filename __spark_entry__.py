@@ -25,8 +25,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.run("agg_groupby", spark, SMOKE_SF_DIR)
+    """Flagship: the A13 ingest pipeline (chunk → validate → subsplit →
+    embed → store rows) over the synthesized MDX corpus at sf0.001."""
+    return registry.run("ingest_pipeline", spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

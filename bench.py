@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized via a count-ish action that forces every
+operator (collect would skew toward driver transfer; count() alone could
+let Spark skip projections — we aggregate a checksum over all output
+columns instead). Timings include plan + execution, excluding session
+startup; a warmup pass primes the JVM/code cache unless
+SPARK_GRAFT_NO_WARMUP is set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# headline set: the flagship pipeline + one representative per family
+BENCH_QUERIES = (
+    "agg_groupby",            # B10 hash agg (TPC-H Q1 shape)
+    "filter_project",         # B3 pushdown scan
+    "join_broadcast",         # B4 broadcast join
+    "join_sortmerge",         # B5 shuffle join chain
+    "join_asof",              # B8 single-shuffle as-of
+    "window_rank",            # B13 window top-k per key
+    "similarity_search_topk", # A7 brute-force cosine top-k
+    "join_similarity",        # B9 multi-query similarity join
+    "dedup_minhash_pairs",    # B18 banded LSH candidates
+    "dedup_ngram_jaccard",    # B18 exact blocked jaccard
+    "text_stats",             # B19 tokenize + agg
+    "text_fingerprint",       # rolling-hash fold
+    "chunk_split_headers",    # A1 chunking
+    "ingest_pipeline",        # A13 end-to-end (subsplit + embed UDFs)
+    "stream_session",         # B26 session windows
+    "stream_tumbling",        # B25 tumbling windows
+)
+
+
+def _force(df) -> int:
+    """Materialize every column of every row without driver transfer."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count(c).alias(f"c{i}")
+            for i, c in enumerate(df.columns)
+        ],
+    ).collect()[0]
+    return row["n"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from vector_ai_npm_spark import registry
+    from vector_ai_npm_spark.session import get_spark
+
+    spark = get_spark("vector-ai-npm-spark-bench")
+    queries = registry.all_queries()
+    names = [n for n in BENCH_QUERIES if n in queries]
+
+    if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
+        for n in names[:2]:
+            _force(queries[n](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        _force(queries[n](spark, sf_dir))
+        timings[n] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

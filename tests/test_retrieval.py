@@ -1,0 +1,47 @@
+"""A7/B9 invariants: self-match at 1.0, threshold respected, and the
+LSH-pruned path recalls ≥0.9 of the exact top-k (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.retrieval.lsh import ann_similarity_join
+from vector_ai_npm_spark.retrieval.search import similarity_join, similarity_search_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "embeddings").cache()
+
+
+def test_self_match_ranks_first(spark, emb):
+    qvec = list(emb.where("vec_id = 7").first()["embedding"])
+    top = similarity_search_topk(emb, qvec, threshold=0.0, k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["similarity"] == pytest.approx(1.0, abs=1e-9)
+    sims = [r["similarity"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_threshold_filters(spark, emb):
+    qvec = list(emb.where("vec_id = 7").first()["embedding"])
+    hits = similarity_search_topk(emb, qvec, threshold=0.99, k=100).collect()
+    assert all(r["similarity"] >= 0.99 for r in hits)
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    queries = emb.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {
+        (r["q_vec_id"], r["vec_id"])
+        for r in similarity_join(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["q_vec_id"], r["vec_id"])
+        for r in ann_similarity_join(queries, emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 (exact={exact}, approx={approx})"

@@ -1,0 +1,105 @@
+"""B25–B28 under real Structured Streaming: the same transform functions
+run on a file-source stream must produce the batch answers after
+processAllAvailable (Structured Streaming's batch≡incremental contract,
+SURVEY §5.5)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.streaming.windows import (
+    session_windows,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_smoke):
+    """Materialize the (ns-fixed) events table as a small multi-file
+    parquet dir a file-source stream can tail."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, sf_smoke, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(spark, events_stream_dir, transform, name, mode="complete"):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.table(name).collect()
+    finally:
+        q.stop()
+
+
+def _key_sorted(rows):
+    return sorted(tuple(str(v) for v in r) for r in rows)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_smoke, events_stream_dir):
+    batch = tumbling_counts(load_table(spark, sf_smoke, "events")).collect()
+    stream = _run_stream(spark, events_stream_dir, tumbling_counts, "t_tumbling")
+    assert _key_sorted(stream) == _key_sorted(batch)
+
+
+def test_session_stream_equals_batch(spark, sf_smoke, events_stream_dir):
+    batch = session_windows(load_table(spark, sf_smoke, "events")).collect()
+
+    def with_watermark(ev):
+        # watermarks need tz-aware timestamps (session tz is UTC, so the
+        # instant values equal the NTZ batch values)
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        return session_windows(ev.withWatermark("ts", "1 hour"))
+
+    stream = _run_stream(spark, events_stream_dir, with_watermark, "t_session")
+    assert _key_sorted(stream) == _key_sorted(batch)
+
+
+def test_watermarked_tumbling_with_late_drop(spark, events_stream_dir, sf_smoke):
+    """Watermark smoke: windowed agg with a 10-minute watermark runs in
+    append mode and emits only finalized windows (a strict subset of the
+    batch windows, same counts where present)."""
+
+    def wm(ev):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+
+    out = _run_stream(spark, events_stream_dir, wm, "t_wm", mode="append")
+    batch = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in tumbling_counts(load_table(spark, sf_smoke, "events")).collect()
+    }
+    for r in out:
+        assert batch[(str(r.window_start), r.event_type)] == r.n_events
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream_dir):
+    def dd(ev):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            ev.withWatermark("ts", "1 hour")
+            .withColumn("minute", F.date_trunc("minute", "ts"))
+            .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+        )
+
+    out = _run_stream(spark, events_stream_dir, dd, "t_dedup", mode="append")
+    keys = [(r.user_id, r.event_type, str(r.minute)) for r in out]
+    assert len(keys) == len(set(keys)), "dedup emitted duplicate keys"
+    assert keys, "dedup emitted nothing"

@@ -1,1 +1,103 @@
-"""Placeholder query module — populated in later build steps."""
+"""Registry entries for the embedding stage (SURVEY §2A A5, A6/B2 sink)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.chunking.mdx import split_mdx_headers, synth_mdx
+from vector_ai_npm_spark.embedding.hashing import embed_input_expr, hashing_embedder
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+
+@query(
+    "embed_text_format",
+    oracle="""
+    SELECT doc_id,
+           'HEADER: ' || regexp_replace('## Title ' || lang, '^## ', '')
+           || ' | CONTENT: ' || substring(text, 1, 120) AS embed_input
+    FROM documents
+    """,
+)
+def embed_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (formatting half): the exact `HEADER: {h} | CONTENT: {c}` input
+    string of vector-client.ts:298-301, '## ' prefix stripped."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        embed_input_expr(
+            F.concat(F.lit("## Title "), F.col("lang")),
+            F.substring("text", 1, 120),
+        ).alias("embed_input"),
+    )
+
+
+@query("embed_documents")  # rows-only: vector values defined by our Python model
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (vector half): chunk the synthesized corpus, format, embed.
+
+    Invariants pinned in tests/test_embedding.py: dim constant, unit
+    norm, determinism. Output keeps scalars (dim, norm) alongside the
+    vector so the driver's rows-only check still sees a stable schema.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = split_mdx_headers(synth_mdx(docs))
+    embedded = chunks.select(
+        "doc_id",
+        "chunk_id",
+        hashing_embedder()(embed_input_expr("header", "content")).alias("embedding"),
+    )
+    arr = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
+    )
+    return embedded.select(
+        "doc_id",
+        "chunk_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        "embedding",
+    )
+
+
+@query(
+    "vector_insert",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(length(content)) AS BIGINT) AS content_chars
+    FROM (
+      SELECT doc_id, trim(text) AS content FROM documents
+    )
+    """,
+)
+def vector_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + B2: the store sink — write (content, embedding, metadata-JSON)
+    to parquet partitioned by a low-cardinality key, then re-read and
+    summarize (the oracle-checkable round-trip of the INSERT at
+    vector-client.ts:293-313).
+
+    Scale notes: partitionBy(lang) ⇒ partition pruning for per-lang
+    retrieval; at 100 TB you'd additionally bucket by a hash of doc_id to
+    bound file counts. The summary aggregates prove the round-trip
+    preserved rows/contents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    store = docs.select(
+        "doc_id",
+        "lang",
+        F.trim(F.col("text")).alias("content"),
+        hashing_embedder()(F.col("text")).alias("embedding"),
+        F.to_json(F.struct("doc_id", "lang", "source")).alias("metadata"),
+    )
+    path = tempfile.mkdtemp(prefix="vector_store_") + "/store"
+    store.write.mode("overwrite").partitionBy("lang").parquet(path)
+    rt = spark.read.parquet(path)
+    return rt.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.length("content")).alias("content_chars"),
+    )

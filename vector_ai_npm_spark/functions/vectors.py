@@ -51,9 +51,13 @@ def o_cosine(a_expr: str, b_expr: str) -> str:
     Spark's bit-for-bit.
     """
     def dot(x: str, y: str) -> str:
+        # list_reduce is a strict left fold like Spark's aggregate();
+        # prepend 0.0 so the fold starts from the same zero accumulator
         return (
-            f"list_sum(list_transform(list_zip({x}, {y}), "
-            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({x}, {y}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
         )
 
     return (

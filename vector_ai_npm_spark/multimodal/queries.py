@@ -1,1 +1,92 @@
-"""Placeholder query module — populated in later build steps."""
+"""Registry entries for multimodal columns (B30 + binary plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.multimodal.binary import (
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+from vector_ai_npm_spark.registry import query
+
+
+@query(
+    "multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           substring(d.text, 1, 40) AS text_head,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           CAST(e.embedding[1] AS DOUBLE) AS first_component,
+           e.label,
+           json_object('lang', d.lang, 'source', d.source) AS meta_json
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: one table carrying text + vector + struct-ish metadata + JSON
+    — documents ⋈ embeddings on id. At scale both sides are bucketed on
+    the id so this join is co-located (no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, 40).alias("text_head"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        "label",
+        F.to_json(F.struct("lang", "source")).alias("meta_json"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, oracle-checkable half: modality assignment
+    + payload byte length (fixture text is ASCII so utf-8 bytes ==
+    chars). The decode-dependent half is multimodal_decode (rows-only)."""
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "asset_id", "modality", F.length("payload").cast("long").alias("n_bytes")
+    )
+
+
+@query("multimodal_decode")  # rows-only: decoder is a stubbed codec boundary
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature-extract with the deterministic fake
+    decoder (real codec is stubbed — not in this container)."""
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake_decoder=True)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(i AS BIGINT) AS frame_no,
+           CAST(i * 32 AS BIGINT) AS byte_offset
+    FROM documents,
+         UNNEST(range(0, least(8, CAST(length(text) // 32 AS BIGINT) + 1))) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: evenly-spaced windows per payload,
+    exploded JVM-side (posexplode of a sequence)."""
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n_bytes=32, max_frames=8)

@@ -30,6 +30,42 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def ship_package_to_workers(spark: SparkSession) -> None:
+    """Make `vector_ai_npm_spark` importable on Spark's Python workers.
+
+    The driver imports __spark_entry__ by file path from an arbitrary
+    cwd, so cloudpickled UDFs that reference this package would hit
+    ModuleNotFoundError on the workers. addPyFile ships a zip of the
+    package to every (current and future) executor — the same mechanism
+    a real cluster submit would use (--py-files).
+    """
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SHIPPED:
+        return
+    import os
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    # per-process zip (fresh content each run; avoids stale shared temp files)
+    zpath = pathlib.Path(tempfile.gettempdir()) / (
+        f"vector_ai_npm_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+    try:
+        spark.sparkContext.addPyFile(str(zpath))
+    except Exception:
+        pass  # already added (e.g. across registry reloads in one JVM)
+    _PYFILES_SHIPPED.add(key)
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-owned session (driver's)."""
     for k, v in RUNTIME_CONFS.items():
@@ -38,6 +74,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # a conf may be static on some builds; queries must still run
             pass
+    ship_package_to_workers(spark)
     return spark
 
 

@@ -1,1 +1,124 @@
-"""Placeholder query module — populated in later build steps."""
+"""Registry entries for streaming-shaped operators (B25–B28), run in
+batch mode for the oracle; tests/test_streaming.py re-runs the same
+transforms under readStream and asserts equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+from vector_ai_npm_spark.streaming.windows import (
+    dedup_within_watermark,
+    late_events,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
+           time_bucket(INTERVAL 1 MINUTE, ts) + INTERVAL 1 MINUTE AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: 1-minute tumbling counts per event type."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, ts,
+             unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+               AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26a: 10-minute windows sliding every 5 — every event belongs to
+    exactly two windows (floor5(ts) and floor5(ts)−5min), which is what
+    the oracle unnests."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_last,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26b: 5-minute-gap session windows per user; the oracle is the
+    classic gap-and-island SQL (lag → new-session flag → running sum)."""
+    return session_windows(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_watermark",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM (
+      SELECT event_id, ts, user_id, event_type,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS high_water
+      FROM events
+    )
+    WHERE ts < high_water - INTERVAL 10 MINUTE
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: late-data rule (>10 min behind the running max event time in
+    arrival order) — the batch-checkable core of withWatermark."""
+    return late_events(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT CAST(MIN(event_id) AS BIGINT) AS event_id,
+           user_id, event_type,
+           date_trunc('minute', ts) AS minute,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM events
+    GROUP BY user_id, event_type, date_trunc('minute', ts)
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: stateful dedup on (user_id, event_type, minute) — batch
+    equivalent keeps the deterministic first arrival (min event_id)."""
+    return dedup_within_watermark(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,94 @@
+"""B25–B28 — event-time windowing, shared between batch and streaming.
+
+Structured Streaming's contract is that a windowed aggregation is the
+same *query* in batch and incremental execution; we exploit that by
+defining every windowed transform once as a DataFrame function and
+running it (a) on the batch events table for the DuckDB oracle and
+(b) under readStream in tests/test_streaming.py (file source +
+processAllAvailable), asserting identical results.
+
+Scale notes: event-time windows shuffle on (window, keys); watermarks
+bound state. session_window state grows with open sessions per key —
+the watermark is what lets Spark evict; both are set here the way a
+production job would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 minute") -> DataFrame:
+    """B25: events per event_type per tumbling window."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes") -> DataFrame:
+    """B26a: sliding windows — each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """B26b: per-user session windows (gap-based)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("first_ts").cast("timestamp_ntz").alias("session_start"),
+            F.col("last_ts").cast("timestamp_ntz").alias("session_last"),
+            "n_events",
+        )
+    )
+
+
+def late_events(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """B27 batch equivalent of the watermark rule: an event is late if it
+    arrives (arrival order = event_id) after the running max event time
+    has moved more than `lateness` past its timestamp. Under readStream
+    the same rule is `withWatermark('ts', lateness)` dropping the row."""
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    high_water = F.max("ts").over(w)
+    return (
+        events.withColumn("high_water", high_water)
+        .where(F.col("ts") < F.col("high_water") - F.expr(f"INTERVAL {lateness}"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """B28 batch equivalent of dropDuplicatesWithinWatermark: exactly one
+    row per dedup key, deterministically the min event_id (streaming
+    keeps the first arrival; arrival order in the fixture is event_id)."""
+    key = [F.col("user_id"), F.col("event_type"),
+           F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("minute")]
+    return (
+        events.groupBy(*key)
+        .agg(F.min("event_id").alias("event_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("event_id", "user_id", "event_type", "minute", "n_dups")
+    )

@@ -1,0 +1,211 @@
+"""Text analysis suite (SURVEY §2B B19 + north-star text operators).
+
+All five operators are pure JVM expressions (split / regexp /
+higher-order folds) — no UDFs, no shuffles except text_stats' group-by.
+These are the per-document scoring passes a 100 TB training-data
+pipeline runs as map-only stages before filtering/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+_SPARK_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+# tiny public stopword samples per fixture language (deterministic
+# scoring sets — the heuristic's quality is bounded by the fixture's
+# synthetic vocabulary, its *semantics* are what the oracle pins)
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+    "fr": ("le", "la", "de", "et", "est", "un"),
+    "zh": ("de", "shi", "he", "zai", "you", "wo"),
+}
+_LANG_ORDER = ("de", "en", "es", "fr", "zh")  # deterministic argmax tiebreak
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+    ), x AS (
+      SELECT doc_id, lang, unnest(toks) AS tok FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+           CAST(CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS avg_token_len
+    FROM x GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: tokenize + per-lang corpus statistics (explode → hash agg;
+    integer sums are exact so no decimal path needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
+    )
+    return x.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        (F.sum(F.length("tok")).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star token counting: whitespace tokens + a BPE-ish regex
+    segmentation (letters / digits / single punctuation marks) — the
+    cheap token-budget estimator that runs before real tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(_SPARK_TOKS)).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _score_sql(lang: str, toks: str, quote: str = "'") -> str:
+    arr = ", ".join(f"{quote}{w}{quote}" for w in _STOPWORDS[lang])
+    return f"len(list_intersect({toks}, [{arr}]))"
+
+
+def _score_spark(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"size(array_intersect({_SPARK_TOKS}, array({arr})))"
+
+
+def _argmax_case(scores: dict[str, str]) -> str:
+    """CASE picking the first lang (in _LANG_ORDER) with maximal score."""
+    greatest = "greatest(" + ", ".join(scores[l] for l in _LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN {scores[l]} = {greatest} THEN '{l}'" for l in _LANG_ORDER
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           {", ".join(f"CAST({_score_sql(l, 'toks')} AS BIGINT) AS score_{l}" for l in _LANG_ORDER)},
+           {_argmax_case({l: _score_sql(l, 'toks') for l in _LANG_ORDER})} AS predicted_lang
+    FROM t
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star language-ID heuristic: stopword-membership scoring with
+    a deterministic argmax. (The fixture corpus is synthetic shared-vocab
+    word salad, so predictions are degenerate — the operator contract is
+    the scoring semantics, which the oracle pins exactly.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {l: _score_spark(l) for l in _LANG_ORDER}
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.expr(scores[l]).cast("long").alias(f"score_{l}")
+            for l in _LANG_ORDER
+        ],
+        F.expr(_argmax_case(scores)).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter({_DUCK_TOKS},
+                x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                AS DOUBLE) / greatest(len({_DUCK_TOKS}), 1) AS stopword_ratio,
+           (CAST(len({_DUCK_TOKS}) AS DOUBLE) / greatest(length(text), 1))
+             AS tokens_per_char
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star quality scoring: length / punctuation / stopword-ratio
+    signals (the Gopher-style cheap filters). Pure per-row arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_SPARK_TOKS)
+    stop = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), 0))
+            .cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.size(
+                F.expr(
+                    f"filter({_SPARK_TOKS}, x -> array_contains(array({stop}), x))"
+                )
+            ).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("stopword_ratio"),
+        (F.size(toks).cast("double") / F.greatest(F.length("text"), F.lit(1))).alias(
+            "tokens_per_char"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split_regex(text, ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star document fingerprinting: order-sensitive polynomial
+    rolling hash (base 31, mod 1e9+7) over the character stream — the
+    content-defined-chunking primitive. A strict left fold in both
+    engines; fixture text is ASCII so ascii()/unicode() agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        "aggregate(split(text, ''), cast(7 as bigint), "
+        "(acc, c) -> (acc * 31 + ascii(c)) % cast(1000000007 as bigint))"
+    )
+    return docs.select("doc_id", F.expr(fold).alias("fingerprint"))
