@@ -1,0 +1,109 @@
+"""Physical-plan quality gates (the 100 TB checklist, SURVEY §4).
+
+Correctness says the operators compute the right answer; these tests pin
+that Catalyst produces the plans the docstrings promise — pushed filters,
+pruned schemas, broadcast joins, top-k heaps, window group limits, and
+no Python in JVM-only hot paths. A regression here is a silent 10-100×
+cost at scale even though every value stays correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_ai_npm_spark import registry
+
+
+def _plan(spark, name, sf_dir) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = registry.run(name, spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name, sf_dir) -> str:
+    df = registry.run(name, spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_project_pushes_predicates_and_prunes(spark, sf_smoke):
+    plan = _plan(spark, "filter_project", sf_smoke)
+    assert "PushedFilters: [" in plan
+    for c in ("l_discount", "l_quantity"):
+        assert any(
+            f"{op}({c}" in plan for op in ("GreaterThan", "LessThan", "GreaterThanOrEqual")
+        ), f"predicate on {c} not pushed:\n{plan}"
+    # column pruning: unused wide columns never reach the scan
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+    assert "l_returnflag" not in plan.split("ReadSchema")[1]
+
+
+def test_join_broadcast_is_broadcast(spark, sf_smoke):
+    plan = _plan(spark, "join_broadcast", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_types(spark, sf_smoke):
+    plan = _plan(spark, "join_semi_anti", sf_smoke)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_smoke):
+    plan = _plan(spark, "topk_orders", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node — the heap shape, not a full sort
+    assert "Sort [" not in plan
+
+
+def test_agg_groupby_has_partial_aggregation(spark, sf_smoke):
+    plan = _plan(spark, "agg_groupby", sf_smoke)
+    # partial + final hash aggregate = map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_rank_group_limit_pushdown(spark, sf_smoke):
+    plan = _plan(spark, "window_rank", sf_smoke)
+    assert "WindowGroupLimit" in plan, (
+        "rn<=3 should push a per-partition top-k below the window:\n" + plan
+    )
+
+
+def test_similarity_search_is_jvm_only(spark, sf_smoke):
+    plan = _plan(spark, "similarity_search_topk", sf_smoke)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, f"cosine top-k must stay JVM-side, found {py}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_not_cartesian(spark, sf_smoke):
+    plan = _plan(spark, "join_range", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_has_no_cross_product(spark, sf_smoke):
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_window_no_join_explosion(spark, sf_smoke):
+    # the union-and-carry-forward shape: one Window, zero joins
+    plan = _plan(spark, "join_asof", sf_smoke)
+    assert "Window" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, f"as-of should not join, found {j}:\n{plan}"
+
+
+def test_chunking_is_jvm_only(spark, sf_smoke):
+    plan = _plan(spark, "chunk_split_headers", sf_smoke)
+    for py in ("BatchEvalPython", "ArrowEvalPython"):
+        assert py not in plan
+
+
+def test_scan_reads_only_needed_columns_for_topk(spark, sf_smoke):
+    plan = _plan(spark, "topk_orders", sf_smoke)
+    read = plan.split("ReadSchema")[1]
+    assert "o_orderpriority" not in read and "o_orderdate" not in read

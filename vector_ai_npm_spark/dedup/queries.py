@@ -24,11 +24,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.functions.vectors import cosine_similarity, o_cosine
-from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.io.sources import load_table, scale_partitions
 from vector_ai_npm_spark.registry import query
 
 N_MINHASH = 8
-N_BANDS = 4  # bands of 2 → candidates need 2 consecutive matching hashes
+# 2 bands × 4 rows: LSH threshold (1/b)^(1/r) = 0.5^0.25 ≈ 0.84, tuned to
+# the 0.8 near-dup target. On this fixture corpus (synthetic word salad,
+# mean pairwise Jaccard ≈ 0.6!) wider bands matter: 4 bands × 2 rows
+# collides on ~j² ≈ 38% of ALL doc pairs (~19M candidates at sf0.1, 14s),
+# while 4-row bands collide at j⁴ (~10× fewer).
+N_BANDS = 2
+ROWS_PER_BAND = 4
 
 # --- shared token/shingle fragments (kept textually parallel per engine) --
 
@@ -49,17 +55,24 @@ _DUCK_SHINGLES = (
 )
 
 
+# 8 minhash functions from TWO md5 digests per shingle (not eight): each
+# 32-hex digest is sliced into four 8-hex (32-bit) hash values. One md5
+# pass per shingle per digest is the dominant cost of signature building;
+# slicing halves-to-quarters it with no loss of determinism (32-bit
+# minhashes are plenty for banding).
 def _spark_minhash(i: int) -> str:
+    seed, slot = divmod(i, 4)
     return (
         "array_min(transform(shingles, "
-        f"s -> cast(conv(substring(md5(concat(s, '#{i}')), 1, 15), 16, 10) as bigint)))"
+        f"s -> cast(conv(substring(md5(concat(s, '#{seed}')), {1 + 8 * slot}, 8), 16, 10) as bigint)))"
     )
 
 
 def _duck_minhash(i: int) -> str:
+    seed, slot = divmod(i, 4)
     return (
         "list_min(list_transform(shingles, "
-        f"s -> CAST('0x' || substring(md5(s || '#{i}'), 1, 15) AS BIGINT)))"
+        f"s -> CAST('0x' || substring(md5(s || '#{seed}'), {1 + 8 * slot}, 8) AS BIGINT)))"
     )
 
 
@@ -116,31 +129,55 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B18a: exact 3-gram Jaccard near-dup pairs, blocked by
-    (lang, source) so the self-join is quadratic only within blocks —
-    the classic blocking pattern that keeps exact Jaccard feasible when
-    a corpus is groupable; the un-blockable case is dedup_near_lsh."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "lang", "source", F.expr(_SPARK_SHINGLES).alias("shingles")
+    """B18a: exact 3-gram Jaccard near-dup pairs via an INVERTED-INDEX
+    join — the 100 TB shape. Explode (doc, shingle), equi-join on
+    (block, shingle), count co-occurrences per pair: |A∩B| from the
+    group count, |A∪B| = |A|+|B|−|A∩B| from per-doc sizes. One shuffle
+    on the shingle key instead of a quadratic per-block array-intersect
+    cross join (this rewrite took the sf0.1 bench from 17s to ~2s and,
+    unlike the array form, never materializes zero-overlap pairs).
+
+    Pairs with no shared shingle have jaccard 0 and can't pass the 0.8
+    threshold, so the result set equals the naive blocked cross join's.
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    # Plan-shape note: the ONLY projection above the Generate is attribute
+    # passthrough — putting e.g. size(shingles) next to the explode would
+    # collapse into a Project that re-evaluates the whole shingle
+    # expression per OUTPUT row (measured 8s vs 0.5s at sf0.1).
+    ex = docs.select(
+        "doc_id", "lang", "source",
+        F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    jac = inter.cast("double") / union
+    # Bucket-emit-pairs: group the postings list per shingle and emit the
+    # (a<b) pairs from inside each bucket — ONE evaluation of the shingle
+    # explode and one shuffle, vs a self-join that recomputes the exploded
+    # view on both probe sides plus a third time for per-doc sizes.
+    buckets = ex.groupBy("lang", "source", "shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (d, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "d2 -> struct(d AS a, d2 AS b))))"
+            )
+        ).alias("p")
+    )
+    pair_counts = pairs.groupBy(
+        F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b")
+    ).agg(F.count(F.lit(1)).alias("n_common"))
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            jac.alias("jaccard"),
-        )
+        pair_counts.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.8)
     )
 
@@ -161,7 +198,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B18b-1: 8-hash MinHash signature per document, entirely JVM-side
     (md5 + array fold per hash — no UDF, no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     sh = docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
     return sh.select(
         "doc_id",
@@ -169,12 +206,16 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_cols(b: int) -> list[str]:
+    return [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+
+
 _BAND_KEYS_SPARK = [
-    f"md5(concat(cast(mh{2*b} as string), ',', cast(mh{2*b+1} as string)))"
+    "md5(concat_ws(',', " + ", ".join(f"cast({c} as string)" for c in _band_cols(b)) + "))"
     for b in range(N_BANDS)
 ]
 _BAND_KEYS_DUCK = [
-    f"md5(CAST(mh{2*b} AS VARCHAR) || ',' || CAST(mh{2*b+1} AS VARCHAR))"
+    "md5(" + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in _band_cols(b)) + ")"
     for b in range(N_BANDS)
 ]
 
@@ -196,8 +237,8 @@ _BAND_KEYS_DUCK = [
     """,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B18b-2: banded LSH candidate pairs — docs sharing any of 4 bands
-    (2 minhashes each). THIS is the 100 TB near-dup shape: explode to
+    """B18b-2: banded LSH candidate pairs — docs sharing any band of
+    ROWS_PER_BAND consecutive minhashes. THIS is the 100 TB near-dup shape: explode to
     (doc, band_key), shuffle on band_key (equi-join), never a cross
     product. Skewed bands (boilerplate dups) are handled by AQE skew
     splitting."""
@@ -290,4 +331,54 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
         .where(F.col("cosine") >= 0.95)
+    )
+
+
+# --------------------------------------------------------------------------
+# B18e — SimHash (signed bit-profile) dedup
+# --------------------------------------------------------------------------
+
+_SPARK_SIMHASH = (
+    "aggregate(sequence(0, 15), cast(0 as bigint), (acc, b) -> acc * 2 + "
+    "(CASE WHEN aggregate(transform(" + _SPARK_TOKS + ", "
+    "tok -> 2 * ((cast(conv(substring(md5(tok), 1 + cast(b div 4 as int), 1), 16, 10) as int) "
+    ">> (3 - cast(b % 4 as int))) & 1) - 1), "
+    "cast(0 as bigint), (s, x) -> s + x) > 0 THEN 1 ELSE 0 END))"
+)
+
+_DUCK_SIMHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 16)), "
+    "(acc, b) -> acc * 2 + (CASE WHEN list_sum(list_transform(" + _DUCK_TOKS + ", "
+    "tok -> 2 * ((CAST('0x' || substring(md5(tok), 1 + CAST(b // 4 AS INTEGER), 1) AS INTEGER) "
+    ">> (3 - CAST(b % 4 AS INTEGER))) & 1) - 1)) > 0 THEN 1 ELSE 0 END))"
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM documents
+    )
+    SELECT doc_id, simhash,
+           CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_bucket,
+           CAST(MIN(doc_id) OVER (PARTITION BY simhash) AS BIGINT) AS keeper_id
+    FROM s
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18e: 16-bit SimHash — per-bit signed majority vote over md5 token
+    hashes (Charikar's scheme, public algorithm), packed into a BIGINT.
+    Identical-profile docs share a bucket (hamming-0 near-dups); wider
+    hamming radii would multi-probe bit-flipped keys — same join shape.
+    Entirely JVM expressions: nested higher-order folds, no UDF, no
+    shuffle except the bucket window."""
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    s = docs.select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return s.select(
+        "doc_id",
+        "simhash",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_bucket"),
+        F.min("doc_id").over(w).cast("long").alias("keeper_id"),
     )

@@ -51,6 +51,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scale_partitions(df: DataFrame, spark: SparkSession,
+                     min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition for compute-heavy map stages.
+
+    The fixture tables are single parquet files → one input partition →
+    any expensive per-row work (pandas_udf embed/subsplit, shingle
+    builds) runs on one core, and AQE's shuffle coalescing keeps
+    re-collapsing small-byte-size stages even though they are CPU-bound.
+    An explicit repartition to the executor parallelism is honored by
+    AQE and costs one tiny exchange. On a real cluster with many input
+    files this is a no-op-sized safety net, not a penalty.
+    """
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}

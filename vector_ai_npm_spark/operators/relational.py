@@ -591,3 +591,43 @@ def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(counted("intersect", building.intersect(rich)))
         .unionByName(counted("except_all", building.exceptAll(rich)))
     )
+
+
+# --------------------------------------------------------------------------
+# B12b — cube (full grouping-sets lattice)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderpriority,
+           CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS lvl,
+           {o_dsum('o_totalprice')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12b: full cube over (year, priority) — all four grouping sets in
+    one Expand + single-shuffle aggregate (same plan family as rollup;
+    the Expand multiplies rows by #sets BEFORE the shuffle, so map-side
+    combine still bounds shuffle volume by groups × sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .cube("order_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("order_year", "o_orderpriority", "lvl", "revenue", "n_orders")
+    )

@@ -1,0 +1,120 @@
+"""B29 — the UDF surface: scalar UDF, Arrow pandas_udf, grouped-map
+applyInPandas (UDAF-shaped), and UDTF-via-explode.
+
+These exist to pin the engine's extension points, not to do work
+built-ins could do (the hot paths elsewhere are deliberately UDF-free).
+Rows-only in the oracle contract — the semantics are defined by the
+Python bodies — with SQL-checkable invariants in tests/test_udf.py.
+
+Scale ranking (why each shape exists):
+  * row-at-a-time `udf`: convenience only; pickled per row, ~10-100×
+    slower than Arrow — never in a hot path.
+  * `pandas_udf`: Arrow batches, numpy/C inner loop — the default for
+    unavoidable Python (A3 subsplit, A5 embed).
+  * `applyInPandas`: grouped map — per-key Python with the whole group
+    in memory; shuffle on the key, group must fit an executor.
+  * UDTF (explode of array-returning UDF): row expansion with the array
+    built Python-side, exploded JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from vector_ai_npm_spark.io.sources import load_table, scale_partitions
+from vector_ai_npm_spark.registry import query
+
+
+def _scalar_udf():
+    @F.udf(StringType())
+    def first_token_upper(text: str | None) -> str | None:
+        if not text:
+            return None
+        return text.split(" ", 1)[0].upper()
+
+    return first_token_upper
+
+
+def _vectorized_udf():
+    @F.pandas_udf(LongType())
+    def vowel_count(texts: pd.Series) -> pd.Series:
+        return texts.str.count("[aeiou]").fillna(0).astype("int64")
+
+    return vowel_count
+
+
+_ZSCORE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("chars_z", DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["n_chars"].mean()
+    sd = pdf["n_chars"].std(ddof=0) or 1.0
+    out = pdf[["doc_id", "lang", "n_chars"]].copy()
+    out["chars_z"] = (pdf["n_chars"] - mu) / sd
+    return out
+
+
+def _udtf_array():
+    @F.udf(ArrayType(StringType()))
+    def char_ngrams(text: str | None) -> list[str]:
+        if not text:
+            return []
+        head = text[:12]
+        return [head[i: i + 3] for i in range(len(head) - 2)]
+
+    return char_ngrams
+
+
+@query("udf_surface")  # rows-only: semantics defined by the Python bodies
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: all four UDF shapes over `documents`, joined on doc_id.
+
+    Output: one row per doc with a column from each extension point —
+    scalar-UDF token, pandas_udf vowel count, applyInPandas per-lang
+    z-score, and the exploded-UDTF n-gram count (re-aggregated so the
+    query stays one-row-per-doc).
+    """
+    docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _scalar_udf()(F.col("text")).alias("first_token"),
+        _vectorized_udf()(F.col("text")).alias("n_vowels"),
+        _udtf_array()(F.col("text")).alias("ngrams"),
+    )
+    ngram_counts = (
+        base.select("doc_id", F.explode("ngrams").alias("ng"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ngrams"))
+    )
+    z = docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        _zscore_group, schema=_ZSCORE_SCHEMA
+    )
+    return (
+        base.drop("ngrams")
+        .join(ngram_counts, "doc_id", "left")
+        .join(z.select("doc_id", "chars_z"), "doc_id", "left")
+        .select(
+            "doc_id", "lang", "first_token", "n_vowels",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            "chars_z",
+        )
+    )

@@ -124,6 +124,12 @@ def ingest_pipeline(docs: DataFrame, config=None, text_col: str = "mdx",
     flags = validate_context(chunks, id_col=id_col)
     chunks = chunks.join(flags, id_col, "left").where(F.col("is_valid_doc"))
 
+    # AQE's coalescing sizes shuffle reads by BYTES; the downstream
+    # subsplit+embed pandas_udfs are CPU-bound per row, so a few-MB
+    # chunk set would collapse onto one core. Pin the parallelism for
+    # the Python stages explicitly (honored by AQE).
+    chunks = chunks.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
     sub = chunks.select(
         id_col, "chunk_id", "header", "prev_header", "next_header",
         F.col("content").alias("context"),  # parent content (ref :233)

@@ -47,6 +47,7 @@ def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import vector_ai_npm_spark.operators.relational  # noqa: F401
     import vector_ai_npm_spark.operators.functions_suite  # noqa: F401
+    import vector_ai_npm_spark.operators.udf_suite  # noqa: F401
     import vector_ai_npm_spark.chunking.queries  # noqa: F401
     import vector_ai_npm_spark.embedding.queries  # noqa: F401
     import vector_ai_npm_spark.retrieval.queries  # noqa: F401
