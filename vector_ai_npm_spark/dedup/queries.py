@@ -382,3 +382,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_bucket"),
         F.min("doc_id").over(w).cast("long").alias("keeper_id"),
     )
+
+
+# SURVEY §2B B18's canonical registry name — the exact-Jaccard variant is
+# the oracle-checkable face of near-dedup (the approx faces are
+# dedup_minhash_pairs / dedup_near_lsh above).
+_NGRAM_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+           len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    """
+
+dedup_near = query("dedup_near", oracle=_NGRAM_ORACLE)(
+    lambda spark, sf_dir: dedup_ngram_jaccard(spark, sf_dir)
+)

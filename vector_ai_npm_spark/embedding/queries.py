@@ -35,8 +35,8 @@ def embed_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_documents")  # rows-only: vector values defined by our Python model
-def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("embed_text")  # rows-only: vector values defined by our Python model
+def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (vector half): chunk the synthesized corpus, format, embed.
 
     Invariants pinned in tests/test_embedding.py: dim constant, unit

@@ -631,3 +631,58 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("order_year", "o_orderpriority", "lvl", "revenue", "n_orders")
     )
+
+
+# --------------------------------------------------------------------------
+# B1/B2 — named scan and sink operators
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: the named source operator — full-content scan of the smallest
+    dimension tables (every other query exercises the same reader with
+    pushdown; this one hash-checks raw scan fidelity end to end)."""
+    from vector_ai_npm_spark.io.sources import load_table as lt
+
+    n = lt(spark, sf_dir, "nation")
+    r = lt(spark, sf_dir, "region")
+    return n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "sink_parquet",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {o_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: partitioned parquet sink round-trip — write orders partitioned
+    by order year (the partition-pruning layout for date-ranged reads at
+    scale), re-read, and summarize per partition. The oracle checks the
+    round-trip against the source table, proving the sink lost nothing.
+    """
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    path = tempfile.mkdtemp(prefix="sink_parquet_") + "/orders"
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    rt = spark.read.parquet(path)
+    return rt.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "total"),
+    )

@@ -105,3 +105,19 @@ def result_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         metadata_cols=("doc_id", "lang", "source"),
         keep_cols=("doc_id", "n_chars"),
     )
+
+
+@query("similarity_search_ivf")  # rows-only: cell assignment is model-defined
+def similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 at scale, variant 2: IVF (k-means coarse quantizer, nprobe
+    cell-probed search) — see retrieval.ivf. tests/test_retrieval.py
+    asserts ≥0.9 recall vs the exact top-k."""
+    from vector_ai_npm_spark.retrieval.ivf import ivf_similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_similarity_join(queries, emb, k=5, nlist=8, nprobe=4).select(
+        "q_vec_id", "vec_id", "similarity", "rank"
+    )
