@@ -107,3 +107,27 @@ def test_scan_reads_only_needed_columns_for_topk(spark, sf_smoke):
     plan = _plan(spark, "topk_orders", sf_smoke)
     read = plan.split("ReadSchema")[1]
     assert "o_orderpriority" not in read and "o_orderdate" not in read
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
+    # At fixture scale the planner rightly auto-broadcasts the small side;
+    # disable that to expose the bucketed path a fact-fact join would take.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "join_bucketed", sf_smoke)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan[:800]
+    # both sides read pre-bucketed files; NOTHING shuffles — not the join,
+    # not the groupBy on the same key (partitioning is preserved through)
+    assert "Exchange hashpartitioning" not in plan, (
+        "bucketed join should not shuffle:\n" + plan[:2500]
+    )
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_salted_join_spreads_keys(spark, sf_smoke):
+    plan = _plan(spark, "join_skew_salted", sf_smoke)
+    # join keys must include the salt column → partitioning spreads hot keys
+    assert "salt" in plan.split("SortMergeJoin")[0] or "salt" in plan

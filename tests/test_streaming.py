@@ -103,3 +103,47 @@ def test_streaming_dedup_within_watermark(spark, events_stream_dir):
     keys = [(r.user_id, r.event_type, str(r.minute)) for r in out]
     assert len(keys) == len(set(keys)), "dedup emitted duplicate keys"
     assert keys, "dedup emitted nothing"
+
+
+def test_stateful_totals_converge_to_batch(spark, sf_smoke, events_stream_dir):
+    """applyInPandasWithState: the last update emitted per user must equal
+    the batch groupBy totals (count, sum, max-ts)."""
+    import pytest as _pytest
+
+    from vector_ai_npm_spark.streaming.stateful import (
+        user_totals_batch,
+        user_totals_stateful,
+    )
+
+    batch = {
+        r.user_id: r
+        for r in user_totals_batch(
+            load_table(spark, sf_smoke, "events")
+        ).collect()
+    }
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        user_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("t_stateful").collect()
+    finally:
+        q.stop()
+    # update mode may emit several rows per user (one per micro-batch);
+    # the LAST emission carries the converged state — take max n_events
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        f = final[uid]
+        assert f.n_events == b.n_events, uid
+        assert f.total_value == _pytest.approx(b.total_value, rel=1e-9)
+        assert f.last_ts.replace(tzinfo=None) == b.last_ts

@@ -686,3 +686,175 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("o_totalprice", "total"),
     )
+
+
+# --------------------------------------------------------------------------
+# B4+/B5+ — scale patterns: salted skew join, bucketed co-located join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_user_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT p.event_id, p.user_id,
+           COALESCE(c.n_user_clicks, 0) AS n_user_clicks
+    FROM events p LEFT JOIN clicks c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via explicit salting: the fact side gets a
+    deterministic salt (event_id % S); the dim side is exploded S× so
+    every (key, salt) bucket exists. A hot user_id that would pin one
+    reducer now spreads over S partitions. Results are IDENTICAL to the
+    plain join (the oracle is the unsalted SQL) — salting is pure
+    physical-plan medicine. AQE skew-join does this adaptively; the
+    explicit form is for engines/joins AQE can't reach (e.g. left sides
+    of stateful streaming joins) and for guaranteed layout control.
+    """
+    S = 8
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", (F.col("event_id") % S).alias("salt")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_user_clicks"))
+    )
+    clicks_salted = clicks.select(
+        "user_id", "n_user_clicks",
+        F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("long"))
+    return (
+        purchases.join(clicks_salted, ["user_id", "salt"], "left")
+        .select(
+            "event_id", "user_id",
+            F.coalesce("n_user_clicks", F.lit(0)).cast("long")
+            .alias("n_user_clicks"),
+        )
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {o_dsum('l.l_extendedprice')} AS order_revenue,
+           MIN(o.o_orderstatus) AS o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 100000
+    GROUP BY l.l_orderkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: persist both sides bucketed+sorted by
+    the join key, then join WITHOUT any shuffle — the physical plan
+    reads pre-bucketed files straight into a sort-merge join (verified
+    by tests/test_plans.py: no Exchange above either scan).
+
+    This is THE pattern for repeated 100 TB fact-fact joins: pay the
+    shuffle once at layout time, never per query. Bucket counts must
+    match (or divide) across tables; here 8/8.
+    """
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="bucket_wh_")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{wh}'"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 100000
+    ).select("o_orderkey", "o_orderstatus")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey").saveAsTable("bucketdemo.li_b"))
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey").saveAsTable("bucketdemo.o_b"))
+    lb = spark.table("bucketdemo.li_b")
+    ob = spark.table("bucketdemo.o_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "order_revenue"),
+            F.min("o_orderstatus").alias("o_orderstatus"),
+        )
+    )
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DECIMAL(38,8))
+                AS DOUBLE) AS total_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1-csv: customer → CSV → read back with explicit schema → agg.
+    The oracle runs on the original table, so the hash-match proves the
+    text round-trip is lossless for ints/strings/doubles (doubles are
+    written with full precision by Spark's CSV writer)."""
+    from pyspark.sql import types as T
+
+    from vector_ai_npm_spark.io.formats import csv_roundtrip
+
+    c = load_table(spark, sf_dir, "customer")
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ])
+    rt = csv_roundtrip(c, schema)
+    return rt.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_acctbal"),
+    )
+
+
+@query(
+    "scan_json",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           min(source) AS first_source
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1-json: documents → JSON lines → read back with explicit schema
+    → agg; hash-matched against the original table."""
+    from pyspark.sql import types as T
+
+    from vector_ai_npm_spark.io.formats import json_roundtrip
+
+    d = load_table(spark, sf_dir, "documents")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    rt = json_roundtrip(d, schema)
+    return rt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("source").alias("first_source"),
+    )

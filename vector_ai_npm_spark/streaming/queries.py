@@ -122,3 +122,33 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B28: stateful dedup on (user_id, event_type, minute) — batch
     equivalent keeps the deterministic first arrival (min event_id)."""
     return dedup_within_watermark(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(38,8))
+                AS DOUBLE) AS total_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28+/custom-stateful: per-user running totals. Batch face here
+    (exact-decimal sum for the oracle hash); the applyInPandasWithState
+    streaming face is exercised in tests/test_streaming.py and must
+    converge to these same totals."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,8)"))
+        .cast("decimal(38,8)")
+        .cast("double")
+        .alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The brief's "custom stateful operators" slot: a per-user running
+aggregate (event count, value sum, last event time) maintained as
+explicit keyed state across micro-batches. Structured Streaming's
+built-in aggregations could express this particular fold; the point of
+the exercise is the state API plumbing — schema'd GroupState, timeout
+handling, update-mode emission — which is what a genuinely custom
+operator (e.g. sessionized feature accumulation, CDC merge) needs.
+
+Scale shape: state lives partitioned by the grouping key in the state
+store (RocksDB/HDFS-backed on a cluster); each micro-batch shuffles only
+that batch's rows to their key partitions. The batch-mode equivalent
+(one groupBy) is the oracle face; tests/test_streaming.py feeds the same
+rows through the streaming path and asserts the final per-key state
+matches the batch answer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_micros", LongType()),
+    ]
+)
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch face (the oracle): one hash aggregate per user."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def _update_user_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """GroupState fold: merge this micro-batch's rows into (count, sum,
+    max-ts) state and emit the updated running totals for the key."""
+    import datetime
+
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            batch_max = pdf["ts"].max()
+            last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        }
+    )
+
+
+def user_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming face: explicit keyed state, update mode, no timeout
+    (the fixture stream is finite; production would set event-time
+    timeouts to expire idle users and bound the state store)."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
