@@ -24,6 +24,8 @@ import time
 # headline set: the flagship pipeline + one representative per family
 BENCH_QUERIES = (
     "agg_groupby",            # B10 hash agg (TPC-H Q1 shape)
+    "tpch_q3",                # 3-way join + agg + top-10
+    "tpch_q5",                # 5-way join with theta condition
     "filter_project",         # B3 pushdown scan
     "join_broadcast",         # B4 broadcast join
     "join_sortmerge",         # B5 shuffle join chain

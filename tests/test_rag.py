@@ -71,3 +71,51 @@ def test_identifier_validation_blocks_injection():
     validate_identifier("my_table")
     with pytest.raises(ValueError):
         validate_identifier("t; DROP TABLE x")
+
+
+def test_reference_parity_api_round_trip(spark, tmp_path):
+    """The VectorClient-shaped surface: ingestData → createEmbeddings →
+    queryEmbeddings → getAnswer, end to end on a literal MDX doc."""
+    eng = VectorEngine(
+        spark, EngineConfig(chunk_size=120, chunk_overlap=30,
+                            store_path=str(tmp_path)),
+    )
+    mdx = (
+        "## Context\nspark engines process columnar data\n"
+        "## Retrieval\nsimilarity search finds nearest neighbors fast\n"
+        "## Storage\nparquet files hold the vector store rows"
+    )
+    eng.ingest_data(mdx, db_table="docs")
+    emb = eng.create_embeddings("similarity search nearest neighbors")
+    assert len(emb) == 64
+    res = eng.query_embeddings(emb, db_table="docs", threshold=0.0, count=3)
+    assert res["context"] and len(res["context"]) == len(res["metadata"])
+    # the retrieval-relevant chunk should rank first
+    assert "similarity" in res["context"][0]
+    assert res["metadata"][0]["header"] == "## Retrieval"
+    ans = eng.get_answer("how are neighbors found?", res)
+    assert ans and ans.startswith("ANSWER: ")
+
+
+def test_reference_parity_rejects_invalid_doc(spark, tmp_path):
+    eng = VectorEngine(spark, EngineConfig(store_path=str(tmp_path)))
+    with pytest.raises(ValueError, match="## Context"):
+        eng.ingest_data("## Intro\nno context here", db_table="docs")
+
+
+def test_retry_with_backoff_semantics():
+    from vector_ai_npm_spark.engine import retry_with_backoff
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    assert retry_with_backoff(flaky, max_retries=5, initial_delay_ms=1) == "ok"
+    assert len(calls) == 3
+    with pytest.raises(RuntimeError):
+        retry_with_backoff(lambda: (_ for _ in ()).throw(RuntimeError("x")),
+                           max_retries=2, initial_delay_ms=1)

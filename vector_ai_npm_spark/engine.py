@@ -40,14 +40,43 @@ class EngineConfig:
     extra: dict = field(default_factory=dict)
 
 
+def retry_with_backoff(func, max_retries: int = 5, initial_delay_ms: int = 500):
+    """A12 parity: exponential-backoff retry (reference defaults 5×500 ms
+    doubling, vector-client.ts:332-351; getAnswer overrides 2×1000 ms at
+    :481). Inside Spark jobs, task retry (`spark.task.maxFailures`)
+    subsumes this; it exists for driver-side boundary calls (a real
+    embedding/LLM service) behind the stubbed stages."""
+    import time
+
+    delay = initial_delay_ms / 1000.0
+    last: Exception | None = None
+    for _ in range(max_retries):
+        try:
+            return func()
+        except Exception as e:  # noqa: BLE001 — boundary-call wrapper
+            last = e
+            time.sleep(delay)
+            delay *= 2
+    raise last if last else RuntimeError("retry_with_backoff: no attempts")
+
+
 class VectorEngine:
     """Session + config holder; the operator modules do the real work.
 
-    Usage::
+    Spark-native usage::
 
         eng = VectorEngine(spark, EngineConfig(chunk_size=120))
         chunks = eng.ingest(mdx_df)          # A13 pipeline
-        hits = eng.similarity_search(qvec, threshold=0.2, k=5)
+        hits = eng.similarity_search(store_df, qvec, threshold=0.2, k=5)
+
+    Reference-parity usage (the VectorClient method surface, so a
+    reference user maps 1:1 — ingestData/createEmbeddings/
+    queryEmbeddings/getAnswer, vector-client.ts:141/375/396/424)::
+
+        eng.ingest_data(mdx_string, db_table="docs")
+        emb = eng.create_embeddings("what is X?")
+        res = eng.query_embeddings(embeddings=emb, threshold=0.2, count=5)
+        ans = eng.get_answer("what is X?", res)
     """
 
     def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
@@ -56,7 +85,7 @@ class VectorEngine:
         self.spark = apply_runtime_confs(spark)
         self.config = config or EngineConfig()
 
-    # --- pipeline entry points (thin wrappers; see each module) ---------
+    # --- Spark-native entry points (thin wrappers; see each module) -----
 
     def ingest(self, docs: DataFrame, text_col: str = "mdx") -> DataFrame:
         from vector_ai_npm_spark.rag.pipeline import ingest_pipeline
@@ -68,3 +97,89 @@ class VectorEngine:
         from vector_ai_npm_spark.retrieval.search import similarity_search_topk
 
         return similarity_search_topk(store, query_vec, threshold, k)
+
+    # --- reference-parity surface (VectorClient method names) -----------
+
+    def _store_path(self, db_table: str) -> str:
+        import tempfile
+
+        validate_identifier(db_table)
+        base = self.config.store_path or tempfile.mkdtemp(prefix="vector_store_")
+        self.config.store_path = base
+        return f"{base}/{db_table}"
+
+    def ingest_data(self, data: str | DataFrame, db_table: str) -> None:
+        """`ingestData({data, dbTable})` (vector-client.ts:141-152):
+        chunk → validate (strict: raises on a non-'## Context' doc, :165)
+        → subsplit → embed → append to the named store table."""
+        from vector_ai_npm_spark.chunking.mdx import split_mdx_headers, validate_context
+        from vector_ai_npm_spark.rag.pipeline import ingest_pipeline
+
+        docs = (
+            self.spark.createDataFrame([(0, data)], ["doc_id", "mdx"])
+            if isinstance(data, str)
+            else data
+        )
+        validate_context(split_mdx_headers(docs), strict=True)
+        out = ingest_pipeline(docs, self.config)
+        (out.select("content", "embedding", F_to_json_metadata(out))
+            .write.mode("append").parquet(self._store_path(db_table)))
+
+    def create_embeddings(self, question: str) -> list[float]:
+        """`createEmbeddings(question)` (vector-client.ts:375-388) with
+        the deterministic local embedder behind the same signature."""
+        from vector_ai_npm_spark.embedding.hashing import embed_text_py
+
+        return embed_text_py(question, self.config.embedding_dim)
+
+    def query_embeddings(self, embeddings: list[float], db_table: str = None,
+                         threshold: float = 0.0, count: int = 10) -> dict:
+        """`queryEmbeddings({embeddings, dbFunction, threshold, count})`
+        (vector-client.ts:396-415): top-k rows shaped into the
+        reference's parallel arrays {context: [...], metadata: [...]}
+        (:411-412)."""
+        from pyspark.sql import functions as F
+
+        from vector_ai_npm_spark.retrieval.search import similarity_search_topk
+
+        import json
+
+        store = self.spark.read.parquet(self._store_path(db_table or "default"))
+        hits = similarity_search_topk(
+            store.withColumn("vec_id", F.monotonically_increasing_id()),
+            embeddings, threshold, count,
+        ).collect()
+        return {
+            "context": [r["content"].strip() for r in hits],
+            "metadata": [json.loads(r["metadata"]) for r in hits],
+        }
+
+    def get_answer(self, question: str, embedding_result: dict) -> str | None:
+        """`getAnswer(question, embedding)` (vector-client.ts:424-489):
+        context-group dedup + prompt assembly + (stubbed) model call."""
+        from vector_ai_npm_spark.rag.pipeline import (
+            context_group_dedup,
+            llm_answer_stub,
+            prompt_assemble,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (m["context"] if isinstance(m, dict) else getattr(m, "context", c), c, i + 1)
+            for i, (c, m) in enumerate(
+                zip(embedding_result["context"], embedding_result["metadata"])
+            )
+        ]
+        if not rows:
+            return None
+        retrieved = self.spark.createDataFrame(rows, ["context", "content", "rank"])
+        groups = context_group_dedup(retrieved)
+        prompt = prompt_assemble(groups, question)
+        out = prompt.select(llm_answer_stub()(F.col("prompt")).alias("a")).first()
+        return out["a"] if out else None
+
+
+def F_to_json_metadata(df: DataFrame):
+    from pyspark.sql import functions as F
+
+    return F.col("metadata_json").alias("metadata")
