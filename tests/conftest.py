@@ -25,4 +25,6 @@ def sf_smoke() -> str:
 
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
-    return SF_ORACLE
+    # override to sweep parity at another scale, e.g.
+    # SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.1 pytest tests/test_oracle_parity.py
+    return os.environ.get("SPARK_GRAFT_PARITY_SF", SF_ORACLE)

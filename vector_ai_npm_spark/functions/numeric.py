@@ -12,7 +12,7 @@ aggregate (map-side combine + one shuffle), just with exact arithmetic.
 
 Oracle-side mirror (DuckDB SQL)::
 
-    CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DECIMAL(38,8)) AS DOUBLE)
+    CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)
 
 is spelled by :func:`o_dsum` so Spark and SQL always agree on precision.
 """
@@ -45,10 +45,19 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
 
 
 def o_dsum(expr: str) -> str:
-    """DuckDB SQL mirror of :func:`dsum` for oracle strings."""
+    """DuckDB SQL mirror of :func:`dsum` for oracle strings.
+
+    The final decimal→double hop goes THROUGH VARCHAR: DuckDB's direct
+    DECIMAL(38,8)→DOUBLE divides the int128 payload by 10^scale in
+    floating point, which double-rounds once the payload exceeds 2^53
+    (any sum ≳ 9e7 at scale 8). The decimal→string→double path is exact
+    (full-precision decimal print + correctly-rounded strtod), matching
+    Spark's BigDecimal.doubleValue. Found by the sf0.1 parity sweep —
+    sf0.01 sums were small enough to fit 2^53 and never showed it.
+    """
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))) "
-        f"AS DECIMAL(38,{_SCALE})) AS DOUBLE)"
+        f"CAST(CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))) "
+        f"AS DECIMAL(38,{_SCALE})) AS VARCHAR) AS DOUBLE)"
     )
 
 

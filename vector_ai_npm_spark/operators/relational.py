@@ -482,8 +482,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w
-                AS DECIMAL(38,8)) AS DOUBLE) AS running_spend,
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w
+                AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS running_spend,
            lag(o_orderkey) OVER w AS prev_orderkey,
            lead(o_orderkey) OVER w AS next_orderkey
     FROM orders
@@ -796,8 +796,8 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DECIMAL(38,8))
-                AS DOUBLE) AS total_acctbal
+           CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DECIMAL(38,8))
+                AS VARCHAR) AS DOUBLE) AS total_acctbal
     FROM customer
     GROUP BY c_mktsegment
     """,

@@ -129,8 +129,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(38,8))
-                AS DOUBLE) AS total_value,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(38,8))
+                AS VARCHAR) AS DOUBLE) AS total_value,
            MAX(ts) AS last_ts
     FROM events
     GROUP BY user_id
