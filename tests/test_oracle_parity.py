@@ -25,3 +25,19 @@ def test_oracle_parity(spark, sf_oracle, name):
 def test_rows_only_queries_run(spark, sf_oracle, name):
     df = registry.run(name, spark, sf_oracle)
     assert df.count() >= 0
+
+
+def test_multimodal_decode_stub_contract(spark, sf_oracle):
+    """The real decoder is a stubbed codec boundary: it must raise
+    NotImplementedError (not silently fake) unless fake_decoder=True."""
+    import pytest as _pytest
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.multimodal.binary import extract_features, synth_media
+
+    media = synth_media(load_table(spark, sf_oracle, "documents"))
+    with _pytest.raises(Exception) as ei:
+        extract_features(media, fake_decoder=False).limit(1).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

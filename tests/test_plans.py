@@ -131,3 +131,24 @@ def test_salted_join_spreads_keys(spark, sf_smoke):
     plan = _plan(spark, "join_skew_salted", sf_smoke)
     # join keys must include the salt column → partitioning spreads hot keys
     assert "salt" in plan.split("SortMergeJoin")[0] or "salt" in plan
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, sf_smoke, tmp_path):
+    """The B2 layout (partitionBy year) must turn a year filter into
+    PartitionFilters at the scan — zero data files read for other years."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+
+    path = str(tmp_path / "orders_by_year")
+    o = load_table(spark, sf_smoke, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    rt = spark.read.parquet(path).where(F.col("order_year") == 1995)
+    plan = rt._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    # count only 1995 rows, matching a post-filter on the unpartitioned table
+    expect = o.where(F.col("order_year") == 1995).count()
+    assert rt.count() == expect

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for the headline
+queries, so plan quality is reviewable without running Spark.
+
+    python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF = "/root/testdata/sf0.001"
+
+PLAN_QUERIES = (
+    ("filter_project", "pushed filters + pruned schema"),
+    ("agg_groupby", "partial/final hash agg, exact-decimal sums"),
+    ("join_broadcast", "broadcast hash join, fact side never shuffles"),
+    ("join_asof", "as-of via union + carry-forward window — zero joins"),
+    ("topk_orders", "TakeOrderedAndProject global top-k"),
+    ("window_rank", "WindowGroupLimit pushdown"),
+    ("similarity_search_topk", "JVM-side cosine, no Python in plan"),
+    ("dedup_ngram_jaccard", "inverted-index bucket-emit, no cross product"),
+    ("dedup_minhash_pairs", "banded LSH candidate equi-join"),
+    ("join_bucketed", "pre-bucketed scan SMJ (run with broadcast off)"),
+    ("stream_session", "session_window aggregation"),
+    ("ingest_pipeline", "chunk → subsplit UDF → embed UDF, one doc shuffle"),
+)
+
+
+def main() -> None:
+    from vector_ai_npm_spark import registry
+    from vector_ai_npm_spark.session import get_spark
+
+    spark = get_spark("plan-dump", cpus=4, shuffle_partitions=8)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "120")
+
+    out = [
+        "# PLANS — headline physical plans (`explain formatted`, sf0.001)",
+        "",
+        "Regenerate with `python tools/dump_plans.py`. These are the plans",
+        "the test suite pins (tests/test_plans.py); shapes — not sizes —",
+        "are what must survive a 100 TB scale-up.",
+        "",
+    ]
+    for name, why in PLAN_QUERIES:
+        if name == "join_bucketed":
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.run(name, spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        if name == "join_bucketed":
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        text = buf.getvalue()
+        # keep the operator tree + the first screenful of node details
+        head = text.split("\n\n")[0]
+        out += [f"## {name}", "", f"*{why}*", "", "```", head, "```", ""]
+    Path(__file__).resolve().parents[1].joinpath("PLANS.md").write_text(
+        "\n".join(out)
+    )
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -209,3 +209,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(acc, c) -> (acc * 31 + ascii(c)) % cast(1000000007 as bigint))"
     )
     return docs.select("doc_id", F.expr(fold).alias("fingerprint"))
+
+
+@query(
+    "text_top_terms",
+    oracle=f"""
+    WITH x AS (
+      SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), counts AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM x GROUP BY lang, tok
+    )
+    SELECT lang, tok, n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY n DESC, tok ASC) AS BIGINT) AS term_rank
+    FROM counts
+    QUALIFY term_rank <= 5
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+: top-5 terms per language — the two-level shape (explode →
+    count per (lang, term) → per-lang window top-k) that computes corpus
+    vocabularies at scale. Map-side combine collapses the exploded
+    tokens before the shuffle; WindowGroupLimit bounds the ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("lang", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= 5)
+    )
