@@ -42,7 +42,10 @@ def test_coverage_no_content_lost(text, size):
     # greedy scan: all pieces must appear in order, jointly spanning the text
     pos = 0
     for p in pieces:
-        found = text.find(p, max(0, pos - size))  # overlap may step back
+        # latest occurrence that still starts at or before the first
+        # uncovered position — plain find() picks an earlier duplicate in
+        # self-similar text (e.g. 'a'*11) and fakes a gap
+        found = text.rfind(p, 0, pos + len(p))
         assert found != -1
         pos = max(pos, found + len(p))
     remainder = text[pos:]

@@ -951,3 +951,123 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# --------------------------------------------------------------------------
+# B10+ — reproducible second-moment statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {o_dsum('l_quantity')} AS sx,
+             {o_dsum('l_quantity * l_quantity')} AS sxx,
+             {o_dsum('l_extendedprice')} AS sy,
+             {o_dsum('l_extendedprice * l_extendedprice')} AS syy,
+             {o_dsum('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) /
+             (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10+: mean / variance / stddev / correlation computed from EXACT
+    decimal power sums, then finished in double arithmetic.
+
+    Spark's built-in stddev/corr use streaming (Welford/co-moment)
+    updates whose float error depends on partition order — re-running
+    the same query on the same data can change low bits, and no SQL
+    oracle can match them bit-for-bit. Power sums in exact decimal are
+    order-independent, so the derived moments are bit-reproducible
+    across engines AND across cluster layouts — worth knowing both
+    options exist: built-ins for speed, this shape for auditable
+    pipelines. (Textbook caveat: sum-of-squares cancellation — fine
+    here because the sums are EXACT decimals, not floats.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sx"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+        dsum("l_extendedprice", "sy"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice"), "syy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B20+ — null semantics corner
+# --------------------------------------------------------------------------
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS p,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS pri
+      FROM orders
+    )
+    SELECT o_orderkey,
+           COALESCE(p, -1.0) AS p_filled,
+           NULLIF(pri, '1-URGENT') AS pri_nullif,
+           (p IS NOT DISTINCT FROM NULL) AS p_is_null_safe,
+           (p IS DISTINCT FROM p) AS never_true,
+           CASE WHEN p IS NULL AND pri IS NULL THEN 'both'
+                WHEN p IS NULL THEN 'price' WHEN pri IS NULL THEN 'priority'
+                ELSE 'none' END AS null_shape
+    FROM t
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20+: NULL-handling corner — coalesce, nullif, null-safe equality
+    (<=> ↔ IS NOT DISTINCT FROM), three-valued CASE. These semantics are
+    where engines classically diverge; the oracle pins ANSI behavior."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+    )
+    return t.select(
+        "o_orderkey",
+        F.coalesce("p", F.lit(-1.0)).alias("p_filled"),
+        F.nullif(F.col("pri"), F.lit("1-URGENT")).alias("pri_nullif"),
+        F.col("p").eqNullSafe(F.lit(None).cast("double")).alias("p_is_null_safe"),
+        (~F.col("p").eqNullSafe(F.col("p"))).alias("never_true"),
+        F.when(F.col("p").isNull() & F.col("pri").isNull(), "both")
+        .when(F.col("p").isNull(), "price")
+        .when(F.col("pri").isNull(), "priority")
+        .otherwise("none")
+        .alias("null_shape"),
+    )
