@@ -1071,3 +1071,273 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("null_shape"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 / Q8 / Q21 shapes — nation-pair volume, market share,
+# exists/not-exists correlated filters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {o_dsum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair).
+
+    The nation-pair disjunction references BOTH sides of the join tree,
+    so it cannot push below either nation join — but each branch's
+    single-nation implication ("supp nation ∈ {3,7}") CAN, and Catalyst
+    derives it via constraint propagation, shrinking supplier/customer
+    before the big joins. nation (25 rows) broadcasts twice; supplier
+    broadcasts; the only at-scale shuffles are lineitem⋈orders and
+    orders⋈customer on their natural keys."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    pair = (
+        (F.col("n1.n_name") == "NATION_3") & (F.col("n2.n_name") == "NATION_7")
+    ) | ((F.col("n1.n_name") == "NATION_7") & (F.col("n2.n_name") == "NATION_3"))
+    return (
+        F.broadcast(s)
+        .join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2.n_nationkey"))
+        .where(pair)
+        .select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", "revenue"))
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           {o_dsum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END")}
+             / {o_dsum('volume')} AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): seven-way join, then a
+    conditional-sum ratio per year.
+
+    Both numerator and denominator are computed in ONE aggregation pass
+    (conditional decimal sum), not two scans — the classic
+    sum(CASE)/sum trick. part filter prunes lineitem early via the
+    p_partkey join (broadcast at these SFs; bucketed/shuffle at 100 TB);
+    region/nation broadcast always."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(p)
+        .join(li, p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / dsum("volume")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS + NOT-EXISTS correlated pair, expressed as left-semi + left-anti
+    joins on the same derived relation.
+
+    The fixtures lack l_commitdate/l_receiptdate, so "late" is
+    l_shipdate > o_orderdate + 90 days — same plan topology as the real
+    Q21 (self-semi/anti on lineitem by orderkey with a suppkey
+    inequality), different lateness predicate.
+
+    Scale notes: `lo` is computed ONCE and reused for all three roles —
+    Spark dedups the scan via plan reuse. Both the semi and anti joins
+    shuffle on l_orderkey only (the suppkey inequality rides along as a
+    join residual, never a cartesian). At 100 TB this is 3 shuffles of
+    the filtered fact table, no broadcast risk."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "late"
+        ),
+    )
+    l1 = lo.where(F.col("late"))
+    l2 = lo.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lo.where(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# B10+ — exact and approximate quantile families
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5)  AS p50,
+           quantile_disc(l_extendedprice, 0.9)  AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99,
+           quantile_cont(l_extendedprice, 0.5)  AS p50_cont,
+           median(l_extendedprice)              AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10+: exact per-group quantiles — discrete (an actual data value,
+    bit-exact across engines by construction) and continuous (linear
+    interpolation; Spark's and DuckDB's formulas agree bit-for-bit on
+    this data, pinned by the parity sweep at sf0.01 AND sf0.1).
+
+    Scale note: exact percentile is a sort-based aggregate — per-group
+    state is the full value multiset, so memory is O(group size). Fine
+    for bounded groups (3 flags here); for billion-row groups reach for
+    `agg_approx_percentile` (GK sketch, bounded state, mergeable
+    map-side) and accept the documented error bound instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wg = "WITHIN GROUP (ORDER BY l_extendedprice)"
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile_disc(0.5) {wg}").alias("p50"),
+        F.expr(f"percentile_disc(0.9) {wg}").alias("p90"),
+        F.expr(f"percentile_disc(0.99) {wg}").alias("p99"),
+        F.expr(f"percentile_cont(0.5) {wg}").alias("p50_cont"),
+        F.median("l_extendedprice").alias("med"),
+    )
+
+
+@query("agg_approx_percentile")  # rows-only: GK-sketch internals differ by engine
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10+ scale path: approx_percentile (Greenwald-Khanna sketch,
+    accuracy 10000 → ≤0.01% rank error). Sketches merge associatively, so
+    the plan is a normal partial aggregate — bounded memory regardless of
+    group size, single shuffle. tests/test_percentiles.py pins the
+    rank-error contract against the exact quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_p50_p90_p99"
+        )
+    )
