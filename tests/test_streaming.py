@@ -147,3 +147,99 @@ def test_stateful_totals_converge_to_batch(spark, sf_smoke, events_stream_dir):
         assert f.n_events == b.n_events, uid
         assert f.total_value == _pytest.approx(b.total_value, rel=1e-9)
         assert f.last_ts.replace(tzinfo=None) == b.last_ts
+
+
+def test_interval_join_stream_equals_batch(spark, sf_smoke, events_stream_dir):
+    """B26+: the click→purchase interval join over TWO watermarked
+    streams (inner stream-stream join, emits on match) must equal the
+    batch join exactly."""
+    from vector_ai_npm_spark.streaming.joins import (
+        attribute_purchases,
+        split_clicks_purchases,
+    )
+
+    batch = attribute_purchases(
+        *split_clicks_purchases(load_table(spark, sf_smoke, "events"))
+    ).collect()
+
+    schema = spark.read.parquet(events_stream_dir).schema
+
+    def stream_side():
+        ev = spark.readStream.schema(schema).parquet(events_stream_dir)
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks, _ = split_clicks_purchases(stream_side())
+    _, purchases = split_clicks_purchases(stream_side())
+    joined = attribute_purchases(
+        clicks.withWatermark("click_ts", "1 hour"),
+        purchases.withWatermark("purchase_ts", "1 hour"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream = spark.table("t_ssjoin").collect()
+    finally:
+        q.stop()
+    assert _key_sorted(stream) == _key_sorted(batch)
+    assert len(batch) > 0
+
+
+def test_transform_with_state_converges_to_batch(spark, sf_smoke, events_stream_dir):
+    """transformWithStateInPandas (Spark 4 state API, RocksDB provider):
+    last emission per user must equal the batch totals — same contract as
+    the applyInPandasWithState face."""
+    import pytest as _pytest
+
+    # the TWS python client speaks protobuf to the JVM state server;
+    # skip (don't fake) where the wheel isn't installed
+    _pytest.importorskip("google.protobuf")
+
+    from vector_ai_npm_spark.streaming.stateful import (
+        user_totals_batch,
+        user_totals_tws,
+    )
+
+    batch = {
+        r.user_id: r
+        for r in user_totals_batch(load_table(spark, sf_smoke, "events")).collect()
+    }
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = (
+        user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("t_tws").collect()
+    finally:
+        q.stop()
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        f = final[uid]
+        assert f.n_events == b.n_events, uid
+        assert f.total_value == _pytest.approx(b.total_value, rel=1e-9)
+        assert f.last_ts.replace(tzinfo=None) == b.last_ts

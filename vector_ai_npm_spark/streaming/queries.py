@@ -152,3 +152,60 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@query(
+    "stream_join_interval",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS amount
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26+: stream-stream interval join (click→purchase attribution
+    within 4 h). Batch face of streaming.joins.attribute_purchases; the
+    double-watermarked readStream face runs in tests/test_streaming.py
+    (inner joins emit on match, so batch ≡ stream)."""
+    from vector_ai_npm_spark.streaming.joins import (
+        attribute_purchases,
+        split_clicks_purchases,
+    )
+
+    clicks, purchases = split_clicks_purchases(load_table(spark, sf_dir, "events"))
+    return attribute_purchases(clicks, purchases)
+
+
+@query(
+    "stream_foreach_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(38,8))
+                AS VARCHAR) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28+: a REAL end-to-end Structured Streaming run inside the
+    query — events tailed one file per trigger through a foreachBatch
+    incremental merge into a versioned parquet store — whose final store
+    content hash-matches the one-shot SQL aggregate. Exact-decimal state
+    (streaming.sinks) is what makes a 4-micro-batch accumulation
+    bit-identical to the single-pass oracle."""
+    import tempfile
+
+    from vector_ai_npm_spark.streaming.sinks import final_totals, run_upsert_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    base = tempfile.mkdtemp(prefix="upsert_store_")
+    input_dir, store_dir, ckpt = (f"{base}/in", f"{base}/store", f"{base}/ckpt")
+    ev.repartition(4).write.parquet(input_dir)
+    run_upsert_stream(spark, input_dir, store_dir, ckpt)
+    # final select matches the oracle's column set exactly
+    return final_totals(spark, store_dir).select("user_id", "total_value", "n_events")

@@ -87,6 +87,62 @@ def _update_user_state(
     )
 
 
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """transformWithState face of the same fold (Spark 4's successor API:
+    named state variables + timers + RocksDB-backed store instead of a
+    single GroupState tuple). Kept semantically identical to
+    :func:`_update_user_state` so both faces converge to the batch
+    answer in tests/test_streaming.py."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        n, total, last_us = (
+            self._state.get() if self._state.exists() else (0, 0.0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                batch_max = pdf["ts"].max()
+                last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1000))
+        self._state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Streaming face on the transformWithState API (requires the
+    RocksDB state-store provider — caller sets the conf — and the
+    google.protobuf wheel for the Python↔state-server protocol)."""
+    proc = UserTotalsProcessor()
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
 def user_totals_stateful(stream: DataFrame) -> DataFrame:
     """Streaming face: explicit keyed state, update mode, no timeout
     (the fixture stream is finite; production would set event-time
