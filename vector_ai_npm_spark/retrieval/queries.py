@@ -121,3 +121,27 @@ def similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_similarity_join(queries, emb, k=5, nlist=8, nprobe=4).select(
         "q_vec_id", "vec_id", "similarity", "rank"
     )
+
+
+@query("vector_store_ivf")  # rows-only: cell assignment is model-defined
+def vector_store_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 at-rest layout: build the cell-PARTITIONED on-disk store, then
+    answer a top-k search by reading only the probed cell directories
+    (partition pruning; plan pinned in tests/test_retrieval.py). The
+    query vector is embeddings[vec_id=7], so the self-match must
+    surface at rank 1 whenever cell 7 is probed (it always is — the
+    query's own cell is its nearest centroid)."""
+    import tempfile
+
+    from vector_ai_npm_spark.retrieval.store import (
+        persist_ivf_store,
+        search_ivf_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 7).select("embedding").first()[0])
+    store_dir = tempfile.mkdtemp(prefix="ivf_store_")
+    persist_ivf_store(emb, store_dir, nlist=8)
+    return search_ivf_store(spark, store_dir, qvec, k=5, nprobe=4).select(
+        "vec_id", "cell_id", "similarity", "rank"
+    )

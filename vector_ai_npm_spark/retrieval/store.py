@@ -1,0 +1,121 @@
+"""Persisted vector-store layouts (the at-rest half of B9's scale path).
+
+Reference context: the reference's store is a Postgres+pgvector table
+behind `ingestData`/`queryEmbeddings` (vector-client.ts:310-341, :362-
+421) — one machine, one index. At 100 TB the store must be an object-
+store layout whose QUERY cost scales with the slice you read, not the
+corpus. Two layouts, each optimizing a different access path:
+
+1. IVF-partitioned (``partitionBy(cell_id)``): vectors land in the
+   directory of their k-means cell. An nprobe search reads ONLY the
+   probed cell directories — Spark's partition pruning turns the
+   centroid decision into a file-listing decision, so scan cost is
+   ~nprobe/nlist of the corpus regardless of corpus size.
+   tests/test_retrieval.py pins PartitionFilters in the plan.
+
+2. Bucketed-by-id (``bucketBy(vec_id)``): point fetches / batch joins
+   by vector id (the "hydrate these 10k doc vectors" path) sort-merge
+   against another bucketed side with ZERO exchanges.
+
+Both builds are one extra shuffle at write time — paid once, amortized
+over every query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.functions.vectors import cosine_similarity
+from vector_ai_npm_spark.retrieval.ivf import build_ivf_index
+
+
+def persist_ivf_store(
+    store: DataFrame,
+    store_dir: str,
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    seed: int = 42,
+) -> None:
+    """Write the store as cell-partitioned parquet + a centroids side file."""
+    assigned, centroids = build_ivf_index(store, vec_col, nlist=nlist, seed=seed)
+    # one directory per cell; repartition by cell so each task writes one
+    # file into its own partition dir (avoids nlist small files per task)
+    (
+        assigned.repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{store_dir}/cells")
+    )
+    centroids.write.mode("overwrite").parquet(f"{store_dir}/centroids")
+
+
+def probe_cells_for(
+    spark: SparkSession, store_dir: str, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Rank the (tiny: nlist rows) centroid table against one query
+    vector. Driver-side by design: the output IS the partition filter,
+    and partition pruning needs a literal predicate at plan time."""
+    centroids = spark.read.parquet(f"{store_dir}/centroids")
+    q = F.lit(query_vec).cast("array<float>")
+    ranked = centroids.select(
+        "cell_id", cosine_similarity(F.col("centroid"), q).alias("sim")
+    ).orderBy(F.col("sim").desc(), "cell_id")
+    return [r.cell_id for r in ranked.take(nprobe)]
+
+
+def search_ivf_store(
+    spark: SparkSession,
+    store_dir: str,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine search reading ONLY the probed cell partitions.
+
+    The `.where(cell_id IN ...)` lands in the scan's PartitionFilters —
+    unprobed directories are never listed, so this is an O(corpus *
+    nprobe/nlist) scan at any corpus size."""
+    cells = probe_cells_for(spark, store_dir, query_vec, nprobe)
+    store = spark.read.parquet(f"{store_dir}/cells").where(
+        F.col("cell_id").isin(*cells)
+    )
+    q = F.lit(query_vec).cast("array<float>")
+    scored = store.select(
+        "vec_id",
+        "cell_id",
+        cosine_similarity(F.col("embedding"), q).alias("similarity"),
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("similarity").desc(), F.col("vec_id"))
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def persist_bucketed_store(
+    store: DataFrame, table_name: str, n_buckets: int = 8
+) -> None:
+    """Id-lookup layout: bucketed + sorted by vec_id (saveAsTable — bucket
+    metadata lives in the catalog, which is what lets the planner elide
+    the exchange on the read side)."""
+    (
+        store.write.mode("overwrite")
+        .bucketBy(n_buckets, "vec_id")
+        .sortBy("vec_id")
+        .saveAsTable(table_name)
+    )
+
+
+def fetch_by_ids_bucketed(
+    spark: SparkSession, table_name: str, ids: DataFrame
+) -> DataFrame:
+    """Hydrate vectors for an id set. If `ids` is also bucketed on the
+    same key/count, this join plans with zero Exchange nodes; otherwise
+    only the (small) id side shuffles."""
+    store = spark.table(table_name)
+    return store.join(ids, "vec_id")
