@@ -152,3 +152,34 @@ def test_partitioned_sink_enables_partition_pruning(spark, sf_smoke, tmp_path):
     # count only 1995 rows, matching a post-filter on the unpartitioned table
     expect = o.where(F.col("order_year") == 1995).count()
     assert rt.count() == expect
+
+
+def test_orc_scan_pushes_filters(spark, sf_smoke):
+    """The ORC reader must keep the parquet scan contract: the p_size
+    predicate reaches PushedFilters on the ORC relation."""
+    plan = _plan(spark, "scan_orc", sf_smoke)
+    orc_scan = plan.split("FileScan orc")[1].split("FileScan")[0]
+    assert "GreaterThanOrEqual(p_size,10)" in orc_scan, orc_scan
+
+
+def test_pivot_is_single_pass(spark, sf_smoke):
+    """Explicit pivot values: no extra distinct-values job — the plan is
+    one aggregate over one scan (no second FileScan of orders)."""
+    plan = _plan(spark, "pivot_orders", sf_smoke)
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_unpivot_is_expand_not_union(spark, sf_smoke):
+    """DataFrame.unpivot compiles to a single Expand over ONE scan, not
+    a 3-way union of scans."""
+    plan = _plan(spark, "unpivot_lineitem", sf_smoke)
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_grouping_sets_single_shuffle(spark, sf_smoke):
+    """GROUPING SETS = Expand + ONE hash aggregate pair (partial+final),
+    one shuffle — not one aggregation per set."""
+    plan = _plan(spark, "agg_grouping_sets", sf_smoke)
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

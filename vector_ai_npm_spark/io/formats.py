@@ -36,3 +36,13 @@ def json_roundtrip(df: DataFrame, schema: T.StructType) -> DataFrame:
     path = tempfile.mkdtemp(prefix="json_rt_") + "/data"
     df.write.mode("overwrite").json(path)
     return df.sparkSession.read.schema(schema).json(path)
+
+
+def orc_roundtrip(df: DataFrame) -> DataFrame:
+    """Write df as ORC, read back. Unlike the text formats, ORC is a
+    typed columnar format — no schema argument needed, and the reader
+    keeps predicate pushdown + column pruning (same scan contract as
+    parquet; the other columnar format a lake commonly holds)."""
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/data"
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.orc(path)

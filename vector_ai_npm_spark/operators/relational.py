@@ -1341,3 +1341,212 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_p50_p90_p99"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B13+ — analytic window breadth (ntile / percent_rank / cume_dist /
+# first / last / nth)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           FIRST_VALUE(o_orderkey) OVER wf AS cheapest_order,
+           LAST_VALUE(o_orderkey) OVER wf AS priciest_order,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS second_order
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC, o_orderkey ASC),
+           wf AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13+: distribution analytics per customer. percent_rank/cume_dist
+    are rank ratios (exact rationals in double — engine-stable);
+    first/last/nth use the full-partition frame so LAST_VALUE means the
+    partition max, not the running row. One shuffle on o_custkey serves
+    every function (same window spec → single Window node)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("cheapest_order"),
+        F.last("o_orderkey").over(wf).alias("priciest_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B12+ — explicit GROUPING SETS (the general lattice rollup/cube special-case)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           o_orderpriority,
+           CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 2
+                + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (EXTRACT(year FROM o_orderdate), o_orderpriority),
+      (EXTRACT(year FROM o_orderdate)),
+      (o_orderpriority)
+    )
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12+: an explicit grouping-sets lattice that neither rollup nor
+    cube expresses — (year,prio), (year), (prio) but NOT the grand
+    total. SQL-API face (GROUPING SETS has no DataFrame builder);
+    physically identical to rollup: one Expand node multiplying rows by
+    3, then a single hash aggregate + one shuffle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS o_year,
+               o_orderpriority,
+               CAST(grouping(year(o_orderdate)) * 2
+                    + grouping(o_orderpriority) AS BIGINT) AS lvl,
+               count(1) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                    AS DECIMAL(30,8)) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS (
+          (year(o_orderdate), o_orderpriority),
+          (year(o_orderdate)),
+          (o_orderpriority)
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# B12++ — pivot / unpivot (wide↔long reshaping)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pivot_orders",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_n,
+           CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH')   AS BIGINT) AS high_n,
+           CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW')    AS BIGINT) AS low_n,
+           {o_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent_total,
+           {o_dsum("CASE WHEN o_orderpriority = '2-HIGH'   THEN o_totalprice END")} AS high_total,
+           {o_dsum("CASE WHEN o_orderpriority = '5-LOW'    THEN o_totalprice END")} AS low_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12++: long→wide pivot on order priority with an EXPLICIT value
+    list. Explicit values matter at scale: without them Spark runs an
+    extra distinct-values job over the whole input just to learn the
+    output schema. With them, the pivot compiles to one pass of
+    conditional aggregates (exactly the oracle's FILTER form) — single
+    shuffle on the grouping key."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("decimal(30,8)")
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return piv.select(
+        "o_year",
+        F.col("`1-URGENT_n`").alias("urgent_n"),
+        F.col("`2-HIGH_n`").alias("high_n"),
+        F.col("`5-LOW_n`").alias("low_n"),
+        F.col("`1-URGENT_total`").alias("urgent_total"),
+        F.col("`2-HIGH_total`").alias("high_total"),
+        F.col("`5-LOW_total`").alias("low_total"),
+    )
+
+
+@query(
+    "unpivot_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_quantity IS NOT NULL
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_discount IS NOT NULL
+    """,
+)
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12++: wide→long melt of three measures via DataFrame.unpivot
+    (Expand node: 3 output rows per input row in one pass — NOT three
+    scans unioned; the oracle's UNION ALL is just the portable spelling,
+    including unpivot's drop-NULL-values semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "price")
+        .otherwise("discount"),
+    )
+
+
+@query(
+    "scan_orc",
+    oracle=f"""
+    SELECT p_brand, p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {o_dsum('p_retailprice')} AS total_price,
+           CAST(MAX(p_size) AS INTEGER) AS max_size
+    FROM part
+    WHERE p_size >= 10
+    GROUP BY p_brand, p_type
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1-orc: part → ORC → read back → filtered agg, hash-matched
+    against the original parquet table (typed columnar round-trip is
+    exact by construction; the point is the source plumbing). The
+    p_size filter pushes into the ORC scan just like parquet —
+    tests/test_plans.py pins PushedFilters on the ORC relation."""
+    from vector_ai_npm_spark.io.formats import orc_roundtrip
+
+    p = load_table(spark, sf_dir, "part")
+    rt = orc_roundtrip(p)
+    return (
+        rt.where(F.col("p_size") >= 10)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "total_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
