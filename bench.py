@@ -41,6 +41,13 @@ BENCH_QUERIES = (
     "ingest_pipeline",        # A13 end-to-end (subsplit + embed UDFs)
     "stream_session",         # B26 session windows
     "stream_tumbling",        # B25 tumbling windows
+    "tpch_q7",                # 6-way join, nation-pair disjunction
+    "tpch_q8",                # 8-way join, conditional-sum ratio
+    "tpch_q21",               # semi+anti correlated pair
+    "agg_percentile_dist",    # distributed exact quantiles (vs 3-task sort agg)
+    "window_analytics",       # ntile/percent_rank/cume_dist + frames
+    "pivot_orders",           # single-pass conditional-agg pivot
+    "stream_join_interval",   # stream-stream interval join (batch face)
 )
 
 
