@@ -56,3 +56,17 @@ def test_disc_quantiles_are_data_values(spark, sf_oracle):
     for r in rows:
         for col in ("p50", "p90", "p99"):
             assert r[col] in values, f"{col}={r[col]} not a data value"
+
+
+def test_seeded_sample_is_deterministic(spark, sf_oracle):
+    """sample(seed=42) must return the identical row set across runs on
+    the same partitioning, with size within ±30% of the fraction."""
+    from vector_ai_npm_spark import registry
+
+    a = {tuple(r) for r in registry.run("sample_ops", spark, sf_oracle).collect()}
+    b = {tuple(r) for r in registry.run("sample_ops", spark, sf_oracle).collect()}
+    assert a == b, "same seed, same partitioning → same sample"
+    from vector_ai_npm_spark.io.sources import load_table
+
+    n = load_table(spark, sf_oracle, "lineitem").count()
+    assert 0.07 * n <= len(a) <= 0.13 * n, (len(a), n)

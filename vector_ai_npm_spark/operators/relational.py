@@ -1601,3 +1601,176 @@ def agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("l_returnflag").agg(
         q(5000, "p50"), q(9000, "p90"), q(9900, "p99")
     )
+
+
+# --------------------------------------------------------------------------
+# B10++ — collection aggregates, map functions, TPC-H Q13/Q18 shapes,
+# sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10++: collection aggregates. collect_list is order-NONdeterministic
+    under parallelism, so both engines sort: sort_array(collect_list)
+    ⇔ list(... ORDER BY ...). Scale note: per-group state is the whole
+    list — same group-size caveat as exact percentiles; bound group
+    cardinality or cap with slice when lists can explode."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    WITH per_flag AS (
+      SELECT l_orderkey, l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey, l_returnflag
+    )
+    SELECT l_orderkey, l_returnflag AS flag_key, cnt AS flag_count,
+           cnt * 2 AS doubled
+    FROM per_flag
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20+ (maps): build a MAP column (map_from_entries of per-key
+    counts), transform its values (transform_values), then explode back
+    to rows. The map NEVER reaches the output schema — cross-engine map
+    hashing is representation-dependent, so the contract is checked on
+    the exploded entries (which also proves keys/values round-trip).
+    Plan: one shuffle for the pair-count, map ops are per-row JVM
+    expressions, explode is a Generate node."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = pairs.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_returnflag", "cnt")))
+        ).alias("flag_counts")
+    )
+    doubled = mapped.withColumn(
+        "doubled_map",
+        F.transform_values("flag_counts", lambda _, v: v * 2),
+    )
+    return doubled.select(
+        "l_orderkey",
+        F.explode("flag_counts").alias("flag_key", "flag_count"),
+        "doubled_map",
+    ).select(
+        "l_orderkey",
+        "flag_key",
+        "flag_count",
+        F.col("doubled_map")[F.col("flag_key")].alias("doubled"),
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a predicate ON THE JOIN (not a post-filter — customers
+    with only urgent orders must still appear with count 0), count of a
+    NULLABLE column (nulls don't count), then a second tiny aggregation.
+
+    Scale: one shuffle for the join (customer⋈orders on custkey), one
+    for each agg; the second agg's key space is ~max orders per
+    customer (tiny). No broadcast — both sides are fact-sized at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+           {o_dsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > 150
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): IN-subquery-with-HAVING
+    expressed as an aggregate → left-semi join. The decimal threshold
+    comparison is exact on both engines (no float boundary flap).
+
+    Scale: the HAVING aggregate and the main join both shuffle lineitem
+    on l_orderkey — AQE reuses the exchange where possible; the semi
+    join output (few keys) broadcasts back onto orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("q"))
+        .where(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.big_orderkey, "left_semi")
+        .join(c, c.c_custkey == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
+
+
+@query("sample_ops")  # rows-only: sampling RNG is engine-specific
+def sample_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3+: seeded Bernoulli sample — deterministic for a fixed seed and
+    partitioning WITHIN Spark (tests pin same-seed stability and the
+    fraction tolerance), but the RNG stream is engine-specific so no
+    cross-engine oracle exists. At scale: sampling happens at the scan
+    (per-row filter, no shuffle); for partition-level sampling use
+    TABLESAMPLE (x PERCENT) which prunes whole splits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
