@@ -1,0 +1,94 @@
+"""Connected components over near-duplicate pairs (B18 closing step).
+
+A candidate-pair list is not yet a deduplication: clusters form by
+TRANSITIVITY (A~B, B~C ⇒ {A,B,C} share one canonical doc even if A,C
+never paired). This module turns any pair relation into a per-doc
+component id — the step that makes minhash/simhash/embedding pairs an
+actionable "keep one per cluster" decision.
+
+Reference context: the reference dedups only by exact content match at
+query time (vector-client.ts:436-444 groups retrieved chunks by their
+shared parent context string); corpus-level near-dup clustering has no
+reference equivalent — it is north-star scope.
+
+Algorithm: iterative min-label propagation. Every vertex starts
+labeled with itself; each round every vertex takes the min of its own
+and its neighbors' labels; fixpoint = every vertex carries the min
+doc_id of its component.
+
+Scale notes: each round is one shuffle (join on vertex) + one
+aggregate; rounds needed = graph diameter, which for near-dup clusters
+is tiny (dups of one doc form near-cliques, diameter ≲ 3; the
+alternating small-star/large-star trick that guarantees O(log n) on
+adversarial chains is documented but not needed for this workload).
+Lineage is cut every round with localCheckpoint — without it the plan
+doubles per iteration and planning time explodes by round ~8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(src, dst) pairs → (doc_id, component_id) for every vertex that
+    appears in any pair; component_id = min doc_id of the component."""
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.d == labels.v)
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.s, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage; also materializes for the
+            # convergence count below without recompute
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def assign_components(
+    docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Every doc gets a component id (its own id when unpaired) plus the
+    is_canonical flag a keep-one-per-cluster filter consumes."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(doc_id)
+        .join(comp, on=doc_id, how="left")
+        .select(
+            doc_id,
+            F.coalesce("component_id", F.col(doc_id)).alias("component_id"),
+        )
+        .withColumn("is_canonical", F.col(doc_id) == F.col("component_id"))
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.functions.vectors import cosine_similarity, o_cosine
 from vector_ai_npm_spark.io.sources import load_table, scale_partitions
+from vector_ai_npm_spark import registry
 from vector_ai_npm_spark.registry import query
 
 N_MINHASH = 8
@@ -427,3 +428,39 @@ _NGRAM_ORACLE = f"""
 dedup_near = query("dedup_near", oracle=_NGRAM_ORACLE)(
     lambda spark, sf_dir: dedup_ngram_jaccard(spark, sf_dir)
 )
+
+
+def _components_oracle() -> str:
+    """Recursive-CTE transitive closure over the SAME banded-LSH pair SQL
+    the dedup_minhash_pairs oracle uses (reused verbatim so the two
+    stay in lockstep), min-reduced to the component id."""
+    pairs_sql = registry.all_oracles()["dedup_minhash_pairs"]
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+              UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(v, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v
+    ),
+    comp AS (SELECT v, MIN(r) AS component_id FROM reach GROUP BY v)
+    SELECT d.doc_id,
+           COALESCE(c.component_id, d.doc_id) AS component_id,
+           d.doc_id = COALESCE(c.component_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """
+
+
+@query("dedup_components", oracle=_components_oracle())
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 closing step: candidate pairs → transitive components →
+    keep-one-per-cluster flags, over the banded-LSH pairs. Spark side is
+    iterative min-label propagation (dedup.components — one shuffle per
+    round, rounds = cluster diameter ≲ 3 for near-dup cliques); the
+    oracle computes the same fixpoint as a recursive-CTE closure."""
+    from vector_ai_npm_spark.dedup.components import assign_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    return assign_components(docs, pairs)

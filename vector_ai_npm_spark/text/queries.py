@@ -8,7 +8,7 @@ pipeline runs as map-only stages before filtering/sampling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.io.sources import load_table
@@ -244,4 +244,66 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("term_rank", F.row_number().over(w).cast("long"))
         .where(F.col("term_rank") <= 5)
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok2 GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n  AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+: the document-term matrix with term/document frequencies —
+    TF-IDF minus the one transcendental. The hash-checked contract stays
+    in INTEGERS on purpose: ln() is not correctly rounded and differs
+    between JVM and C++ by 1 ulp (measured: ln(3)), so the scored face
+    lives in `text_tfidf_scored` (rows-only + invariant tests).
+
+    Plan: tokenize+explode (Generate), one shuffle for tf (doc,term),
+    one tiny agg for df (vocab-sized) that BROADCASTS back onto tf, and
+    the corpus count joins as a broadcast literal. At 100 TB: tf is the
+    only big shuffle; df/n are bounded by vocabulary, not corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id", "term", "tf", "df", "n_docs"
+    )
+
+
+@query("text_tfidf_scored")  # rows-only: ln() is engine-divergent (1 ulp)
+def text_tfidf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+ scored face: smoothed idf = ln((1+N)/(1+df)) + 1, score =
+    tf·idf, top-5 terms per doc (deterministic tiebreak on term).
+    tests/test_tfidf.py re-derives the scores in Python and checks the
+    per-doc ranking exactly."""
+    base = text_tfidf(spark, sf_dir)
+    scored = base.withColumn(
+        "idf",
+        F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + F.lit(1.0),
+    ).withColumn("score", F.col("tf") * F.col("idf"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "term_rank")
     )
