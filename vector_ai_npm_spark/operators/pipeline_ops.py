@@ -1,0 +1,179 @@
+"""Pipeline-shaped operators: sessionization and CDC/SCD2 merge.
+
+Reference context: the reference has no notion of sessions or change
+capture (its store is insert-only, vector-client.ts:310-341); both are
+table-stakes operators for the event/training-data pipelines this
+engine targets, so they live in the north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+SESSION_GAP = "30 minutes"
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, event_id, ts,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM x
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26-batch: per-EVENT session assignment (gaps-and-islands) — the
+    row-level complement of stream_session's per-window aggregates: a
+    session starts at the first event or after a >30 min silence, and
+    every event carries its (user_id, session_seq) key.
+
+    Plan: ONE shuffle on user_id serves both windows (lag + running
+    sum share the partition/order). Deterministic tiebreak on event_id
+    keeps equal timestamps stable across engines. At 100 TB: windows
+    within user_id never cross partitions, so this scales with the
+    user-key spread; a single whale user is the only skew risk (then:
+    pre-split by day and stitch boundaries)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    is_start = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr(f"INTERVAL {SESSION_GAP}")),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_start).over(wrun).cast("long").alias("session_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC → SCD2 merge
+# --------------------------------------------------------------------------
+
+_BASE_TS = "TIMESTAMP '2020-01-01 00:00:00'"
+_CHANGE_TS = "TIMESTAMP '2024-06-01 00:00:00'"
+
+
+def _synth_changes(customer: DataFrame) -> DataFrame:
+    """Deterministic change batch derived from the fixture: every 10th
+    key is an update (+100 balance), every 17th a delete, and one new
+    key per 50th existing (offset by 1,000,000) an insert."""
+    upd = (
+        customer.where((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 17 != 0))
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("U").alias("op"),
+        )
+    )
+    dele = customer.where(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey", F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"), F.lit("D").alias("op"),
+    )
+    ins = customer.where(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+@query(
+    "cdc_scd2_merge",
+    oracle=f"""
+    WITH changes AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment, 'U' AS op
+      FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+      UNION ALL
+      SELECT c_custkey, NULL, NULL, 'D' FROM customer WHERE c_custkey % 17 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 0.0, 'NEW', 'I'
+      FROM customer WHERE c_custkey % 50 = 0
+    ),
+    -- untouched rows stay open
+    kept AS (
+      SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+             {_BASE_TS} AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM changes ch
+                        WHERE ch.c_custkey = c.c_custkey)
+    ),
+    -- updated/deleted rows close at the change timestamp
+    closed AS (
+      SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+             {_BASE_TS} AS valid_from,
+             {_CHANGE_TS} AS valid_to, FALSE AS is_current
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM changes ch
+                    WHERE ch.c_custkey = c.c_custkey)
+    ),
+    -- updates and inserts open a new version
+    opened AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             {_CHANGE_TS} AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM changes WHERE op IN ('U', 'I')
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM opened
+    """,
+)
+def cdc_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star CDC: apply an upsert/delete change batch to a
+    dimension as SLOWLY CHANGING DIMENSION TYPE 2 — history preserved
+    by closing the old version (valid_to = change ts) and opening a new
+    one, deletes close without reopening, untouched rows pass through.
+
+    Plan: ONE shuffle-join of base against changes (semi for kept via
+    anti, the rest by join type) — expressed as a single outer join +
+    conditional projection would also work; semi/anti keeps each leg's
+    semantics auditable. At scale this is the merge-on-read pattern:
+    the base is immutable parquet, each change batch writes a new
+    version (see streaming.sinks for the versioned-publish layout);
+    table formats (Delta/Iceberg/Hudi) productionize exactly this plan
+    behind MERGE INTO."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    changes = _synth_changes(c)
+    base_ts = F.expr(_BASE_TS)
+    change_ts = F.expr(_CHANGE_TS)
+    null_ts = F.lit(None).cast("timestamp")
+    keys = changes.select("c_custkey")
+    kept = c.join(keys, "c_custkey", "left_anti").select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        base_ts.alias("valid_from"), null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = c.join(keys, "c_custkey", "left_semi").select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        base_ts.alias("valid_from"), change_ts.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changes.where(F.col("op").isin("U", "I")).select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        change_ts.alias("valid_from"), null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return kept.unionByName(closed).unionByName(opened)
