@@ -183,3 +183,10 @@ def test_grouping_sets_single_shuffle(spark, sf_smoke):
     plan = _plan(spark, "agg_grouping_sets", sf_smoke)
     assert "Expand" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tfidf_tokenizes_once(spark, sf_smoke):
+    """df derived via window (not a re-aggregated branch): the corpus
+    must be tokenized exactly once — one Generate in the whole plan."""
+    plan = _plan(spark, "text_tfidf", sf_smoke)
+    assert plan.count("Generate") == 1, plan

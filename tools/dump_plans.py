@@ -29,6 +29,14 @@ PLAN_QUERIES = (
     ("join_bucketed", "pre-bucketed scan SMJ (run with broadcast off)"),
     ("stream_session", "session_window aggregation"),
     ("ingest_pipeline", "chunk → subsplit UDF → embed UDF, one doc shuffle"),
+    ("tpch_q7", "6-way join, nation pair via constraint propagation"),
+    ("tpch_q21", "semi+anti correlated pair on shared derived relation"),
+    ("agg_percentile_dist", "distributed exact quantiles via cum counts"),
+    ("pivot_orders", "single-pass conditional-agg pivot"),
+    ("sessionize", "two windows, one shuffle (gaps-and-islands)"),
+    ("cdc_scd2_merge", "anti/semi/union SCD2 merge"),
+    ("stream_join_interval", "interval join batch face"),
+    ("text_tfidf", "tf shuffle + broadcast df/n"),
 )
 
 

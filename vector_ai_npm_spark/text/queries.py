@@ -271,20 +271,26 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     between JVM and C++ by 1 ulp (measured: ln(3)), so the scored face
     lives in `text_tfidf_scored` (rows-only + invariant tests).
 
-    Plan: tokenize+explode (Generate), one shuffle for tf (doc,term),
-    one tiny agg for df (vocab-sized) that BROADCASTS back onto tf, and
-    the corpus count joins as a broadcast literal. At 100 TB: tf is the
-    only big shuffle; df/n are bounded by vocabulary, not corpus."""
+    Plan: tokenize+explode (Generate) ONCE, one shuffle for tf
+    (doc,term), then df as a count over a term-partitioned WINDOW on tf
+    — deriving df by re-aggregating tf would duplicate the whole
+    tokenize subtree in the plan (Spark reuses exchanges, not derived
+    aggregates), i.e. tokenize 100 TB twice. The corpus count joins as
+    a broadcast literal from a Generate-free count-only scan."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
     ).where(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # tf is distinct per (doc, term), so a row count per term IS the
+    # document frequency — one shuffle on term, zero re-scans
+    df = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    return tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
-        "doc_id", "term", "tf", "df", "n_docs"
+    return (
+        tf.withColumn("df", df)
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", "n_docs")
     )
 
 
