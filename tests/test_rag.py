@@ -119,3 +119,55 @@ def test_retry_with_backoff_semantics():
     with pytest.raises(RuntimeError):
         retry_with_backoff(lambda: (_ for _ in ()).throw(RuntimeError("x")),
                            max_retries=2, initial_delay_ms=1)
+
+
+def test_engine_pipeline_family_facade(spark, sf_smoke):
+    """The training-pipeline facade methods (dedup_clusters / tfidf /
+    sessionize) must agree with their registry-query counterparts."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark import registry
+    from vector_ai_npm_spark.io.sources import load_table
+
+    eng = VectorEngine(spark)
+    docs = load_table(spark, sf_smoke, "documents")
+
+    # dedup_clusters over the minhash pairs == dedup_components query
+    pairs = registry.run("dedup_minhash_pairs", spark, sf_smoke)
+    got = {
+        (r.doc_id, r.component_id, r.is_canonical)
+        for r in eng.dedup_clusters(docs, pairs).collect()
+    }
+    want = {
+        (r.doc_id, r.component_id, r.is_canonical)
+        for r in registry.run("dedup_components", spark, sf_smoke).collect()
+    }
+    assert got == want
+
+    # tfidf top-5 == text_tfidf_scored (same scoring + tiebreak)
+    got_t = {
+        (r.doc_id, r.term, r.term_rank)
+        for r in eng.tfidf(docs, top_k=5).collect()
+    }
+    want_t = {
+        (r.doc_id, r.term, r.term_rank)
+        for r in registry.run("text_tfidf_scored", spark, sf_smoke).collect()
+    }
+    assert got_t == want_t
+
+    # sessionize session counts == registry sessionize
+    ev = load_table(spark, sf_smoke, "events")
+    got_s = (
+        eng.sessionize(ev)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("m"))
+        .collect()
+    )
+    want_s = {
+        (r.user_id, r.m)
+        for r in registry.run("sessionize", spark, sf_smoke)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("m"))
+        .collect()
+    }
+    assert {(r.user_id, r.m) for r in got_s} == want_s

@@ -98,6 +98,66 @@ class VectorEngine:
 
         return similarity_search_topk(store, query_vec, threshold, k)
 
+    def dedup_clusters(self, docs: DataFrame, pairs: DataFrame,
+                       doc_id: str = "doc_id") -> DataFrame:
+        """Close a near-dup candidate-pair relation (from any of the
+        dedup_* generators) into transitive clusters: every doc gets a
+        component_id and an is_canonical keep-flag."""
+        from vector_ai_npm_spark.dedup.components import assign_components
+
+        return assign_components(docs, pairs, doc_id=doc_id)
+
+    def tfidf(self, docs: DataFrame, doc_id: str = "doc_id",
+              text_col: str = "text", top_k: int | None = None) -> DataFrame:
+        """Document-term TF-IDF scores (smoothed idf); top_k keeps the
+        k best terms per doc (deterministic term tiebreak)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        tok = docs.select(
+            F.col(doc_id).alias("doc_id"),
+            F.explode(F.split(F.lower(text_col), "[^a-z]+")).alias("term"),
+        ).where(F.col("term") != "")
+        tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        df = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+        n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        scored = (
+            tf.withColumn("df", df)
+            .crossJoin(F.broadcast(n))
+            .withColumn(
+                "score",
+                F.col("tf")
+                * (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + F.lit(1.0)),
+            )
+        )
+        if top_k is None:
+            return scored
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+        return (
+            scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+            .where(F.col("term_rank") <= top_k)
+        )
+
+    def sessionize(self, events: DataFrame, user_col: str = "user_id",
+                   ts_col: str = "ts", gap: str = "30 minutes") -> DataFrame:
+        """Gaps-and-islands session keys: a new session starts after a
+        silence longer than `gap` (one shuffle on the user key)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+        is_start = F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (F.col(ts_col) > F.lag(ts_col).over(w) + F.expr(f"INTERVAL {gap}")),
+            1,
+        ).otherwise(0)
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return events.withColumn(
+            "session_seq", F.sum(is_start).over(wrun).cast("long")
+        )
+
     # --- reference-parity surface (VectorClient method names) -----------
 
     def _store_path(self, db_table: str) -> str:
