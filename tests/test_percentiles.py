@@ -70,3 +70,21 @@ def test_seeded_sample_is_deterministic(spark, sf_oracle):
 
     n = load_table(spark, sf_oracle, "lineitem").count()
     assert 0.07 * n <= len(a) <= 0.13 * n, (len(a), n)
+
+
+def test_corrupt_csv_routes_bad_rows(spark, sf_oracle):
+    """PERMISSIVE CSV read: good rows parse clean, planted bad rows land
+    with a populated _corrupt_record instead of failing the job."""
+    from vector_ai_npm_spark import registry
+    from vector_ai_npm_spark.io.sources import load_table
+
+    out = registry.run("scan_csv_corrupt", spark, sf_oracle).cache()
+    n_good_src = load_table(spark, sf_oracle, "customer").count()
+    bad = out.where(out._corrupt_record.isNotNull())
+    good = out.where(out._corrupt_record.isNull())
+    # the truncated row parses its present columns and nulls the rest
+    # (still flagged via _corrupt_record); the type-mismatch row too
+    assert bad.count() >= 1, "planted corrupt rows not captured"
+    assert good.count() >= n_good_src, (good.count(), n_good_src)
+    assert out.count() == n_good_src + 2
+    out.unpersist()

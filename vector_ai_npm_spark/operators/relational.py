@@ -2028,3 +2028,97 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B4+ — full outer join; B1+ — corrupt-record tolerant CSV ingest
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_full_outer",
+    oracle=f"""
+    WITH hi_cust AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7500
+    ),
+    big_orders AS (
+      SELECT o_custkey, {o_dsum('o_totalprice')} AS spend,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(h.c_custkey, b.o_custkey) AS custkey,
+           h.c_acctbal, b.spend, b.n_orders,
+           (h.c_custkey IS NULL) AS only_orders,
+           (b.o_custkey IS NULL) AS only_balance
+    FROM hi_cust h FULL OUTER JOIN big_orders b
+      ON h.c_custkey = b.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4+: FULL OUTER join of two partially-overlapping cohorts —
+    null-extension on BOTH sides, the one join type where neither side
+    can be pruned or broadcast (a broadcast full-outer cannot produce
+    the build side's unmatched rows; Spark correctly refuses, so the
+    plan is a sort-merge with both sides shuffled — at any scale)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 7500
+    ).select("c_custkey", "c_acctbal")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "spend"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "spend",
+        "n_orders",
+        F.col("c_custkey").isNull().alias("only_orders"),
+        F.col("o_custkey").isNull().alias("only_balance"),
+    )
+
+
+@query("scan_csv_corrupt")  # rows-only: corrupt-record capture is reader-specific
+def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+: tolerant ingest — a CSV drop with malformed rows read in
+    PERMISSIVE mode with a _corrupt_record capture column: bad rows
+    become DATA (quarantine-able), not job failures. The 100 TB rule
+    this encodes: a million-file ingest must never die on row 3 of file
+    812,007; tests/test_percentiles.py pins good/bad row routing."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    c = load_table(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="csv_corrupt_") + "/data"
+    good = c.select(
+        F.concat_ws(
+            ",",
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.col("c_acctbal").cast("string"),
+        ).alias("line")
+    )
+    # plant malformed rows: truncated fields and a non-numeric key
+    bad = spark.createDataFrame(
+        [("9999990,BROKEN",), ("notanint,Bad Row,xx,zz",)], ["line"]
+    )
+    good.unionByName(bad).coalesce(4).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
