@@ -2122,3 +2122,38 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
+
+
+@query(
+    "pandas_api_bridge",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def pandas_api_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-interop: the pandas-on-Spark API (`pyspark.pandas`) running the
+    same distributed plan — a pandas-shaped groupby/agg lowers to the
+    identical Exchange+HashAggregate a DataFrame groupBy produces, so
+    pandas-skilled users get cluster scale without the pandas
+    single-node ceiling. Integer aggregates only (ps float sums don't
+    go through our exact-decimal path). `.to_spark()` returns to the
+    engine's native currency."""
+    import pyspark.pandas as ps
+
+    psdf = ps.DataFrame(
+        load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    )
+    agg = psdf.groupby("c_mktsegment").agg({"c_custkey": ["count", "min", "max"]})
+    agg.columns = ["n", "min_key", "max_key"]
+    out = agg.reset_index().to_spark()
+    return out.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.col("min_key").cast("long").alias("min_key"),
+        F.col("max_key").cast("long").alias("max_key"),
+    )
