@@ -434,7 +434,10 @@ def _components_oracle() -> str:
     """Recursive-CTE transitive closure over the SAME banded-LSH pair SQL
     the dedup_minhash_pairs oracle uses (reused verbatim so the two
     stay in lockstep), min-reduced to the component id."""
-    pairs_sql = registry.all_oracles()["dedup_minhash_pairs"]
+    # read the raw dict, NOT all_oracles(): the latter triggers the
+    # load-everything cascade mid-import of THIS module, which imports
+    # text.queries before dedup_components is registered (circular)
+    pairs_sql = registry._ORACLES["dedup_minhash_pairs"]
     return f"""
     WITH RECURSIVE pairs AS ({pairs_sql}),
     edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs

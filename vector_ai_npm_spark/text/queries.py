@@ -313,3 +313,59 @@ def text_tfidf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term_rank") <= 5)
         .select("doc_id", "term", "tf", "df", "score", "term_rank")
     )
+
+
+def _curate_oracle() -> str:
+    """Compose the curation pipeline from the SAME oracle SQL its stages
+    are individually checked against (lockstep by construction)."""
+    import vector_ai_npm_spark.dedup.queries  # noqa: F401 — registers dedup_components
+
+    from vector_ai_npm_spark.registry import _ORACLES
+
+    return f"""
+    WITH q AS ({_ORACLES['text_quality']}),
+    lid AS ({_ORACLES['text_langid']}),
+    comp AS ({_ORACLES['dedup_components']})
+    SELECT q.doc_id, comp.component_id, q.n_chars, q.n_tokens,
+           lid.labeled_lang AS lang
+    FROM q
+    JOIN lid  ON q.doc_id = lid.doc_id
+    JOIN comp ON q.doc_id = comp.doc_id
+    WHERE q.n_tokens >= 40 AND lid.labeled_lang = 'en' AND comp.is_canonical
+    """
+
+
+@query("corpus_curate", oracle=_curate_oracle())
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star FLAGSHIP COMPOSITE: the training-corpus curation
+    pipeline in one plan — quality stats (≥40 tokens) ∧ language filter
+    (en) ∧ near-dup clustering keep-one-per-cluster (banded LSH →
+    transitive components → canonical docs only).
+
+    Each stage is individually oracle-checked (`text_quality`,
+    `text_langid`, `dedup_components`); this query checks their
+    COMPOSITION end-to-end — the same CTE-reuse in both engines, so the
+    curated output hash-matches by construction rather than by luck.
+    Plan: per-row quality/langid fuse into one scan pass; the dedup
+    branch is the iterative component labeling; the final joins are
+    doc_id-keyed. At 100 TB the quality+lang filters run FIRST in
+    wall-clock and drop most of the corpus before the (more expensive)
+    dedup branch output joins in."""
+    from vector_ai_npm_spark import registry as _reg
+
+    q = _reg.run("text_quality", spark, sf_dir).where(F.col("n_tokens") >= 40)
+    lid = (
+        _reg.run("text_langid", spark, sf_dir)
+        .where(F.col("labeled_lang") == "en")
+        .select("doc_id", F.col("labeled_lang").alias("lang"))
+    )
+    comp = (
+        _reg.run("dedup_components", spark, sf_dir)
+        .where(F.col("is_canonical"))
+        .select("doc_id", "component_id")
+    )
+    return (
+        q.join(lid, "doc_id")
+        .join(comp, "doc_id")
+        .select("doc_id", "component_id", "n_chars", "n_tokens", "lang")
+    )
