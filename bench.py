@@ -48,6 +48,7 @@ BENCH_QUERIES = (
     "window_analytics",       # ntile/percent_rank/cume_dist + frames
     "pivot_orders",           # single-pass conditional-agg pivot
     "stream_join_interval",   # stream-stream interval join (batch face)
+    "corpus_curate",          # flagship composite: quality ∧ lang ∧ dedup-canonical
 )
 
 
