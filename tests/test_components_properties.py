@@ -62,3 +62,19 @@ def test_components_match_union_find(spark, seed, shape):
         for r in connected_components(pairs, max_iter=40).collect()
     }
     assert got == expect, (shape, seed)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """Pointer jumping: a 128-link chain must converge within ~log2(n)
+    rounds (12 here), where plain neighbor-min propagation would need
+    128 — this pins the O(log n) guarantee, not just correctness."""
+    from vector_ai_npm_spark.dedup.components import connected_components
+
+    n = 128
+    edges = [(i, i + 1) for i in range(n)]
+    pairs = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(pairs, max_iter=12).collect()
+    }
+    assert got == {v: 0 for v in range(n + 1)}
