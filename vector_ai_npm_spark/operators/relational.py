@@ -2157,3 +2157,43 @@ def pandas_api_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_key").cast("long").alias("min_key"),
         F.col("max_key").cast("long").alias("max_key"),
     )
+
+
+@query(
+    "window_range_trailing",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w
+                AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS trailing_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14+: 30-day TRAILING window per customer — a RANGE frame over
+    event time (every order sees the orders of its preceding 30 days,
+    however many rows that is), vs B14's ROWS frame which counts rows.
+    Time ordering is epoch SECONDS on both engines so the frame bound
+    is integer arithmetic; RANGE includes timestamp peers, making ties
+    deterministic without a tiebreak column. One shuffle on o_custkey;
+    the frame is a sliding accumulator, O(1) amortized per row."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .over(w)
+        .cast("decimal(38,8)")
+        .cast("double")
+        .alias("trailing_spend"),
+    )
