@@ -243,3 +243,46 @@ def test_transform_with_state_converges_to_batch(spark, sf_smoke, events_stream_
         assert f.n_events == b.n_events, uid
         assert f.total_value == _pytest.approx(b.total_value, rel=1e-9)
         assert f.last_ts.replace(tzinfo=None) == b.last_ts
+
+
+def test_upsert_sink_resumes_exactly_once(spark, sf_smoke):
+    """Checkpointed restart: run the upsert stream, append NEW input
+    files, run again with the SAME checkpoint — the second run must
+    process only the new files (no double-counting), so the final store
+    equals the one-shot aggregate over everything."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.streaming.sinks import final_totals, run_upsert_stream
+
+    base = tempfile.mkdtemp(prefix="upsert_resume_")
+    input_dir, store_dir, ckpt = f"{base}/in", f"{base}/store", f"{base}/ckpt"
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "value")
+    first = ev.where(F.col("user_id") % 2 == 0)
+    second = ev.where(F.col("user_id") % 2 == 1)
+
+    first.repartition(2).write.parquet(input_dir)
+    run_upsert_stream(spark, input_dir, store_dir, ckpt)
+    # append the second half as new files, same directory + checkpoint
+    second.repartition(2).write.mode("append").parquet(input_dir)
+    run_upsert_stream(spark, input_dir, store_dir, ckpt)
+
+    got = {
+        r.user_id: (r.total_value, r.n_events)
+        for r in final_totals(spark, store_dir).collect()
+    }
+    want = {
+        r.user_id: (r.total_value, r.n_events)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,8)"))
+            .cast("decimal(30,8)")
+            .cast("double")
+            .alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
