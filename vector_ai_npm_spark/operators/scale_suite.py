@@ -1,0 +1,174 @@
+"""Scale-first operators: mergeable sketches + clustered data layout.
+
+These are the pieces that only start to matter past ~1 TB, where exact
+global state stops fitting and scan pruning dominates cost:
+
+* **Mergeable sketches** (Apache DataSketches, built into Spark ≥3.5):
+  HLL / theta for distinct counts, KLL for quantiles. Unlike plain
+  ``approx_count_distinct`` (whose HLL++ state is query-internal), these
+  expose the sketch as a *column* — partials can be persisted per
+  partition/day, unioned later, and still produce the same estimate as a
+  full-data pass. That is the only architecture that lets a 100 TB
+  pipeline maintain rolling distinct-user / latency-percentile metrics
+  without rescanning history: the daily job sketches one day, the
+  reporting query merges 365 sketch rows.
+
+* **Range-clustered layout**: write-side ``repartitionByRange`` +
+  ``sortWithinPartitions`` so every parquet file owns a tight, disjoint
+  key range. Readers with a range predicate then skip whole files /
+  row-groups via footer min-max stats — the poor man's Z-order, and the
+  single highest-leverage knob for time-series scans at scale.
+
+Reference context: the reference (AnonJon/vector-ai-npm) keeps all its
+state in Postgres (vector-client.ts:293-313) where exact DISTINCT / sort
+is cheap at its scale; these operators are the Spark-native replacements
+once the store is parquet measured in terabytes.
+
+Estimate-bearing queries are rows-only for the driver's oracle gate
+(DuckDB's HLL internals differ, so estimates can't hash-match); their
+accuracy and merge-consistency contracts are pinned in
+tests/test_scale_suite.py instead. The layout query IS oracle-checked:
+re-laying-out data must never change query results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+# lgConfigK=14 → 16 KiB registers per sketch, ~0.8% relative standard
+# error — the DataSketches-recommended default for production metrics.
+_HLL_LGK = 14
+
+
+@query("agg_sketch_distinct")  # rows-only: estimates have no DuckDB twin
+def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type, three ways: exact, HLL, theta.
+
+    The exact column exists so the accuracy contract is checkable inside
+    the result itself (tests assert |est−exact|/exact ≤ 2%). At 100 TB
+    you'd drop the exact column and keep the sketches: both aggregate
+    map-side into constant-size state, so the shuffle carries
+    O(groups × 16 KiB) regardless of row count — vs count_distinct's
+    O(distinct values) exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", _HLL_LGK)).alias(
+            "hll_users"
+        ),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("theta_users"),
+    )
+
+
+@query("agg_sketch_merge")  # rows-only: estimates have no DuckDB twin
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability contract: union-of-daily-partials ≡ full pass.
+
+    Builds one HLL sketch per (event_type, day), merges the partials with
+    ``hll_union_agg``, and joins against the single-pass sketch. HLL
+    union is register-wise max, so ``merged_users == direct_users``
+    EXACTLY (same lgK) — pinned in tests. This is the incremental-metrics
+    pattern: persist the daily sketch column, never rescan history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", _HLL_LGK).alias("day_sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("merged_users"),
+        F.count(F.lit(1)).alias("days_merged"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", _HLL_LGK)).alias(
+            "direct_users"
+        )
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "days_merged", "merged_users", "direct_users"
+    )
+
+
+@query("agg_kll_quantiles")  # rows-only: sketch quantiles have no DuckDB twin
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: KLL sketch of l_extendedprice per returnflag.
+
+    Complements the exact/approx percentile family (agg_percentile*):
+    exact quantiles need a sort or cumulative-count pass; KLL is a
+    single-pass constant-memory aggregate whose state merges across
+    partitions AND across incremental batches, with a proven rank-error
+    bound (~1.7% at the default k=200 — pinned in tests against the
+    exact ranks). The right default for 100 TB latency dashboards.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sk.select(
+        "l_returnflag",
+        "n",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+
+
+# Number of range buckets for the clustered layout. At 100 TB this would
+# be sized so each file lands near the rowgroup/file sweet spot
+# (~128 MB–1 GB); 16 keeps the fixture files non-trivial but plural.
+_CLUSTER_BUCKETS = 16
+
+
+def cluster_by_range(
+    df: DataFrame, path: str, keys: list[str], buckets: int = _CLUSTER_BUCKETS
+) -> None:
+    """Write ``df`` range-clustered on ``keys``: global range partition,
+    then an in-partition sort, so each output file owns a tight disjoint
+    key range and parquet min-max stats become an effective index."""
+    (
+        df.repartitionByRange(buckets, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@query(
+    "layout_cluster_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def layout_cluster_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered rewrite of lineitem on l_shipdate, then a
+    one-month scan over the clustered copy.
+
+    The oracle runs the SAME filter on the ORIGINAL table — the layout
+    operator's correctness contract is "rewrites never change results".
+    The efficiency contract (files outside the month are skipped via
+    footer min-max, ~1/16 of data read) is pinned in
+    tests/test_scale_suite.py by inspecting the parquet footers.
+
+    Plan: write side is one range-exchange (sampling pass + shuffle);
+    read side is a plain scan whose PushedFilters prune at three levels —
+    file (min-max), row-group (statistics), page (column index).
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="layout_cluster_") + "/lineitem_by_shipdate"
+    cluster_by_range(li, path, ["l_shipdate", "l_orderkey"])
+    return spark.read.parquet(path).where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )

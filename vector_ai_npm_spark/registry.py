@@ -50,6 +50,7 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.udf_suite  # noqa: F401
     import vector_ai_npm_spark.operators.pipeline_ops  # noqa: F401
     import vector_ai_npm_spark.operators.tpch_extra  # noqa: F401
+    import vector_ai_npm_spark.operators.scale_suite  # noqa: F401
     import vector_ai_npm_spark.chunking.queries  # noqa: F401
     import vector_ai_npm_spark.embedding.queries  # noqa: F401
     import vector_ai_npm_spark.retrieval.queries  # noqa: F401
