@@ -49,6 +49,8 @@ BENCH_QUERIES = (
     "pivot_orders",           # single-pass conditional-agg pivot
     "stream_join_interval",   # stream-stream interval join (batch face)
     "corpus_curate",          # flagship composite: quality ∧ lang ∧ dedup-canonical
+    "tpch_q9",                # widest join: fact ⋈ 4 dims ⋈ derived partsupp
+    "agg_sketch_distinct",    # mergeable HLL/theta: constant-size shuffle state
 )
 
 

@@ -190,3 +190,24 @@ def test_tfidf_tokenizes_once(spark, sf_smoke):
     must be tokenized exactly once — one Generate in the whole plan."""
     plan = _plan(spark, "text_tfidf", sf_smoke)
     assert plan.count("Generate") == 1, plan
+
+
+def test_tpch_q9_broadcasts_dims_no_cartesian(spark, sf_smoke):
+    """The widest join in the sweep: the filtered part list must arrive
+    as a broadcast build side, the derived partsupp must carry map-side
+    partial aggregation, and nothing may degenerate to a cross product."""
+    plan = _plan(spark, "tpch_q9", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # derived partsupp: partial + final HashAggregate around its exchange
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_layout_cluster_scan_pushes_range_filter(spark, sf_smoke):
+    """The read back over the clustered copy must push the shipdate range
+    to the parquet scan — that is what turns the sorted layout into
+    file/row-group skipping at scale."""
+    plan = _plan(spark, "layout_cluster_range", sf_smoke)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1], plan

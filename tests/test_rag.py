@@ -171,3 +171,40 @@ def test_engine_pipeline_family_facade(spark, sf_smoke):
         .collect()
     }
     assert {(r.user_id, r.m) for r in got_s} == want_s
+
+
+def test_engine_scale_family_facade(spark, sf_smoke, tmp_path):
+    """cluster_store round-trips data unchanged; distinct_sketches
+    produces mergeable state whose union estimate matches the exact
+    distinct count at fixture cardinality."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+
+    eng = VectorEngine(spark)
+    ev = load_table(spark, sf_smoke, "events")
+
+    path = str(tmp_path / "events_by_ts")
+    eng.cluster_store(ev.select("event_id", "ts", "user_id"), path, ["ts"], buckets=4)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert {r.event_id for r in back.select("event_id").collect()} == {
+        r.event_id for r in ev.select("event_id").collect()
+    }
+
+    daily = eng.distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+    )
+    est = (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("user_id_hll")).alias("est"))
+        .collect()
+    )
+    exact = {
+        r.event_type: r.x
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("x"))
+        .collect()
+    }
+    for r in est:
+        assert abs(r.est - exact[r.event_type]) <= 0.02 * exact[r.event_type]

@@ -158,6 +158,24 @@ class VectorEngine:
             "session_seq", F.sum(is_start).over(wrun).cast("long")
         )
 
+    def cluster_store(self, df: DataFrame, path: str, keys: list[str],
+                      buckets: int = 16) -> None:
+        """Persist ``df`` range-clustered on ``keys`` so range scans skip
+        files via parquet min-max footers (see operators.scale_suite)."""
+        from vector_ai_npm_spark.operators.scale_suite import cluster_by_range
+
+        cluster_by_range(df, path, keys, buckets=buckets)
+
+    def distinct_sketches(self, df: DataFrame, group_cols: list[str],
+                          value_col: str, lg_k: int = 14) -> DataFrame:
+        """Per-group HLL sketch column — persistable, mergeable distinct
+        state (union partials later with F.hll_union_agg)."""
+        from pyspark.sql import functions as F
+
+        return df.groupBy(*group_cols).agg(
+            F.hll_sketch_agg(value_col, lg_k).alias(f"{value_col}_hll")
+        )
+
     # --- reference-parity surface (VectorClient method names) -----------
 
     def _store_path(self, db_table: str) -> str:
