@@ -211,3 +211,39 @@ def test_layout_cluster_scan_pushes_range_filter(spark, sf_smoke):
     plan = _plan(spark, "layout_cluster_range", sf_smoke)
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1], plan
+
+
+def test_runtime_bloom_filter_reduces_probe_side(spark, sf_smoke):
+    """Semi-join reduction: with runtime bloom filters enabled and the
+    probe-size gate lowered (fixtures are far under the 10 GB default),
+    a selective build side must inject might_contain on the fact scan."""
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.session import enable_runtime_semijoin_reduction
+
+    from pyspark.sql import functions as F
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_gate = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_semijoin_reduction(spark)
+        o = load_table(spark, sf_smoke, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_smoke, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_gate,
+        )

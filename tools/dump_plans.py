@@ -37,6 +37,9 @@ PLAN_QUERIES = (
     ("cdc_scd2_merge", "anti/semi/union SCD2 merge"),
     ("stream_join_interval", "interval join batch face"),
     ("text_tfidf", "tf shuffle + broadcast df/n"),
+    ("tpch_q9", "widest join: filtered part broadcast + derived partsupp"),
+    ("agg_sketch_distinct", "constant-size mergeable sketch state"),
+    ("layout_cluster_range", "range-clustered scan, pushed range filter"),
 )
 
 

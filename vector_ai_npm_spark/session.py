@@ -78,6 +78,31 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def enable_runtime_semijoin_reduction(spark: SparkSession,
+                                      probe_scan_threshold: str = "0") -> None:
+    """Turn on Catalyst's runtime bloom-filter join pruning.
+
+    For a shuffle join with a selective build side, the optimizer injects
+    ``bloom_filter_agg`` over the build keys and a ``might_contain``
+    filter on the probe-side SCAN — the classic semi-join reduction: at
+    100 TB it can drop most of the probe side's shuffle I/O before the
+    join ever runs. Off by default here only because the probe-side
+    size gate (``applicationSideScanSizeThreshold``, default 10 GB)
+    never fires at fixture scale — on a cluster, leave the default gate
+    in place and just call this with no override.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            probe_scan_threshold,
+    }
+    for k, v in confs.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def get_spark(app_name: str = "vector-ai-npm-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build a local session sized from $SPARK_GRAFT_CPUS (default all)."""
