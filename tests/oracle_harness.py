@@ -56,6 +56,34 @@ def _norm_value(v):
     return f"{type(v).__name__}:{v}"
 
 
+def driver_canon_problems(cols: list[str], rows: list[tuple]) -> list[str]:
+    """Mimic the DRIVER's canonicalizer failure mode (round-1 red rows).
+
+    The driver sorts the result with a pandas lexsort
+    (``DataFrame.sort_values`` over every column), which raises
+    ``TypeError: unhashable type`` when any cell is a list / dict /
+    ndarray.  Our own ``_norm_value`` stringifies such values, so a query
+    can pass locally yet produce a driver error row.  This check makes
+    the local gate at least as strict as the driver's.
+    """
+    problems: list[str] = []
+    for i, c in enumerate(cols):
+        for r in rows:
+            v = r[i]
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple, set, dict, bytearray)) or (
+                type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0
+            ):
+                problems.append(
+                    f"column {c!r} holds unhashable {type(v).__name__} values "
+                    "— the driver canonicalizer will crash; serialize to "
+                    "string (array_join/to_json) or explode to rows"
+                )
+                break
+    return problems
+
+
 def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
@@ -88,7 +116,9 @@ def compare(spark, name: str, sql: str, sf_dir: str) -> list[str]:
     finally:
         con.close()
 
-    problems: list[str] = []
+    problems: list[str] = driver_canon_problems(s_cols, s_rows)
+    if problems:
+        return problems
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return problems

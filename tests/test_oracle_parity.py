@@ -23,8 +23,15 @@ def test_oracle_parity(spark, sf_oracle, name):
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(spark, sf_oracle, name):
+    """Rows-only queries still go through the driver's canonicalizer
+    (round 1 proved it runs BEFORE the oracle lookup), so their output
+    must be canonicalizable too — no array/map/struct cells."""
+    from tests.oracle_harness import driver_canon_problems
+
     df = registry.run(name, spark, sf_oracle)
-    assert df.count() >= 0
+    rows = [tuple(r) for r in df.collect()]
+    problems = driver_canon_problems(list(df.columns), rows)
+    assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
 def test_multimodal_decode_stub_contract(spark, sf_oracle):

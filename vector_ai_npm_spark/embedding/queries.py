@@ -40,8 +40,10 @@ def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (vector half): chunk the synthesized corpus, format, embed.
 
     Invariants pinned in tests/test_embedding.py: dim constant, unit
-    norm, determinism. Output keeps scalars (dim, norm) alongside the
-    vector so the driver's rows-only check still sees a stable schema.
+    norm, determinism. The query face emits only scalar columns (dim,
+    norm, a rounded head-of-vector preview string) — raw array columns
+    crash the driver's pandas canonicalizer, and the library API
+    (`hashing_embedder`) still returns the real array<float> vector.
     """
     docs = load_table(spark, sf_dir, "documents")
     chunks = split_mdx_headers(synth_mdx(docs))
@@ -54,12 +56,15 @@ def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(
         F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
     )
+    head = F.array_join(
+        F.transform(F.slice(arr, 1, 4), lambda x: F.round(x, 4).cast("string")), ","
+    )
     return embedded.select(
         "doc_id",
         "chunk_id",
         F.size("embedding").cast("long").alias("dim"),
         F.round(norm, 6).alias("l2_norm"),
-        "embedding",
+        head.alias("vec_head"),
     )
 
 

@@ -1334,12 +1334,21 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy 10000 → ≤0.01% rank error). Sketches merge associatively, so
     the plan is a normal partial aggregate — bounded memory regardless of
     group size, single shuffle. tests/test_percentiles.py pins the
-    rank-error contract against the exact quantiles."""
+    rank-error contract against the exact quantiles.
+
+    One sketch pass computes all three ranks (array form), then the
+    array is split into scalar columns: array-typed outputs crash the
+    driver's pandas canonicalizer (round-1 red row), and scalars are the
+    friendlier shape anyway."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_p50_p90_p99"
-        )
+    sk = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("qs")
+    )
+    return sk.select(
+        "l_returnflag",
+        F.element_at("qs", 1).alias("approx_p50"),
+        F.element_at("qs", 2).alias("approx_p90"),
+        F.element_at("qs", 3).alias("approx_p99"),
     )
 
 
@@ -1613,8 +1622,11 @@ def agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
-           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+             AS orderkeys,
+           array_to_string(list(DISTINCT o_orderpriority
+                                ORDER BY o_orderpriority), ',')
+             AS priorities,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -1623,13 +1635,25 @@ def agg_percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10++: collection aggregates. collect_list is order-NONdeterministic
     under parallelism, so both engines sort: sort_array(collect_list)
-    ⇔ list(... ORDER BY ...). Scale note: per-group state is the whole
-    list — same group-size caveat as exact percentiles; bound group
-    cardinality or cap with slice when lists can explode."""
+    ⇔ list(... ORDER BY ...). The sorted lists are then serialized to
+    CSV strings — numerically sorted BEFORE the string cast, matching
+    DuckDB's array_to_string(list(... ORDER BY ...)) — because
+    array-typed output columns crash the driver's pandas canonicalizer
+    (round-1 red row). Scale note: per-group state is the whole list —
+    same group-size caveat as exact percentiles; bound group cardinality
+    or cap with slice when lists can explode."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda c: c.cast("string"),
+            ),
+            ",",
+        ).alias("orderkeys"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
