@@ -286,3 +286,44 @@ def test_upsert_sink_resumes_exactly_once(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_upsert_sink_idempotent_on_batch_retry(spark, sf_smoke):
+    """foreachBatch is at-least-once: batch N can be REDELIVERED after
+    v{N} was already published (crash between publish and checkpoint
+    commit). The merge must read the newest version strictly below N,
+    so the retry rewrites v{N} with identical content instead of
+    double-counting the batch into it."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.streaming.sinks import final_totals, merge_batch
+
+    store = tempfile.mkdtemp(prefix="upsert_retry_") + "/store"
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "value")
+    b0 = ev.where(F.col("user_id") % 2 == 0)
+    b1 = ev.where(F.col("user_id") % 2 == 1)
+
+    merge_batch(b0, 0, store)
+    merge_batch(b1, 1, store)
+    once = {
+        r.user_id: (r.total_value, r.n_events)
+        for r in final_totals(spark, store).collect()
+    }
+    # redeliver batch 1 (same batch_id) — the at-least-once retry
+    merge_batch(b1, 1, store)
+    retried = {
+        r.user_id: (r.total_value, r.n_events)
+        for r in final_totals(spark, store).collect()
+    }
+    assert retried == once
+
+    # a crashed mid-write version (no _SUCCESS) must never be trusted
+    os.makedirs(f"{store}/v7")
+    assert {
+        r.user_id: (r.total_value, r.n_events)
+        for r in final_totals(spark, store).collect()
+    } == once

@@ -32,17 +32,31 @@ _DEC = "decimal(30,8)"
 
 
 def _store_versions(store_dir: str) -> list[int]:
+    """Committed versions only: a version dir counts once its _SUCCESS
+    marker exists (Hadoop commit protocol writes it last), so a crashed
+    mid-write v{N} is never trusted."""
     if not os.path.isdir(store_dir):
         return []
     return sorted(
         int(d[1:]) for d in os.listdir(store_dir)
         if d.startswith("v") and d[1:].isdigit()
+        and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
     )
 
 
-def read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    """Latest published version of the running totals, or None."""
+def read_store(
+    spark: SparkSession, store_dir: str, before: int | None = None
+) -> DataFrame | None:
+    """Latest published version of the running totals, or None.
+
+    ``before=b`` restricts to versions strictly below ``b`` — the merge
+    path MUST use this: foreachBatch is at-least-once, so a retry of
+    batch N after v{N} was published but before the checkpoint committed
+    would otherwise merge the batch into a store that already contains
+    it, double-counting (exactly-once would silently break)."""
     versions = _store_versions(store_dir)
+    if before is not None:
+        versions = [v for v in versions if v < before]
     if not versions:
         return None
     return spark.read.parquet(os.path.join(store_dir, f"v{versions[-1]}"))
@@ -50,13 +64,16 @@ def read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
 
 def merge_batch(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     """One micro-batch merge: partial-aggregate the batch, union with the
-    current store, re-aggregate, publish as v{batch_id}."""
+    newest store version STRICTLY BELOW batch_id, re-aggregate, publish
+    as v{batch_id}. Re-running batch N therefore always reads the same
+    base state and rewrites v{N} with identical content — idempotent
+    under foreachBatch's at-least-once contract."""
     spark = batch.sparkSession
     delta = batch.groupBy("user_id").agg(
         F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("total_value_dec"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    current = read_store(spark, store_dir)
+    current = read_store(spark, store_dir, before=batch_id)
     if current is not None:
         delta = (
             current.unionByName(delta)
