@@ -25,6 +25,72 @@ def test_mllib_lsh_runs_and_orients_pairs(spark, sf_smoke):
     assert all(0.0 <= r.jaccard_dist <= 0.6 for r in rows)
 
 
+def test_embedding_router_threshold_decision(spark, sf_smoke):
+    """mode="auto" must pick LSH at production thresholds and exact below
+    the soundness boundary — pinned by plan shape: the LSH path contains
+    an approxSimilarityJoin (MLlib hash explode), the exact path a salted
+    grid join and NO LSH nodes."""
+    from vector_ai_npm_spark.dedup.embedding_router import (
+        LSH_MIN_THRESHOLD,
+        embedding_dedup_pairs,
+    )
+    from vector_ai_npm_spark.io.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    lsh_plan = embedding_dedup_pairs(
+        emb, 0.95, mode="auto"
+    )._jdf.queryExecution().analyzed().toString()
+    exact_plan = embedding_dedup_pairs(
+        emb, 0.4, mode="auto"
+    )._jdf.queryExecution().analyzed().toString()
+    assert "hashes" in lsh_plan
+    assert "hashes" not in exact_plan
+    assert 0.0 < LSH_MIN_THRESHOLD < 0.95
+
+
+def test_embedding_ann_recall_is_total_on_planted_dups(spark, sf_smoke):
+    """The LSH-pruned path must find EVERY planted near-dup pair (recall
+    1.0, not ≥0.9) and nothing else — this is what makes
+    dedup_embedding_ann oracle-checkable despite approximate candidates."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.dedup.ann_queries import PLANT_OFFSET
+    from vector_ai_npm_spark.io.sources import load_table
+
+    got = _pairs(
+        registry.run("dedup_embedding_ann", spark, sf_smoke),
+        a="vec_id_a",
+        b="vec_id_b",
+    )
+    ids = [
+        r.vec_id
+        for r in load_table(spark, sf_smoke, "embeddings")
+        .select("vec_id")
+        .collect()
+    ]
+    want = {(i, i + PLANT_OFFSET) for i in ids}
+    assert got == want
+
+
+def test_embedding_exact_and_lsh_agree_at_high_threshold(spark, sf_smoke):
+    """On the planted corpus the two routes are interchangeable at 0.95:
+    same pairs, same (rounded) cosines."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.dedup.ann_queries import planted_corpus
+    from vector_ai_npm_spark.dedup.embedding_router import embedding_dedup_pairs
+
+    corpus = planted_corpus(spark, sf_smoke)
+    def norm(df):
+        return {
+            (r.vec_id_a, r.vec_id_b, round(r.cosine, 6)) for r in df.collect()
+        }
+
+    assert norm(embedding_dedup_pairs(corpus, 0.95, mode="lsh")) == norm(
+        embedding_dedup_pairs(corpus, 0.95, mode="exact")
+    )
+
+
 def test_exact_dedup_flags_injected_duplicates(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other text")], ["doc_id", "text"]

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_ai_npm_spark.dedup.embedding_router import embedding_dedup_pairs
 from vector_ai_npm_spark.functions.vectors import cosine_similarity, o_cosine
 from vector_ai_npm_spark.io.sources import load_table, scale_partitions
 from vector_ai_npm_spark import registry
@@ -313,49 +314,23 @@ def dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B18d: embedding-cosine near-dup pairs, blocked by label.
+    """B18d: embedding-cosine near-dup pairs, via the threshold-adaptive
+    router (dedup.embedding_router.embedding_dedup_pairs, mode="auto").
 
-    Threshold note: production near-dup runs at ~0.95; the fixture
-    vectors are uniform-random (near-orthogonal, max in-block cosine
-    ≈0.47), so the operator is pinned at 0.4 here to keep the oracle
-    check non-trivial (5 pairs at sf0.01, 86 at sf0.1).
-
-    Parallelism: a plain self-join on `label` shuffles on ~10 distinct
-    keys ⇒ at most 10 busy tasks no matter the cluster (measured: a 10×
-    corpus pinned 2 cores for minutes). The GRID-JOIN rewrite salts both
-    sides (salt = vec_id % S) and joins on (label, salt_a, salt_b): each
-    of the S² cells per label is an independent shuffle key, restoring
-    full parallelism at an S× replication cost of the (narrow) inputs.
-    Every unordered pair lands in exactly one cell, so results are
-    identical to the naive join — the oracle stays the plain SQL.
-
-    At true scale the blocking key becomes an LSH/IVF bucket
-    (retrieval.lsh / retrieval.ivf) — same join shape, model-assigned,
-    with this same grid trick inside each bucket if buckets run hot.
+    Threshold note: production near-dup runs at ~0.95, where auto-routing
+    picks the LSH-pruned path (see `dedup_embedding_ann`, which pins
+    recall 1.0 on planted dups). The fixture vectors are uniform-random
+    (near-orthogonal, max in-block cosine ≈0.47), so the operator is
+    pinned at 0.4 here to keep the oracle check non-trivial (5 pairs at
+    sf0.01, 86 at sf0.1) — and at t=0.4 the router correctly picks the
+    EXACT salted grid join, because at that threshold the true-pair vs
+    random-pair distance gap (1.10 vs 1.41) is too small for any
+    sub-quadratic candidate scheme to keep recall 1.0. Low-threshold
+    all-pairs is intrinsically O(n²); the router encodes the honest
+    decision boundary instead of pretending LSH fixes it.
     """
-    S = 4
     emb = scale_partitions(load_table(spark, sf_dir, "embeddings"), spark)
-    base = emb.select("vec_id", "label", "embedding",
-                      (F.col("vec_id") % S).alias("salt"))
-    grid = F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("other_salt")
-    a = base.select("*", grid).alias("a")   # a.other_salt = b's salt cell
-    b = base.select("*", grid).alias("b")   # b.other_salt = a's salt cell
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.other_salt") == F.col("b.salt"))
-            & (F.col("b.other_salt") == F.col("a.salt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.4)
-    )
+    return embedding_dedup_pairs(emb, threshold=0.4, mode="auto")
 
 
 # --------------------------------------------------------------------------
