@@ -35,7 +35,7 @@ def test_approx_percentile_within_rank_error(spark, sf_oracle):
         .collect()
     }
     approx = {
-        r["l_returnflag"]: r["approx_p50_p90_p99"]
+        r["l_returnflag"]: (r["approx_p50"], r["approx_p90"], r["approx_p99"])
         for r in registry.run("agg_approx_percentile", spark, sf_oracle).collect()
     }
     assert set(approx) == set(exact)
@@ -58,17 +58,34 @@ def test_disc_quantiles_are_data_values(spark, sf_oracle):
             assert r[col] in values, f"{col}={r[col]} not a data value"
 
 
-def test_seeded_sample_is_deterministic(spark, sf_oracle):
-    """sample(seed=42) must return the identical row set across runs on
-    the same partitioning, with size within ±30% of the fraction."""
+def test_hash_sample_is_deterministic_and_partition_independent(spark, sf_oracle):
+    """Hash-threshold sampling must return the identical row set across
+    runs AND across repartitionings (the property Bernoulli sample(seed)
+    lacks), with size within ±30% of the 10% target."""
     from vector_ai_npm_spark import registry
+    from vector_ai_npm_spark.io.sources import load_table
 
     a = {tuple(r) for r in registry.run("sample_ops", spark, sf_oracle).collect()}
     b = {tuple(r) for r in registry.run("sample_ops", spark, sf_oracle).collect()}
-    assert a == b, "same seed, same partitioning → same sample"
-    from vector_ai_npm_spark.io.sources import load_table
+    assert a == b, "hash sample must be run-stable"
 
-    n = load_table(spark, sf_oracle, "lineitem").count()
+    li = load_table(spark, sf_oracle, "lineitem")
+    from pyspark.sql import functions as F
+
+    key = F.md5(
+        F.concat_ws("#", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"))
+    )
+    bucket = F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint") % 1000
+    c = {
+        tuple(r)
+        for r in li.repartition(7)
+        .where(bucket < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .collect()
+    }
+    assert c == a, "hash sample must be partitioning-independent"
+    n = li.count()
     assert 0.07 * n <= len(a) <= 0.13 * n, (len(a), n)
 
 
@@ -80,11 +97,8 @@ def test_corrupt_csv_routes_bad_rows(spark, sf_oracle):
 
     out = registry.run("scan_csv_corrupt", spark, sf_oracle).cache()
     n_good_src = load_table(spark, sf_oracle, "customer").count()
-    bad = out.where(out._corrupt_record.isNotNull())
-    good = out.where(out._corrupt_record.isNull())
-    # the truncated row parses its present columns and nulls the rest
-    # (still flagged via _corrupt_record); the type-mismatch row too
-    assert bad.count() >= 1, "planted corrupt rows not captured"
-    assert good.count() >= n_good_src, (good.count(), n_good_src)
-    assert out.count() == n_good_src + 2
+    # face = clean rows only, with the quarantine count as a column
+    assert out.count() == n_good_src
+    n_corrupt = {r.n_corrupt for r in out.select("n_corrupt").distinct().collect()}
+    assert n_corrupt == {2}, "both planted corrupt rows must be quarantined"
     out.unpersist()

@@ -373,17 +373,36 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL implementations differ by engine
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11b: approx_count_distinct — the 100 TB path for high-cardinality
-    keys (HyperLogLog++, no exact-distinct shuffle blowup). No oracle:
-    sketch values are implementation-defined; tests assert relative error
-    vs exact instead.
+    keys (HyperLogLog++, no exact-distinct shuffle blowup).
+
+    HLL sketch values are implementation-defined, so the raw estimate
+    can't be oracle-compared — instead the CONTRACT is: the estimate must
+    sit within ±2% of the exact count (rsd=0.02). The query emits the
+    exact count plus the tolerance verdict as a boolean; the oracle
+    asserts the same exact count and `approx_ok = TRUE`, making the
+    accuracy guarantee itself the hash-checked value.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
     )
+    tol = (
+        F.abs(F.col("n_approx") - F.col("n_users_exact"))
+        <= 0.02 * F.col("n_users_exact")
+    )
+    return agg.select("event_type", "n_users_exact", tol.alias("approx_ok"))
 
 
 # --------------------------------------------------------------------------
@@ -1786,16 +1805,34 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_ops")  # rows-only: sampling RNG is engine-specific
+@query(
+    "sample_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 100
+    """,
+)
 def sample_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3+: seeded Bernoulli sample — deterministic for a fixed seed and
-    partitioning WITHIN Spark (tests pin same-seed stability and the
-    fraction tolerance), but the RNG stream is engine-specific so no
-    cross-engine oracle exists. At scale: sampling happens at the scan
-    (per-row filter, no shuffle); for partition-level sampling use
-    TABLESAMPLE (x PERCENT) which prunes whole splits."""
+    """B3+: deterministic HASH-THRESHOLD sample — md5(key) % 1000 < 100
+    selects a reproducible ~10% of rows, identically in any engine.
+
+    Why hash-threshold over `df.sample(seed=...)`: Bernoulli sampling is
+    only deterministic for a FIXED partitioning (the RNG stream is
+    per-partition), so a repartitioned 100 TB table silently yields a
+    different sample, and no cross-engine oracle exists. Keyed hashing is
+    partitioning-independent, stable across engines/runs, and composable
+    (the same predicate re-selects the same rows downstream). Still a
+    scan-level per-row filter — no shuffle; for split-pruning sampling
+    use TABLESAMPLE (x PERCENT)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    key = F.md5(
+        F.concat_ws("#", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"))
+    )
+    bucket = F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint") % 1000
+    return li.where(bucket < 100).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
@@ -2104,13 +2141,26 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_csv_corrupt")  # rows-only: corrupt-record capture is reader-specific
+@query(
+    "scan_csv_corrupt",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, CAST(2 AS BIGINT) AS n_corrupt
+    FROM customer
+    """,
+)
 def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1+: tolerant ingest — a CSV drop with malformed rows read in
     PERMISSIVE mode with a _corrupt_record capture column: bad rows
     become DATA (quarantine-able), not job failures. The 100 TB rule
     this encodes: a million-file ingest must never die on row 3 of file
-    812,007; tests/test_percentiles.py pins good/bad row routing."""
+    812,007; tests/test_percentiles.py pins good/bad row routing.
+
+    Oracle face: the CLEAN subset must round-trip exactly (= the source
+    customer table), and the quarantine count (2 planted bad rows) rides
+    along as a constant column — so both halves of the PERMISSIVE
+    contract are hash-checked. c_acctbal stays out of the face: the CSV
+    hop stringifies it with Spark's double→string formatting, which has
+    no DuckDB twin."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -2140,12 +2190,26 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("_corrupt_record", T.StringType()),
         ]
     )
-    return (
+    raw = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
+    # Spark refuses predicates that touch ONLY _corrupt_record on a raw
+    # CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); persist the parsed
+    # batch first — which is the real quarantine pattern anyway (parse
+    # once, then split clean/bad from the materialized result).
+    parsed_path = tempfile.mkdtemp(prefix="csv_parsed_") + "/parsed"
+    raw.write.mode("overwrite").parquet(parsed_path)
+    raw = spark.read.parquet(parsed_path)
+    n_corrupt = raw.where(F.col("_corrupt_record").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_corrupt")
+    )
+    clean = raw.where(F.col("_corrupt_record").isNull()).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return clean.crossJoin(F.broadcast(n_corrupt))
 
 
 @query(
