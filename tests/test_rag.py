@@ -97,6 +97,25 @@ def test_reference_parity_api_round_trip(spark, tmp_path):
     assert ans and ans.startswith("ANSWER: ")
 
 
+def test_query_embeddings_missing_table_is_descriptive(spark, tmp_path):
+    """Querying a never-ingested table must fail with a clear message,
+    not an opaque parquet AnalysisException."""
+    eng = VectorEngine(spark, EngineConfig(store_path=str(tmp_path)))
+    with pytest.raises(ValueError, match="no data|ingest_data"):
+        eng.query_embeddings([0.0] * 64, db_table="never_ingested")
+
+
+def test_engine_dedup_embeddings_facade(spark, sf_smoke):
+    """The facade must expose the threshold-adaptive router with the
+    scale-safe default (LSH at 0.95)."""
+    from vector_ai_npm_spark.io.sources import load_table
+
+    eng = VectorEngine(spark, EngineConfig())
+    emb = load_table(spark, sf_smoke, "embeddings")
+    plan = eng.dedup_embeddings(emb)._jdf.queryExecution().analyzed().toString()
+    assert "hashes" in plan  # LSH route engaged by default
+
+
 def test_reference_parity_rejects_invalid_doc(spark, tmp_path):
     eng = VectorEngine(spark, EngineConfig(store_path=str(tmp_path)))
     with pytest.raises(ValueError, match="## Context"):

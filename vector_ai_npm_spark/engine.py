@@ -166,6 +166,18 @@ class VectorEngine:
 
         cluster_by_range(df, path, keys, buckets=buckets)
 
+    def dedup_embeddings(self, df: DataFrame, threshold: float = 0.95,
+                         mode: str = "auto", **kwargs) -> DataFrame:
+        """Embedding near-dup pairs via the threshold-adaptive router:
+        LSH prune + exact re-rank at production thresholds (≥0.7), exact
+        salted grid join below — the scale-safe default is always on
+        (see dedup.embedding_router)."""
+        from vector_ai_npm_spark.dedup.embedding_router import (
+            embedding_dedup_pairs,
+        )
+
+        return embedding_dedup_pairs(df, threshold, mode=mode, **kwargs)
+
     def distinct_sketches(self, df: DataFrame, group_cols: list[str],
                           value_col: str, lg_k: int = 14) -> DataFrame:
         """Per-group HLL sketch column — persistable, mergeable distinct
@@ -210,19 +222,29 @@ class VectorEngine:
 
         return embed_text_py(question, self.config.embedding_dim)
 
-    def query_embeddings(self, embeddings: list[float], db_table: str = None,
+    def query_embeddings(self, embeddings: list[float],
+                         db_table: str | None = None,
                          threshold: float = 0.0, count: int = 10) -> dict:
         """`queryEmbeddings({embeddings, dbFunction, threshold, count})`
         (vector-client.ts:396-415): top-k rows shaped into the
         reference's parallel arrays {context: [...], metadata: [...]}
         (:411-412)."""
+        import os
+
         from pyspark.sql import functions as F
 
         from vector_ai_npm_spark.retrieval.search import similarity_search_topk
 
         import json
 
-        store = self.spark.read.parquet(self._store_path(db_table or "default"))
+        table = db_table or "default"
+        path = self._store_path(table)
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"vector store table {table!r} has no data at {path} — "
+                "call ingest_data(..., db_table=...) before querying it"
+            )
+        store = self.spark.read.parquet(path)
         hits = similarity_search_topk(
             store.withColumn("vec_id", F.monotonically_increasing_id()),
             embeddings, threshold, count,

@@ -161,13 +161,22 @@ def layout_cluster_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     read side is a plain scan whose PushedFilters prune at three levels —
     file (min-max), row-group (statistics), page (column index).
     """
+    import hashlib
+    import os
     import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_extendedprice"
     )
-    path = tempfile.mkdtemp(prefix="layout_cluster_") + "/lineitem_by_shipdate"
-    cluster_by_range(li, path, ["l_shipdate", "l_orderkey"])
+    # Stable per-sf_dir path + rewrite-once: repeated bench/test runs
+    # reuse the clustered copy instead of leaking a fresh mkdtemp each
+    # invocation (the copy is deterministic for a given input dir).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_layout_{tag}", "lineitem_by_shipdate"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cluster_by_range(li, path, ["l_shipdate", "l_orderkey"])
     return spark.read.parquet(path).where(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
