@@ -51,6 +51,9 @@ BENCH_QUERIES = (
     "corpus_curate",          # flagship composite: quality ∧ lang ∧ dedup-canonical
     "tpch_q9",                # widest join: fact ⋈ 4 dims ⋈ derived partsupp
     "agg_sketch_distinct",    # mergeable HLL/theta: constant-size shuffle state
+    "similarity_search_ann",  # LSH-pruned batch ANN (recall≥0.9 pinned in tests)
+    "similarity_search_ivf",  # IVF cell-partitioned ANN store + pruned search
+    "dedup_embedding_ann",    # LSH-routed near-dup at t=0.95 (recall 1.0 pinned)
 )
 
 

@@ -28,8 +28,8 @@ def test_mllib_lsh_runs_and_orients_pairs(spark, sf_smoke):
 def test_embedding_router_threshold_decision(spark, sf_smoke):
     """mode="auto" must pick LSH at production thresholds and exact below
     the soundness boundary — pinned by plan shape: the LSH path contains
-    an approxSimilarityJoin (MLlib hash explode), the exact path a salted
-    grid join and NO LSH nodes."""
+    the sign-LSH band columns, the exact path a salted grid join and NO
+    LSH nodes."""
     from vector_ai_npm_spark.dedup.embedding_router import (
         LSH_MIN_THRESHOLD,
         embedding_dedup_pairs,
@@ -43,8 +43,8 @@ def test_embedding_router_threshold_decision(spark, sf_smoke):
     exact_plan = embedding_dedup_pairs(
         emb, 0.4, mode="auto"
     )._jdf.queryExecution().analyzed().toString()
-    assert "hashes" in lsh_plan
-    assert "hashes" not in exact_plan
+    assert "lsh_sig" in lsh_plan
+    assert "lsh_sig" not in exact_plan
     assert 0.0 < LSH_MIN_THRESHOLD < 0.95
 
 

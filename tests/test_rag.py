@@ -113,7 +113,7 @@ def test_engine_dedup_embeddings_facade(spark, sf_smoke):
     eng = VectorEngine(spark, EngineConfig())
     emb = load_table(spark, sf_smoke, "embeddings")
     plan = eng.dedup_embeddings(emb)._jdf.queryExecution().analyzed().toString()
-    assert "hashes" in plan  # LSH route engaged by default
+    assert "lsh_sig" in plan  # LSH route engaged by default
 
 
 def test_reference_parity_rejects_invalid_doc(spark, tmp_path):
