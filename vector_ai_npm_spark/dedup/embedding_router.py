@@ -27,6 +27,8 @@ the published MinHash/LSH dedup playbook instead.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -125,7 +127,7 @@ def lsh_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     n_tables: int = 8,
-    bits: int = 12,
+    bits: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """LSH-pruned pairs: sign-LSH band join candidates + exact re-rank.
@@ -138,20 +140,39 @@ def lsh_pairs(
     and it rises toward 1 as similarity → 1 (≥0.9 at the 0.95 boundary
     with the defaults; ≈1−3·10⁻⁸ for genuine near-dups at cos ≥ 0.999).
 
-    At 100 TB: signature computation is one Arrow pass (O(n·dim·L·b
-    flops, embarrassingly parallel); the join shuffles n_tables× the
-    (id, vec) pairs — the linear-in-n scale path low-threshold exact
-    joins can't offer.
+    Two disciplines that make this hold at 100 TB (both learned from a
+    10× study where their absence turned a 3 s query into a >30 min one):
+
+    * **The band join is NARROW.** Only (id, block, table, sig) enters
+      the self-join; vectors are equi-joined back by id AFTER the pair
+      dedup, so a hash collision costs ~24 bytes of shuffle, not two
+      full embedding payloads (~1 KB at dim 64, ~12 KB at dim 1536).
+    * **Bits scale with n.** Expected random candidates per table are
+      n²/2^bits — QUADRATIC for fixed bits. `bits = log2(n/10)`
+      (clamped to [12, 20]) keeps expected random collisions ≈ 5n per
+      table, i.e. the candidate set stays O(n + true pairs) at any
+      corpus size. The recall cost is only at the threshold boundary:
+      a cos 0.9995 near-dup still misses all 8 tables with p < 2·10⁻⁶
+      even at bits=20 (P(bit)=1−θ/π=0.99; 0.99²⁰≈0.82 per table).
+
+    Known residual hot spot: B identical vectors share every bucket and
+    emit B² candidates. A production pipeline collapses exact duplicates
+    first (linear hash-groupBy, see dedup_exact) and runs LSH on the
+    canonical representatives.
     """
-    dim = 64  # fixture embedding dim; inferred lazily below if needed
-    first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if first:
-        dim = first[0]["d"]
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(F.col(vec_col))).alias("d"),
+    ).collect()[0]
+    n, dim = stats["n"] or 0, stats["d"] or 64
+    if bits is None:
+        bits = min(20, max(12, math.ceil(math.log2(max(n, 2) / 10.0))))
     sig_udf = sign_lsh_signatures(dim, n_tables, bits, seed)
-    cols = [id_col, vec_col] + ([block_col] if block_col else [])
+    key_cols = [id_col] + ([block_col] if block_col else [])
     bands = emb.select(
-        *cols, F.posexplode(sig_udf(F.col(vec_col).cast("array<double>")))
-        .alias("lsh_table", "lsh_sig")
+        *key_cols,
+        F.posexplode(sig_udf(F.col(vec_col).cast("array<double>")))
+        .alias("lsh_table", "lsh_sig"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cond = (
@@ -166,10 +187,18 @@ def lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),
             F.col(f"b.{id_col}").alias(f"{id_col}_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
         )
         .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+    )
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_v").alias("_va")),
+        f"{id_col}_a",
+    ).join(
+        vecs.select(F.col(id_col).alias(f"{id_col}_b"), F.col("_v").alias("_vb")),
+        f"{id_col}_b",
     )
     cos = cosine_similarity(F.col("_va"), F.col("_vb"))
     return (

@@ -30,8 +30,8 @@ from vector_ai_npm_spark.registry import query
     SELECT l_orderkey, l_linenumber, l_quantity,
            l_extendedprice * (1 - l_discount) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate <  TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -45,8 +45,8 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
