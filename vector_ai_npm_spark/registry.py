@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.rag.queries  # noqa: F401
     import vector_ai_npm_spark.dedup.queries  # noqa: F401
     import vector_ai_npm_spark.text.queries  # noqa: F401
+    import vector_ai_npm_spark.text.curation  # noqa: F401
     import vector_ai_npm_spark.streaming.queries  # noqa: F401
     import vector_ai_npm_spark.multimodal.queries  # noqa: F401
     import vector_ai_npm_spark.operators.pipeline_ops  # noqa: F401

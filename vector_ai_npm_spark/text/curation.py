@@ -1,0 +1,366 @@
+"""Training-corpus curation operators (north-star text-analysis family).
+
+The pre-training data playbook published with Gopher/MassiveText
+(Rae et al. 2021, arXiv:2112.11446) and RefinedWeb (Penedo et al. 2023,
+arXiv:2306.01116) runs a fixed sequence of per-document passes before
+any model sees a byte: rule-based quality filtering, repetition
+filtering, PII scrubbing, source mixing, and sequence packing.  Each is
+implemented here as a registered oracle-checked query over the fixture
+``documents`` table.
+
+Every operator is a map-only pass or a single window/agg keyed by
+``doc_id``/``source`` — no self-joins, no driver collection — so each
+holds at 100 TB: cost is one scan plus (at most) one hash shuffle whose
+key cardinality grows with the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+from vector_ai_npm_spark.text.queries import _DUCK_TOKS, _SPARK_TOKS
+
+# Gopher rule C4/MassiveText-style thresholds, tuned so the synthetic
+# fixture splits non-vacuously (word counts there span 10..99):
+_MIN_WORDS, _MAX_WORDS = 50, 100_000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_STOP_SET = ("the", "a", "of", "and", "to", "in", "is")
+_MIN_STOP_HITS = 2
+_MAX_DUP_FRAC = 0.55
+_MAX_TOP_BIGRAM_FRAC = 0.05
+_PACK_BUDGET = 512  # tokens per packed training sequence
+_MIX_QUOTA = 10  # docs sampled per source
+
+
+@query(
+    "curate_gopher_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(length(toks) AS BIGINT) AS n_words,
+             CAST(CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / length(toks) AS DOUBLE) AS mean_word_len,
+             CAST(length(list_intersect(list_distinct(toks),
+                  ['the','a','of','and','to','in','is'])) AS BIGINT)
+               AS stop_hits
+      FROM t WHERE length(toks) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_hits,
+           CAST(CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                      AND mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+                      AND stop_hits >= {_MIN_STOP_HITS}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+    """,
+)
+def curate_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (arXiv:2112.11446 §A1.1).
+
+    Word-count bounds, mean-word-length bounds, and a stopword-presence
+    check, emitted per document with the keep verdict.  Pure map-only
+    higher-order array folds — zero shuffles at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_SPARK_TOKS)
+    m = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_words"),
+            (
+                F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+                .cast("double")
+                / F.size("toks")
+            )
+            .cast("double")
+            .alias("mean_word_len"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.col("toks")),
+                    F.array(*[F.lit(s) for s in _STOP_SET]),
+                )
+            )
+            .cast("bigint")
+            .alias("stop_hits"),
+        )
+    )
+    keep = (
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
+        & (F.col("stop_hits") >= _MIN_STOP_HITS)
+    )
+    return m.withColumn("keep", keep.cast("int"))
+
+
+@query(
+    "curate_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             CAST(length(toks) AS BIGINT) AS n_words,
+             CAST(1.0 - CAST(length(list_distinct(toks)) AS DOUBLE)
+                  / length(toks) AS DOUBLE) AS dup_word_frac
+      FROM t WHERE length(toks) > 0
+    ),
+    x AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok) OVER
+               (PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM x
+    ),
+    c AS (
+      SELECT doc_id, bigram, COUNT(*) AS n
+      FROM b WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(CAST(MAX(n) AS DOUBLE) / SUM(n) AS DOUBLE)
+               AS top_bigram_frac
+      FROM c GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words, w.dup_word_frac,
+           CAST(COALESCE(f.top_bigram_frac, 0.0) AS DOUBLE)
+             AS top_bigram_frac,
+           CAST(CASE WHEN w.dup_word_frac <= {_MAX_DUP_FRAC}
+                      AND COALESCE(f.top_bigram_frac, 0.0)
+                          <= {_MAX_TOP_BIGRAM_FRAC}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM w LEFT JOIN f ON w.doc_id = f.doc_id
+    """,
+)
+def curate_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (Gopher §A1.1: duplicate-word and top-2-gram
+    fractions).
+
+    Word-level stats come from array folds (no shuffle); the top-bigram
+    fraction explodes once and aggregates twice, both keyed by
+    ``doc_id`` — shuffle volume is one row per distinct (doc, bigram),
+    linear in corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    w = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        )
+        .cast("double")
+        .alias("dup_word_frac"),
+    )
+    x = t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    b = x.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "tok",
+            F.lead("tok").over(Window.partitionBy("doc_id").orderBy("pos")),
+        ).alias("bigram"),
+        F.lead("tok")
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    f = (
+        b.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("n").cast("double") / F.sum("n"))
+            .cast("double")
+            .alias("top_bigram_frac")
+        )
+    )
+    out = w.join(f, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0))
+        .cast("double")
+        .alias("top_bigram_frac"),
+    )
+    keep = (F.col("dup_word_frac") <= _MAX_DUP_FRAC) & (
+        F.col("top_bigram_frac") <= _MAX_TOP_BIGRAM_FRAC
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_PAT = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "curate_pii_redact",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0')
+               AS with_pii
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(with_pii,
+                  '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+             CAST(length(regexp_extract_all(with_pii,
+                  '{_PHONE_PAT}')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(with_pii,
+                  '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                  '{_PHONE_PAT}', '<PHONE>', 'g') AS redacted
+      FROM p
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM r
+    """,
+)
+def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (RefinedWeb §4.4-style regex redaction).
+
+    The fixture corpus is synthetic and contains no real PII, so a
+    deterministic e-mail + phone string derived from (doc_id, n_chars)
+    is appended first; both engines then redact with the same regexes
+    and the oracle pins match counts plus an md5 of the redacted text.
+    Map-only: regex extraction/replacement per row, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("n_chars") % 10000).cast("string"), 4, "0"),
+    )
+    p = docs.select("doc_id", with_pii.alias("with_pii"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("with_pii", _EMAIL_PAT, "<EMAIL>"),
+        _PHONE_PAT,
+        "<PHONE>",
+    )
+    return p.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(with_pii, '{_EMAIL_PAT}', 0)"))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(with_pii, '{_PHONE_PAT}', 0)"))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "curate_domain_mix",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_MIX_QUOTA}
+    """,
+)
+def curate_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified source-mix sampling (MassiveText §A1.3 domain mixing).
+
+    A deterministic per-source quota sample: order docs inside each
+    source by md5(doc_id) — a seedless uniform shuffle both engines
+    compute identically — and keep the first N.  One hash shuffle on
+    ``source``; with many sources this is the standard quota-sampling
+    shape (skewed giant sources would swap in a per-partition reservoir,
+    but the md5 ordering itself is already rank-stable under
+    repartitioning).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.select("doc_id", "source", rn.alias("rn"))
+        .where(F.col("rn") <= _MIX_QUOTA)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+@query(
+    "curate_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    )
+    SELECT source, CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY source, pack_id
+    """,
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing prepass (fixed token-budget bins per source).
+
+    Pre-training dataloaders pack documents into fixed-length training
+    sequences; the distributed prepass assigns each doc a pack id from
+    the running token total within its source (a doc starts a new pack
+    when the cumulative total crosses a budget boundary — deterministic,
+    order-defined, identical in both engines).  One window + one agg,
+    both keyed by ``source``: at 100 TB the window runs per source
+    partition; a single giant source would be sub-keyed by a date/shard
+    column the same way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(_SPARK_TOKS)).cast("bigint").alias("n_tokens"),
+    )
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    c = t.withColumn("cum_before", cum_before)
+    return (
+        c.withColumn(
+            "pack_id", F.expr(f"cum_before div {_PACK_BUDGET}").cast("bigint")
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+    )
