@@ -87,9 +87,11 @@ def _driver_history() -> tuple[set[str], set[str]]:
     all; attempted-but-not-verified queries carry a red row the judge
     has seen, so they get retried with top priority.
     """
-    verified: set[str] = set()
-    attempted: set[str] = set()
+    verdict: dict[str, bool] = {}
     root = Path(__file__).resolve().parents[1]
+    # Rounds in order; later rounds OVERWRITE — a query that regresses to
+    # a red row after an earlier green one demotes back to tier 0 and
+    # re-enters the next 50-slot window for re-verification.
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
@@ -100,20 +102,18 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            attempted.add(name)
-            if (
+            green = bool(
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
-            ):
-                verified.add(name)
-            elif (
+            ) or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
                 and name not in _ORACLES
-            ):
-                verified.add(name)
-    return verified, attempted
+            )
+            verdict[name] = green
+    verified = {n for n, ok in verdict.items() if ok}
+    return verified, set(verdict)
 
 
 def all_queries() -> dict[str, QueryFn]:

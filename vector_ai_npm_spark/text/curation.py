@@ -253,12 +253,16 @@ def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PHONE_PAT,
         "<PHONE>",
     )
+    # Patterns go through the Python API, NOT an F.expr SQL string: the
+    # SQL literal parser strips unknown escapes (\+ -> +, \. -> .), which
+    # both corrupts the email regex and makes the phone regex invalid
+    # Java syntax (INVALID_PARAMETER_VALUE.PATTERN at runtime).
     return p.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(with_pii, '{_EMAIL_PAT}', 0)"))
+        F.size(F.regexp_extract_all("with_pii", F.lit(_EMAIL_PAT), F.lit(0)))
         .cast("bigint")
         .alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all(with_pii, '{_PHONE_PAT}', 0)"))
+        F.size(F.regexp_extract_all("with_pii", F.lit(_PHONE_PAT), F.lit(0)))
         .cast("bigint")
         .alias("n_phones"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
