@@ -21,6 +21,7 @@ Register with the decorator::
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from pathlib import Path
 from typing import Any
@@ -87,12 +88,18 @@ def _driver_history() -> tuple[set[str], set[str]]:
     all; attempted-but-not-verified queries carry a red row the judge
     has seen, so they get retried with top priority.
     """
+    _load_all_modules()  # _ORACLES must be populated for the no-oracle branch
     verdict: dict[str, bool] = {}
     root = Path(__file__).resolve().parents[1]
-    # Rounds in order; later rounds OVERWRITE — a query that regresses to
-    # a red row after an earlier green one demotes back to tier 0 and
-    # re-enters the next 50-slot window for re-verification.
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+    # Rounds in NUMERIC order; later rounds OVERWRITE — a query that
+    # regresses to a red row after an earlier green one demotes back to
+    # tier 0 and re-enters the next 50-slot window for re-verification.
+    # (Lexicographic sort would misorder r100 before r99.)
+    def _round_num(p: Path) -> int:
+        m = re.search(r"_r(\d+)", p.stem)
+        return int(m.group(1)) if m else 0
+
+    for path in sorted(root.glob("CORRECTNESS_r*.json"), key=_round_num):
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
