@@ -92,7 +92,17 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank, oracle-checked against the exact all-pairs SQL (sound
     because the exact re-rank gives precision 1.0 and the planted-dup
     distance gap gives recall 1.0 — pinned in tests/test_dedup.py)."""
-    corpus = planted_corpus(spark, sf_dir)
+    # The LSH route consumes its input FIVE times (size/dim stats, both
+    # sides of the band self-join, both sides of the vector re-join);
+    # without persistence each consumer re-runs the parquet scan + the
+    # perturb/normalize transform. Iterative-reuse persist is the same
+    # discipline MLlib applies to training inputs; MEMORY_AND_DISK spills
+    # rather than OOMs when the corpus outgrows executor storage.
+    from pyspark.storagelevel import StorageLevel
+
+    corpus = planted_corpus(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = embedding_dedup_pairs(corpus, threshold=0.95, mode="auto")
     return pairs.select(
         "vec_id_a", "vec_id_b", F.round("cosine", 6).alias("cosine")

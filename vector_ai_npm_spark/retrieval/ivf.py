@@ -19,10 +19,55 @@ exact top-k on the fixture. Online serving stays out of scope
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.functions.vectors import cosine_similarity
+
+
+# The coarse quantizer trains on AT MOST this many vectors, collected to
+# the driver. This is the standard IVF recipe (FAISS trains IVF*
+# quantizers on a ~100k-1M sample regardless of corpus size): k-means on
+# a representative sample converges to centroids statistically identical
+# to full-data training, so the expensive part — assignment — stays a
+# single distributed pass while training costs O(sample) on one node.
+_TRAIN_SAMPLE_CAP = 65_536
+
+
+def _train_centroids(X, nlist: int, seed: int, max_iter: int = 12):
+    """Driver-side Lloyd k-means (euclidean) on the training sample.
+
+    Deterministic for a fixed (sample, nlist, seed). Distances use the
+    ||x||² − 2x·c + ||c||² expansion — one (n × k) GEMM per iteration,
+    no (n, k, dim) intermediate. Empty cells reseed from the points
+    farthest from their assigned centroid (k-means standard practice,
+    keeps exactly nlist non-degenerate cells)."""
+    n = len(X)
+    k = min(nlist, n)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(n, size=k, replace=False)].copy()
+    x2 = (X * X).sum(axis=1)
+    for _ in range(max_iter):
+        d2 = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        newC = np.zeros_like(C)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        for j in range(X.shape[1]):
+            newC[:, j] = np.bincount(assign, weights=X[:, j], minlength=k)
+        empty = counts == 0
+        if empty.any():
+            far = d2[np.arange(n), assign].argsort()[::-1][: int(empty.sum())]
+            newC[empty] = X[far]
+            counts[empty] = 1.0
+        newC /= counts[:, None]
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return C
 
 
 def build_ivf_index(store: DataFrame, vec_col: str = "embedding",
@@ -31,18 +76,41 @@ def build_ivf_index(store: DataFrame, vec_col: str = "embedding",
 
     assigned_store = store + cell_id; centroids_df = (cell_id, centroid)
     — at scale you'd persist assigned_store partitioned by cell_id.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    vecs = store.withColumn("_features", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=nlist, seed=seed, featuresCol="_features",
-                predictionCol="cell_id")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).drop("_features")
+    Two distributed passes total: (1) collect a deterministic hash-based
+    sample (xxhash64 of the vector — stable under repartitioning, unlike
+    ``df.sample``) and train k-means driver-side; (2) assign every
+    vector to its nearest centroid in one Arrow-batched map — the
+    centroid matrix (nlist × dim, a few KB) ships inside the UDF
+    closure. Replaces MLlib KMeans, whose ~max_iter distributed jobs
+    priced a sample-sized problem at corpus scale every index build.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    n = store.count()
+    sample = store.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if n > _TRAIN_SAMPLE_CAP:
+        # keep ~cap rows: deterministic content-hash filter, no shuffle
+        den = -(-n // _TRAIN_SAMPLE_CAP)  # ceil
+        sample = sample.where(
+            F.pmod(F.xxhash64(F.col("_v")), F.lit(den)) == 0
+        )
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    C = _train_centroids(X, nlist=nlist, seed=seed)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _nearest_cell(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    assigned = store.withColumn(
+        "cell_id", _nearest_cell(F.col(vec_col).cast("array<double>"))
+    )
     spark = store.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         ["cell_id", "centroid"],
     )
     return assigned, centroids
