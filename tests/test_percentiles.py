@@ -8,9 +8,10 @@ from vector_ai_npm_spark import registry
 
 
 def test_approx_percentile_within_rank_error(spark, sf_oracle):
-    """approx_percentile(accuracy=10000) guarantees rank error ≤ 1/10000.
-    Check value-space: each approx quantile must lie between the exact
-    quantiles at p ± 1% (a far looser rank bound, immune to ties)."""
+    """approx_percentile(accuracy=10000) guarantees rank error ≤ ε=1e-4.
+    Pin value-space at 2ε (tighter than the query's driver-facing 5ε
+    band): each approx quantile must lie between the exact discrete
+    quantiles at q ± 2ε."""
     exact = {
         r["l_returnflag"]: r
         for r in registry.run("agg_percentile", spark, sf_oracle).collect()
@@ -21,29 +22,57 @@ def test_approx_percentile_within_rank_error(spark, sf_oracle):
     from vector_ai_npm_spark.io.sources import load_table
 
     li = load_table(spark, sf_oracle, "lineitem")
+    eps = 1e-4
+    band = {"50": 0.5, "90": 0.9, "99": 0.99}
     bounds = {
         r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
         .agg(
-            F.expr(f"percentile_disc(0.49) {wg}").alias("lo50"),
-            F.expr(f"percentile_disc(0.51) {wg}").alias("hi50"),
-            F.expr(f"percentile_disc(0.89) {wg}").alias("lo90"),
-            F.expr(f"percentile_disc(0.91) {wg}").alias("hi90"),
-            F.expr(f"percentile_disc(0.98) {wg}").alias("lo99"),
-            F.expr(f"percentile_disc(1.0) {wg}").alias("hi99"),
+            *[
+                F.expr(
+                    f"percentile_disc({max(0.0, q - 2 * eps)}) {wg}"
+                ).alias(f"lo{nm}")
+                for nm, q in band.items()
+            ],
+            *[
+                F.expr(
+                    f"percentile_disc({min(1.0, q + 2 * eps)}) {wg}"
+                ).alias(f"hi{nm}")
+                for nm, q in band.items()
+            ],
+            F.percentile_approx(
+                "l_extendedprice", list(band.values()), 10000
+            ).alias("qs"),
         )
         .collect()
     }
-    approx = {
-        r["l_returnflag"]: (r["approx_p50"], r["approx_p90"], r["approx_p99"])
+    assert set(bounds) == set(exact)
+    for flag, b in bounds.items():
+        for i, nm in enumerate(band):
+            a = b["qs"][i]
+            assert b[f"lo{nm}"] <= a <= b[f"hi{nm}"], (
+                f"{flag} p{nm} {a} outside rank bound"
+            )
+
+
+def test_approx_percentile_driver_face_all_ok(spark, sf_oracle):
+    """The driver-checkable face: every *_ok band boolean must be TRUE
+    (the oracle asserts TRUE, so false here = red driver row) and the
+    exact_* columns must equal agg_percentile's discrete quantiles."""
+    face = {
+        r["l_returnflag"]: r
         for r in registry.run("agg_approx_percentile", spark, sf_oracle).collect()
     }
-    assert set(approx) == set(exact)
-    for flag, (a50, a90, a99) in approx.items():
-        b = bounds[flag]
-        assert b["lo50"] <= a50 <= b["hi50"], f"{flag} p50 {a50} outside rank bound"
-        assert b["lo90"] <= a90 <= b["hi90"], f"{flag} p90 {a90} outside rank bound"
-        assert b["lo99"] <= a99 <= b["hi99"], f"{flag} p99 {a99} outside rank bound"
+    exact = {
+        r["l_returnflag"]: r
+        for r in registry.run("agg_percentile", spark, sf_oracle).collect()
+    }
+    assert set(face) == set(exact)
+    for flag, r in face.items():
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], (flag, r)
+        assert r["exact_p50"] == exact[flag]["p50"]
+        assert r["exact_p90"] == exact[flag]["p90"]
+        assert r["exact_p99"] == exact[flag]["p99"]
 
 
 def test_disc_quantiles_are_data_values(spark, sf_oracle):

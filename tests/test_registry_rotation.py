@@ -48,16 +48,36 @@ def test_driver_history_tiers(monkeypatch, tmp_path):
     # flipped_q has since gained an oracle: its old rows-only pass no
     # longer counts and it must be re-verified under the hash gate.
     monkeypatch.setitem(registry._ORACLES, "flipped_q", "SELECT 1")
-    verified, attempted = registry._driver_history()
+    verified, attempted, last_green = registry._driver_history()
     assert "green_q" in verified
     assert "rows_only_q" in verified
     assert "red_q" in attempted and "red_q" not in verified
     assert "flipped_q" in attempted and "flipped_q" not in verified
+    assert last_green["green_q"] == 1
+    assert "red_q" not in last_green
+
+
+def test_last_green_round_tracks_latest(monkeypatch, tmp_path):
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"old_q": green, "fresh_q": green})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"fresh_q": green}))
+    files = [tmp_path / "CORRECTNESS_r03.json", tmp_path / "CORRECTNESS_r01.json"]
+    monkeypatch.setattr(registry.Path, "glob", lambda self, pat: iter(files))
+    verified, _attempted, last_green = registry._driver_history()
+    assert verified == {"old_q", "fresh_q"}
+    assert last_green == {"old_q": 1, "fresh_q": 3}
 
 
 def test_window_prioritizes_unverified():
     qs = list(registry.all_queries())
-    verified, attempted = registry._driver_history()
+    verified, attempted, _last_green = registry._driver_history()
     window, rest = qs[:50], qs[50:]
     # No driver-green query may hold a window slot while any unverified
     # query sits outside the window.
@@ -72,3 +92,38 @@ def test_window_prioritizes_unverified():
 
 def test_rotation_is_deterministic():
     assert list(registry.all_queries()) == list(registry.all_queries())
+
+
+def test_green_tier_orders_least_recently_verified_first():
+    """Once every query is green, the window must not freeze: greens are
+    sorted by the round of their last green row, oldest first, so the
+    50-slot window cycles through the registry re-verifying stale rows."""
+    qs = list(registry.all_queries())
+    verified, _attempted, last_green = registry._driver_history()
+    green_rounds = [last_green.get(n, 0) for n in qs if n in verified]
+    assert green_rounds == sorted(green_rounds)
+
+
+def test_window_rotates_off_previous_round():
+    """Against the repo's real driver history: the upcoming 50-slot
+    window must differ from the latest round's checked set by >= 40
+    names whenever every query is green (the r4 freeze regression)."""
+    import re
+    from pathlib import Path
+
+    root = Path(registry.__file__).resolve().parents[1]
+    files = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p.stem).group(1)),
+    )
+    if not files:
+        return
+    latest = set(json.loads(files[-1].read_text()))
+    qs = list(registry.all_queries())
+    verified, attempted, _ = registry._driver_history()
+    if any(n not in verified for n in attempted) or len(verified) < len(qs):
+        return  # reds / never-attempted legitimately re-front the window
+    window = set(qs[:50])
+    assert len(window - latest) >= 40, (
+        f"window repeats {len(window & latest)} of the previous round's names"
+    )

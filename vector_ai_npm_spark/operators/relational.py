@@ -1347,28 +1347,63 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: GK-sketch internals differ by engine
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5)  AS exact_p50,
+           TRUE AS p50_ok,
+           quantile_disc(l_extendedprice, 0.9)  AS exact_p90,
+           TRUE AS p90_ok,
+           quantile_disc(l_extendedprice, 0.99) AS exact_p99,
+           TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10+ scale path: approx_percentile (Greenwald-Khanna sketch,
-    accuracy 10000 → ≤0.01% rank error). Sketches merge associatively, so
-    the plan is a normal partial aggregate — bounded memory regardless of
-    group size, single shuffle. tests/test_percentiles.py pins the
-    rank-error contract against the exact quantiles.
+    accuracy 10000 → rank error ≤ ε = 1/10000). Sketches merge
+    associatively, so the plan is a normal partial aggregate — bounded
+    memory regardless of group size, single shuffle.
 
-    One sketch pass computes all three ranks (array form), then the
-    array is split into scalar columns: array-typed outputs crash the
-    driver's pandas canonicalizer (round-1 red row), and scalars are the
-    friendlier shape anyway."""
+    The raw sketch values differ across engines, so the driver-checkable
+    face pins the CONTRACT instead of the bits: emit the exact discrete
+    quantiles (bit-stable — actual data values) beside a boolean per
+    rank asserting the approx value lies inside the rank-error band
+    [percentile_disc(q-5ε), percentile_disc(q+5ε)].  The oracle mirrors
+    the exact side in DuckDB (quantile_disc) and TRUE per band — any
+    drift of the approx path outside its guarantee hash-mismatches into
+    a red driver row.  The 5ε margin (0.05 % of rank space, vs GK's ε
+    guarantee) absorbs disc's ceil-rank rounding and value ties without
+    weakening the check materially.  tests/test_percentiles.py pins the
+    same bound locally at a tighter 2ε."""
     li = load_table(spark, sf_dir, "lineitem")
-    sk = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("qs")
-    )
-    return sk.select(
-        "l_returnflag",
-        F.element_at("qs", 1).alias("approx_p50"),
-        F.element_at("qs", 2).alias("approx_p90"),
-        F.element_at("qs", 3).alias("approx_p99"),
-    )
+    eps = 1.0 / 10000.0
+    wg = "WITHIN GROUP (ORDER BY l_extendedprice)"
+    ranks = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    aggs = [
+        F.percentile_approx("l_extendedprice", [q for q, _ in ranks], 10000).alias(
+            "qs"
+        )
+    ]
+    for q, nm in ranks:
+        lo, hi = max(0.0, q - 5 * eps), min(1.0, q + 5 * eps)
+        aggs += [
+            F.expr(f"percentile_disc({q}) {wg}").alias(f"exact_{nm}"),
+            F.expr(f"percentile_disc({lo}) {wg}").alias(f"_lo_{nm}"),
+            F.expr(f"percentile_disc({hi}) {wg}").alias(f"_hi_{nm}"),
+        ]
+    sk = li.groupBy("l_returnflag").agg(*aggs)
+    cols = ["l_returnflag"]
+    for i, (_q, nm) in enumerate(ranks, start=1):
+        a = F.element_at("qs", i)
+        cols += [
+            F.col(f"exact_{nm}"),
+            ((F.col(f"_lo_{nm}") <= a) & (a <= F.col(f"_hi_{nm}"))).alias(
+                f"{nm}_ok"
+            ),
+        ]
+    return sk.select(*cols)
 
 
 # --------------------------------------------------------------------------

@@ -75,8 +75,8 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.relational  # noqa: F401
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(verified, attempted) per past CORRECTNESS_r*.json driver rounds.
+def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
+    """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.
 
     The external driver oracle-checks only the FIRST 50 queries returned
     by :func:`all_queries` each round.  To convert "locally green" into
@@ -87,9 +87,15 @@ def _driver_history() -> tuple[set[str], set[str]]:
     row count without error.  *Attempted* means it held a window slot at
     all; attempted-but-not-verified queries carry a red row the judge
     has seen, so they get retried with top priority.
+
+    ``last_green_round[name]`` is the NUMERIC round of the most recent
+    green row — the sort key that keeps the green tier rotating
+    (least-recently-verified first) once every query has gone green,
+    so old greens get re-checked instead of rotting outside the window.
     """
     _load_all_modules()  # _ORACLES must be populated for the no-oracle branch
     verdict: dict[str, bool] = {}
+    last_green: dict[str, int] = {}
     root = Path(__file__).resolve().parents[1]
     # Rounds in NUMERIC order; later rounds OVERWRITE — a query that
     # regresses to a red row after an earlier green one demotes back to
@@ -106,6 +112,7 @@ def _driver_history() -> tuple[set[str], set[str]]:
             continue
         if not isinstance(rows, dict):
             continue
+        rnd = _round_num(path)
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
@@ -119,8 +126,10 @@ def _driver_history() -> tuple[set[str], set[str]]:
                 and name not in _ORACLES
             )
             verdict[name] = green
+            if green:
+                last_green[name] = rnd
     verified = {n for n, ok in verdict.items() if ok}
-    return verified, set(verdict)
+    return verified, set(verdict), last_green
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -128,20 +137,27 @@ def all_queries() -> dict[str, QueryFn]:
 
     Order IS the driver's rotation schedule: the correctness driver
     checks the first 50 entries per round, so a three-tier stable sort
-    (previously-failed, then never-attempted, then green — registration
-    order within each tier) makes the window advance itself every round
-    until every query has had a green driver row, while failures re-enter
-    the very next window.
+    (previously-failed, then never-attempted, then green) makes the
+    window advance itself every round until every query has had a green
+    driver row, while failures re-enter the very next window.
+
+    Within the green tier the key is the round of the LAST green row,
+    oldest first: once all queries are green the window doesn't freeze
+    on the first 50 registrations — it cycles through the whole registry
+    re-verifying the least-recently-checked queries each round, so a
+    silent regression in a long-green suite surfaces within
+    ceil(n_queries/50) rounds.  Registration order breaks remaining
+    ties (Python's sort is stable).
     """
     _load_all_modules()
-    verified, attempted = _driver_history()
+    verified, attempted, last_green = _driver_history()
 
-    def tier(name: str) -> int:
+    def key(name: str) -> tuple[int, int]:
         if name in verified:
-            return 2
-        return 0 if name in attempted else 1
+            return (2, last_green.get(name, 0))
+        return ((0, 0) if name in attempted else (1, 0))
 
-    names = sorted(_QUERIES, key=tier)
+    names = sorted(_QUERIES, key=key)
     return {n: _QUERIES[n] for n in names}
 
 
