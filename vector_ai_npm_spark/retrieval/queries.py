@@ -84,6 +84,107 @@ def similarity_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_rows(
+    method: str,
+    approx: DataFrame,
+    exact: DataFrame,
+    per_q_floor: int,
+    agg_floor: float,
+) -> DataFrame:
+    """Per-query and aggregate recall-contract rows for one ANN method.
+
+    overlap(q) = |approx_topk(q) ∩ exact_topk(q)|; emits one row per
+    query (`scope='q<id>'`, overlap ≥ per_q_floor) plus one aggregate
+    row (`scope='all'`, Σoverlap ≥ agg_floor·Σ|exact|).  Everything is
+    computed distributed (the per-query sets are k-row frames, but the
+    same plan holds at any fan-out of queries)."""
+    ap = approx.select("q_vec_id", "vec_id")
+    ex = exact.select("q_vec_id", "vec_id")
+    ov = ex.join(ap, ["q_vec_id", "vec_id"]).groupBy("q_vec_id").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    base = (
+        ex.groupBy("q_vec_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(ov, "q_vec_id", "left")
+        .select(
+            "q_vec_id",
+            "n_exact",
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+        )
+    )
+    per_q = base.select(
+        F.lit(method).alias("method"),
+        F.concat(F.lit("q"), F.col("q_vec_id").cast("string")).alias("scope"),
+        (F.col("overlap") >= F.lit(per_q_floor)).alias("recall_ok"),
+    )
+    agg = base.agg(
+        (
+            F.sum("overlap").cast("double")
+            >= F.lit(agg_floor) * F.sum("n_exact").cast("double")
+        ).alias("recall_ok")
+    ).select(
+        F.lit(method).alias("method"),
+        F.lit("all").alias("scope"),
+        "recall_ok",
+    )
+    return per_q.unionByName(agg)
+
+
+@query(
+    "ann_recall_vs_exact",
+    oracle="""
+    SELECT method, scope, recall_ok FROM (VALUES
+      ('lsh', 'q0', TRUE), ('lsh', 'q7', TRUE), ('lsh', 'q42', TRUE),
+      ('lsh', 'all', TRUE),
+      ('ivf_full', 'q0', TRUE), ('ivf_full', 'q7', TRUE),
+      ('ivf_full', 'q42', TRUE), ('ivf_full', 'all', TRUE),
+      ('ivf_half', 'q0', TRUE), ('ivf_half', 'q7', TRUE),
+      ('ivf_half', 'q42', TRUE), ('ivf_half', 'all', TRUE)
+    ) t(method, scope, recall_ok)
+    """,
+)
+def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN trio's recall contract as a driver-checkable row set.
+
+    The approximate paths (`similarity_search_ann`, `similarity_search_ivf`)
+    are rows-only by construction — bucket/cell assignment is
+    model-defined — but their CONTRACT vs the hash-green exact top-k is
+    deterministic on a fixed fixture, so it is emitted here as boolean
+    rows the DuckDB oracle pins to TRUE:
+
+      * lsh       — per-query overlap ≥ 4/5 (0.8k), aggregate ≥ 0.9
+                    (the SURVEY §5.2 recall bar)
+      * ivf_full  — nprobe = nlist: the probe machinery must EQUAL brute
+                    force (5/5 per query, aggregate 1.0)
+      * ivf_half  — nprobe = nlist/2 on a uniform-random (ANN-hostile)
+                    fixture: ≥ 3/5 per query, aggregate ≥ 0.65 — the
+                    floor that separates pruned search from chance
+
+    Any recall regression in the LSH bands, the IVF quantizer, or the
+    probe logic flips a row to false → hash mismatch → red driver row.
+    Mirrors tests/test_retrieval.py:34,50 into the driver gate."""
+    from vector_ai_npm_spark.retrieval.ivf import ivf_similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = similarity_join(queries, emb, k=5, threshold=0.0)
+    lsh = ann_similarity_join(queries, emb, k=5)
+    ivf_full = ivf_similarity_join(queries, emb, k=5, nlist=8, nprobe=8)
+    ivf_half = ivf_similarity_join(queries, emb, k=5, nlist=8, nprobe=4)
+    return (
+        _recall_rows("lsh", lsh, exact, per_q_floor=4, agg_floor=0.9)
+        .unionByName(
+            _recall_rows("ivf_full", ivf_full, exact, per_q_floor=5, agg_floor=1.0)
+        )
+        .unionByName(
+            _recall_rows("ivf_half", ivf_half, exact, per_q_floor=3, agg_floor=0.65)
+        )
+    )
+
+
 @query(
     "result_project",
     oracle="""
