@@ -91,6 +91,73 @@ def test_embedding_exact_and_lsh_agree_at_high_threshold(spark, sf_smoke):
     )
 
 
+def test_choose_mode_decision_table():
+    """The auto route must be size-capped: the O(n²/block) exact face is
+    unreachable above EXACT_MAX_ROWS no matter the threshold."""
+    from vector_ai_npm_spark.dedup.embedding_router import (
+        EXACT_MAX_ROWS,
+        choose_mode,
+    )
+
+    assert choose_mode(0.95, 10) == "lsh"
+    assert choose_mode(0.95, 10**9) == "lsh"
+    assert choose_mode(0.7, 10) == "lsh"
+    assert choose_mode(0.4, 10) == "exact"
+    assert choose_mode(0.4, EXACT_MAX_ROWS) == "exact"
+    assert choose_mode(0.4, EXACT_MAX_ROWS + 1) == "lsh"
+    assert choose_mode(0.0, 10**9) == "lsh"
+
+
+def test_collapse_exact_duplicates_classes(spark):
+    """B identical vectors collapse to one representative (min id) with
+    the class size recorded; distinct vectors stay singletons."""
+    from vector_ai_npm_spark.dedup.embedding_router import (
+        collapse_exact_duplicates,
+    )
+
+    rows = [(i, "x", [1.0, 2.0, 3.0]) for i in range(5)] + [
+        (10, "x", [4.0, 5.0, 6.0]),
+        (11, "y", [1.0, 2.0, 3.0]),  # same value, different block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    reps, members = collapse_exact_duplicates(df)
+    got = {
+        (r.vec_id, r.label, r._csize) for r in reps.collect()
+    }
+    assert got == {(0, "x", 5), (10, "x", 1), (11, "y", 1)}
+    assert members.count() == 7
+
+
+def test_lsh_collapse_matches_exact_with_planted_dup_class(spark):
+    """With a planted exact-duplicate class (B=30) the collapsed LSH
+    route must emit the identical pair set + cosines as the exact grid
+    join: C(B,2) intra pairs plus every cross near-dup pair."""
+    import numpy as np
+
+    from vector_ai_npm_spark.dedup.embedding_router import (
+        embedding_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, "x", [float(v) for v in base[i]]) for i in range(40)]
+    # class of 30 exact copies of vector 0 (ids 100..129)
+    rows += [(100 + j, "x", [float(v) for v in base[0]]) for j in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    def norm(out):
+        return {
+            (r.vec_id_a, r.vec_id_b, round(r.cosine, 9)) for r in out.collect()
+        }
+
+    lsh = norm(embedding_dedup_pairs(df, 0.95, mode="lsh", bits=12))
+    exact = norm(embedding_dedup_pairs(df, 0.95, mode="exact"))
+    assert lsh == exact
+    # the 30-copy class alone contributes C(31,2) pairs (vec 0 + 30 copies)
+    assert len([p for p in lsh if p[2] >= 0.999999]) >= 31 * 30 // 2
+
+
 def test_exact_dedup_flags_injected_duplicates(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other text")], ["doc_id", "text"]

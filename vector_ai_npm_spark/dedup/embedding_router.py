@@ -41,6 +41,10 @@ from vector_ai_npm_spark.functions.vectors import cosine_similarity
 # (see module docstring); route exact.
 LSH_MIN_THRESHOLD = 0.7
 
+# Above this corpus size the exact O(n²/block) grid join is never the
+# right answer no matter the threshold — auto-route refuses it.
+EXACT_MAX_ROWS = 100_000
+
 
 def exact_pairs(
     emb: DataFrame,
@@ -120,6 +124,40 @@ def sign_lsh_signatures(
     return lsh_sig
 
 
+def collapse_exact_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """(reps, members): one canonical row per distinct vector value.
+
+    Class key = 2×xxhash64 of the vector array (128 effective bits —
+    collision odds negligible below ~10¹⁸ rows) plus the block column,
+    so identical vectors in different blocks stay separate, matching the
+    band join's block predicate.  ``reps`` carries the minimum id, one
+    copy of the vector, and the class size; ``members`` is the narrow
+    (class key, id) mapping used to re-expand representative pairs into
+    member pairs.  One linear hash-groupBy — the same discipline as
+    dedup_exact on text."""
+    arr = F.col(vec_col).cast("array<double>")
+    keyed = emb.select(
+        F.col(id_col),
+        arr.alias(vec_col),
+        *([block_col] if block_col else []),
+        F.xxhash64(arr).alias("_h1"),
+        F.xxhash64(F.lit(1), arr).alias("_h2"),
+    )
+    class_cols = ["_h1", "_h2"] + ([block_col] if block_col else [])
+    reps = keyed.groupBy(*class_cols).agg(
+        F.min(id_col).alias(id_col),
+        F.min_by(vec_col, F.col(id_col)).alias(vec_col),
+        F.count(F.lit(1)).alias("_csize"),
+    )
+    members = keyed.select(*class_cols, id_col)
+    return reps, members
+
+
 def lsh_pairs(
     emb: DataFrame,
     threshold: float,
@@ -130,7 +168,8 @@ def lsh_pairs(
     bits: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """LSH-pruned pairs: sign-LSH band join candidates + exact re-rank.
+    """LSH-pruned pairs: exact-dup collapse → sign-LSH band join on the
+    canonical representatives → exact re-rank → pair re-expansion.
 
     Shape (the same banded-equi-join discipline as dedup_minhash_pairs):
     explode each row to (table, signature), shuffle-join on the compound
@@ -140,27 +179,41 @@ def lsh_pairs(
     and it rises toward 1 as similarity → 1 (≥0.9 at the 0.95 boundary
     with the defaults; ≈1−3·10⁻⁸ for genuine near-dups at cos ≥ 0.999).
 
-    Two disciplines that make this hold at 100 TB (both learned from a
-    10× study where their absence turned a 3 s query into a >30 min one):
+    Three disciplines that make this hold at 100 TB:
 
+    * **Exact duplicates are collapsed BEFORE banding.** B identical
+      vectors share every bucket, so banding raw rows emits B² band
+      candidates per duplicate class — the dominant cost on real web
+      corpora where exact duplication is heavy. A linear hash-groupBy
+      (collapse_exact_duplicates) keeps one representative per distinct
+      vector; the band join sees each value once, and member pairs are
+      re-expanded AFTER the re-rank, so the B² term moves from the
+      candidate stage (wasted work) to the output (true pairs — already
+      output-bound). Identical inputs ⇒ identical cosines, so results
+      are bit-equal to the uncollapsed plan (pinned in tests).
     * **The band join is NARROW.** Only (id, block, table, sig) enters
       the self-join; vectors are equi-joined back by id AFTER the pair
       dedup, so a hash collision costs ~24 bytes of shuffle, not two
       full embedding payloads (~1 KB at dim 64, ~12 KB at dim 1536).
     * **Bits scale with n.** Expected random candidates per table are
       n²/2^bits — QUADRATIC for fixed bits. `bits = log2(n/10)`
-      (clamped to [12, 20]) keeps expected random collisions ≈ 5n per
-      table, i.e. the candidate set stays O(n + true pairs) at any
-      corpus size. The recall cost is only at the threshold boundary:
-      a cos 0.9995 near-dup still misses all 8 tables with p < 2·10⁻⁶
-      even at bits=20 (P(bit)=1−θ/π=0.99; 0.99²⁰≈0.82 per table).
-
-    Known residual hot spot: B identical vectors share every bucket and
-    emit B² candidates. A production pipeline collapses exact duplicates
-    first (linear hash-groupBy, see dedup_exact) and runs LSH on the
-    canonical representatives.
+      (clamped to [12, 20], n = #distinct vectors) keeps expected random
+      collisions ≈ 5n per table, i.e. the candidate set stays
+      O(n + true pairs) at any corpus size. The recall cost is only at
+      the threshold boundary: a cos 0.9995 near-dup still misses all 8
+      tables with p < 2·10⁻⁶ even at bits=20 (P(bit)=1−θ/π=0.99;
+      0.99²⁰≈0.82 per table).
     """
-    stats = emb.agg(
+    from pyspark.storagelevel import StorageLevel
+
+    reps, members = collapse_exact_duplicates(emb, id_col, vec_col, block_col)
+    # reps feeds ≥5 consumers (stats, both band sides, both re-join
+    # sides, the class map, the intra-class cosine); members feeds 4.
+    reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
+    class_cols = ["_h1", "_h2"] + ([block_col] if block_col else [])
+
+    stats = reps.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.size(F.col(vec_col))).alias("d"),
     ).collect()[0]
@@ -169,9 +222,9 @@ def lsh_pairs(
         bits = min(20, max(12, math.ceil(math.log2(max(n, 2) / 10.0))))
     sig_udf = sign_lsh_signatures(dim, n_tables, bits, seed)
     key_cols = [id_col] + ([block_col] if block_col else [])
-    bands = emb.select(
+    bands = reps.select(
         *key_cols,
-        F.posexplode(sig_udf(F.col(vec_col).cast("array<double>")))
+        F.posexplode(sig_udf(F.col(vec_col)))
         .alias("lsh_table", "lsh_sig"),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -190,9 +243,7 @@ def lsh_pairs(
         )
         .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
     )
-    vecs = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    vecs = reps.select(F.col(id_col), F.col(vec_col).alias("_v"))
     cand = cand.join(
         vecs.select(F.col(id_col).alias(f"{id_col}_a"), F.col("_v").alias("_va")),
         f"{id_col}_a",
@@ -201,10 +252,93 @@ def lsh_pairs(
         f"{id_col}_b",
     )
     cos = cosine_similarity(F.col("_va"), F.col("_vb"))
-    return (
+    rep_pairs = (
         cand.select(f"{id_col}_a", f"{id_col}_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+    # --- re-expansion: representative pairs → member pairs -------------
+    # Cross-class: every member of class(rep_a) pairs with every member
+    # of class(rep_b); identical vectors ⇒ the rep cosine IS the member
+    # cosine. Orientation by least/greatest (classes are disjoint id
+    # sets, so no pair is emitted twice).
+    rep_class = reps.select(
+        F.col(id_col).alias("_rep_id"),
+        *[F.col(c).alias(f"_k_{c}") for c in class_cols],
+    )
+    def _members_as(side: str):
+        cond = None
+        for c in class_cols:
+            eq = F.col(f"{side}._k_{c}") == F.col(f"m_{side}.{c}")
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    xp = (
+        rep_pairs.join(
+            rep_class.alias("ca"),
+            F.col(f"{id_col}_a") == F.col("ca._rep_id"),
+        )
+        .join(
+            rep_class.alias("cb"),
+            F.col(f"{id_col}_b") == F.col("cb._rep_id"),
+        )
+    )
+    ma, mb = members.alias("m_ca"), members.alias("m_cb")
+    cross = (
+        xp.join(ma, _members_as("ca"))
+        .join(mb, _members_as("cb"))
+        .select(
+            F.least(F.col(f"m_ca.{id_col}"), F.col(f"m_cb.{id_col}")).alias(
+                f"{id_col}_a"
+            ),
+            F.greatest(F.col(f"m_ca.{id_col}"), F.col(f"m_cb.{id_col}")).alias(
+                f"{id_col}_b"
+            ),
+            "cosine",
+        )
+    )
+    # Intra-class: each duplicate class of size B contributes its
+    # C(B,2) pairs at the self-cosine of the shared vector (≈1.0 up to
+    # fp rounding — computed, not assumed, so the emitted value is
+    # bit-identical to the uncollapsed plan's).
+    dup_classes = reps.where(F.col("_csize") >= 2).select(
+        *class_cols,
+        cosine_similarity(F.col(vec_col), F.col(vec_col)).alias("cosine"),
+    )
+    ia, ib = members.alias("ia"), members.alias("ib")
+    intra_cond = F.col(f"ia.{id_col}") < F.col(f"ib.{id_col}")
+    for c in class_cols:
+        intra_cond = (F.col(f"ia.{c}") == F.col(f"ib.{c}")) & intra_cond
+    intra_pairs = ia.join(ib, intra_cond).select(
+        *[F.col(f"ia.{c}") for c in class_cols],
+        F.col(f"ia.{id_col}").alias(f"{id_col}_a"),
+        F.col(f"ib.{id_col}").alias(f"{id_col}_b"),
+    )
+    intra = (
+        intra_pairs.join(dup_classes, class_cols)
+        .where(F.col("cosine") >= threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "cosine")
+    )
+    return cross.unionByName(intra)
+
+
+def choose_mode(threshold: float, n_rows: int) -> str:
+    """The auto-routing decision table (pure, pinned in tests):
+
+    | threshold    | n ≤ EXACT_MAX_ROWS | n > EXACT_MAX_ROWS |
+    |--------------|--------------------|--------------------|
+    | ≥ 0.7        | lsh                | lsh                |
+    | < 0.7        | exact              | lsh                |
+
+    Low-threshold LSH on near-orthogonal data loses recall (module
+    docstring), but above EXACT_MAX_ROWS the O(n²/block) grid join is a
+    cluster-killer regardless — a recall-lossy sub-quadratic answer
+    beats a job that never finishes, so the size cap wins the conflict
+    and the caller who truly wants exact all-pairs at scale must say
+    mode="exact" explicitly."""
+    if threshold >= LSH_MIN_THRESHOLD or n_rows > EXACT_MAX_ROWS:
+        return "lsh"
+    return "exact"
 
 
 def embedding_dedup_pairs(
@@ -213,12 +347,14 @@ def embedding_dedup_pairs(
     mode: str = "auto",
     **kwargs,
 ) -> DataFrame:
-    """Route by threshold: LSH prune when sound (t ≥ 0.7), exact below.
+    """Route by threshold AND corpus size: LSH prune when sound
+    (t ≥ 0.7) or whenever the corpus exceeds EXACT_MAX_ROWS (the
+    O(n²/block) exact face must be unreachable at scale by default).
 
     mode: "auto" (default), "lsh", or "exact".
     """
     if mode == "auto":
-        mode = "lsh" if threshold >= LSH_MIN_THRESHOLD else "exact"
+        mode = choose_mode(threshold, emb.count())
     if mode == "lsh":
         return lsh_pairs(emb, threshold, **kwargs)
     if mode == "exact":
