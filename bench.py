@@ -93,8 +93,10 @@ def main() -> None:
                 _force(queries[n](spark, sf_dir))
 
     # best-of-R per query: a single pass is hostage to GC pauses from the
-    # preceding query's allocations (observed 1.4s -> 8.7s swings)
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # preceding query's allocations (observed 1.4s -> 8.7s swings); 3
+    # repeats keep the best-of stable against co-tenant noise (six
+    # queries swung >30% between r3 and r4 on zero code change at 2)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for n in names:
         best = float("inf")
@@ -104,6 +106,30 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[n] = round(best, 3)
 
+    # pinned per-query targets (medians of prior rounds, committed):
+    # vs_target makes regressions visible as a ratio instead of a guess,
+    # and anything >1.5x its pin gets a loud stderr line
+    targets: dict[str, float] = {}
+    tpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_targets.json")
+    try:
+        with open(tpath) as fh:
+            targets = json.load(fh).get("targets", {})
+    except (OSError, ValueError):
+        pass
+    vs_target = {
+        n: round(t / targets[n], 2)
+        for n, t in timings.items()
+        if targets.get(n)
+    }
+    regressions = {n: r for n, r in vs_target.items() if r > 1.5}
+    for n, r in sorted(regressions.items(), key=lambda kv: -kv[1]):
+        print(
+            f"BENCH REGRESSION: {n} {timings[n]:.3f}s is {r:.2f}x its "
+            f"pinned target {targets[n]:.3f}s",
+            file=sys.stderr,
+        )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -112,6 +138,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "vs_target": vs_target,
+                "regressions": regressions,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
