@@ -1,0 +1,104 @@
+"""B30 decode invariants: the pure-Python PPM/PGM/BMP decoders must
+round-trip hand-built images exactly (dims, pixel bytes, stats), and the
+Spark-side synth → mapInPandas decode path must agree with a local
+re-computation."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from vector_ai_npm_spark.multimodal.binary import (
+    decode_image,
+    decode_pixels,
+)
+
+
+def _ppm(w: int, h: int, pixels: bytes, comment: bool = False) -> bytes:
+    head = b"P6\n"
+    if comment:
+        head += b"# a comment line\n"
+    return head + f"{w} {h}\n255\n".encode() + pixels
+
+
+def _bmp24(w: int, h: int, rgb_rows: list[bytes]) -> bytes:
+    """Minimal uncompressed 24-bit BMP: rows given TOP-DOWN in RGB,
+    stored bottom-up in BGR with 4-byte row padding."""
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    body = b""
+    for row in reversed(rgb_rows):  # bottom-up
+        bgr = b"".join(row[i : i + 3][::-1] for i in range(0, w * 3, 3))
+        body += bgr + pad
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + body
+
+
+def test_ppm_decode_roundtrip():
+    pixels = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    w, h, got = decode_pixels(_ppm(2, 3, pixels))
+    assert (w, h) == (2, 3)
+    assert got == pixels
+    assert decode_image(_ppm(2, 3, pixels)) == (2, 3)
+    # header comments must be skipped
+    assert decode_pixels(_ppm(2, 3, pixels, comment=True))[2] == pixels
+
+
+def test_pgm_decode_roundtrip():
+    pixels = bytes([10, 20, 30, 40, 50, 60])  # 3x2 gray
+    w, h, got = decode_pixels(b"P5\n3 2\n255\n" + pixels)
+    assert (w, h, got) == (3, 2, pixels)
+
+
+def test_bmp_decode_unpads_and_flips():
+    # 3x2 RGB, distinct bytes so stride/flip errors are visible
+    top = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])
+    bot = bytes([11, 12, 13, 14, 15, 16, 17, 18, 19])
+    w, h, got = decode_pixels(_bmp24(3, 2, [top, bot]))
+    assert (w, h) == (3, 2)
+    assert got == top + bot  # returned top-down, RGB, no padding
+
+
+def test_pixel_stats_invariant():
+    """mean over decoded pixels must equal the constructed ground truth
+    for BOTH formats encoding the same image."""
+    rows = [bytes([0, 128, 255, 1, 2, 3]), bytes([10, 20, 30, 40, 50, 60])]
+    pixels = b"".join(rows)
+    want_mean = sum(pixels) / len(pixels)
+    for payload in (_ppm(2, 2, pixels), _bmp24(2, 2, rows)):
+        w, h, got = decode_pixels(payload)
+        assert (w, h) == (2, 2)
+        assert sum(got) / len(got) == pytest.approx(want_mean, abs=0)
+
+
+def test_truncated_and_unsupported_payloads():
+    with pytest.raises(ValueError):
+        decode_pixels(b"P6\n4 4\n255\nshort")
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\x89PNG\r\n\x1a\n....")  # compressed codec seam
+
+
+def test_spark_decode_matches_local(spark, sf_smoke):
+    """The full Spark path (synth_ppm_media → mapInPandas decode) must
+    equal a driver-side re-decode of the same payloads."""
+    from vector_ai_npm_spark import registry
+
+    out = {
+        r.asset_id: (r.width, r.height, r.n_bytes, r.mean_pixel)
+        for r in registry.run("multimodal_decode", spark, sf_smoke).collect()
+    }
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.multimodal.binary import synth_ppm_media
+
+    media = synth_ppm_media(load_table(spark, sf_smoke, "documents"))
+    for r in media.collect():
+        payload = bytes(r.payload)
+        w, h, px = decode_pixels(payload)
+        want = (w, h, len(payload), round(sum(px) / len(px), 6))
+        assert out[r.asset_id] == want, r.asset_id

@@ -9,11 +9,14 @@ are mapInPandas stages: one Arrow batch of payloads in, one batch of
 features out — the shape that keeps 100 TB of media off the driver and
 amortizes codec startup per batch rather than per row.
 
-This container has no image/audio codecs, so `decode_image` is a STUB:
-the Spark-side plumbing (schema, batching, partitioning) is real and
-tested; the pixel decode raises NotImplementedError unless
-`fake_decoder=True`, which substitutes a deterministic header parse
-(dims from the payload bytes) so tests can exercise the full path.
+This container has no image codec LIBRARIES, but uncompressed formats
+need none: `decode_image` natively decodes PPM (P6) / PGM (P5) and
+uncompressed 24/32-bit BMP in pure Python — header parse + pixel-array
+slice, no dependencies — so the decode face is semantically real, not a
+stub. Compressed codecs (JPEG/PNG/WebP) remain the documented
+NotImplementedError seam: swap `decode_image`'s fallback branch for a
+PIL/opencv call in production. `fake_decoder=True` keeps the old
+deterministic stand-in for payloads that aren't images at all.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -48,6 +52,7 @@ FEATURE_SCHEMA = StructType(
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("checksum", LongType()),
+        StructField("mean_pixel", DoubleType()),
     ]
 )
 
@@ -67,13 +72,110 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB — the real implementation needs an image codec (PIL/opencv),
-    which this container does not ship. The Spark plumbing around it is
-    real; swap this function for the codec call in production."""
+def _decode_pnm(payload: bytes) -> tuple[int, int, bytes]:
+    """PPM (P6, RGB) / PGM (P5, gray) binary decode: header tokens
+    (whitespace-separated, '#' comments) then the raw pixel array."""
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # exactly one whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    n = w * h * (3 if payload[:2] == b"P6" else 1)
+    pixels = payload[i : i + n]
+    if len(pixels) != n:
+        raise ValueError(f"truncated PNM: want {n} pixel bytes, got {len(pixels)}")
+    return w, h, bytes(pixels)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed 24/32-bit BMP decode: BITMAPINFOHEADER fields, then
+    the bottom-up, 4-byte-row-aligned BGR(A) array → RGB top-down."""
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    h, bottom_up = abs(h_raw), h_raw > 0
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = []
+    for r in range(h):
+        src = h - 1 - r if bottom_up else r
+        row = payload[data_off + src * stride : data_off + src * stride + w * nch]
+        if len(row) != w * nch:
+            raise ValueError("truncated BMP pixel array")
+        # BGR(A) → RGB
+        rows.append(
+            bytes(
+                b
+                for px in (row[c * nch : c * nch + 3] for c in range(w))
+                for b in px[::-1]
+            )
+        )
+    return w, h, b"".join(rows)
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGB-or-gray pixel bytes) for the formats decodable
+    without a codec library: PPM/PGM and uncompressed BMP. Compressed
+    codecs (JPEG/PNG/...) are the documented production seam — swap this
+    fallback for PIL/opencv there."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires a codec library not present in this "
-        "environment; use fake_decoder=True for the deterministic stand-in"
+        "compressed image codecs (JPEG/PNG/...) require a codec library "
+        "not present in this environment; PPM/PGM/BMP decode natively, "
+        "or use fake_decoder=True for the deterministic stand-in"
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """(width, height) via the native pure-Python decode."""
+    w, h, _ = decode_pixels(payload)
+    return w, h
+
+
+def synth_ppm_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the REAL decode path: a genuine binary P6 PPM
+    per document, built entirely JVM-side. Dims vary per doc
+    (w = 4 + doc_id % 5, h = 4 + doc_id % 3); pixel bytes are the first
+    w·h·3 chars of a sha2 hex chain over the text — deterministic, ASCII
+    (1 byte/char), and reproducible in DuckDB (sha256 + unicode), which
+    is what lets the decode query carry a value oracle."""
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(4) + F.col("doc_id") % 3).cast("int")
+    chain = F.concat(
+        F.sha2(F.col("text"), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
+    )
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    body = F.substring(chain, F.lit(1), w * h * 3)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.concat(header, body), "utf-8").alias("payload"),
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("meta_json"),
     )
 
 
@@ -91,23 +193,33 @@ def extract_features(media: DataFrame, fake_decoder: bool = False) -> DataFrame:
     initialize a codec once (the expensive part at scale) and stream
     rows through it.
     """
-    decode = _fake_decode if fake_decoder else decode_image
+    if fake_decoder:
+        # stand-in for non-image payloads: fake dims, mean over raw bytes
+        def decode(b: bytes) -> tuple[int, int, bytes]:
+            w, h = _fake_decode(b)
+            return w, h, b
+
+    else:
+        decode = decode_pixels
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
         for pdf in batches:
-            dims = pdf["payload"].map(lambda b: decode(bytes(b)))
+            decoded = pdf["payload"].map(lambda b: decode(bytes(b)))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "width": dims.map(lambda d: d[0]).astype("int64"),
-                    "height": dims.map(lambda d: d[1]).astype("int64"),
+                    "width": decoded.map(lambda d: d[0]).astype("int64"),
+                    "height": decoded.map(lambda d: d[1]).astype("int64"),
                     "checksum": pdf["payload"]
                     .map(lambda b: zlib.crc32(bytes(b)))
                     .astype("int64"),
+                    "mean_pixel": decoded.map(
+                        lambda d: (sum(d[2]) / len(d[2])) if d[2] else 0.0
+                    ).astype("float64"),
                 }
             )
 

@@ -65,12 +65,50 @@ def multimodal_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # rows-only: decoder is a stubbed codec boundary
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INTEGER) AS w,
+             4 + CAST(doc_id % 3 AS INTEGER) AS h,
+             sha256(text) || sha256(text || 'a') || sha256(text || 'b')
+               AS chain
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           'image' AS modality,
+           CAST(length('P6' || chr(10) || w || ' ' || h || chr(10)
+                       || '255' || chr(10)) + w * h * 3 AS BIGINT)
+             AS n_bytes,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           ROUND(list_aggregate(
+                   list_transform(range(1, w * h * 3 + 1),
+                                  i -> unicode(substr(chain, CAST(i AS INTEGER), 1))),
+                   'avg'), 6) AS mean_pixel
+    FROM m
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/feature-extract with the deterministic fake
-    decoder (real codec is stubbed — not in this container)."""
-    media = synth_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media, fake_decoder=True)
+    """mapInPandas decode/feature-extract over GENUINE P6 PPM payloads
+    (synth_ppm_media), through the real pure-Python decoder — no fake.
+    The oracle reconstructs the same header + sha2-hex pixel bytes in
+    DuckDB and checks decoded dims, byte counts, and the mean pixel
+    value, so a decoder regression (stride, header parse, pixel slice)
+    hash-mismatches. Round 6dp both sides; the mean is an exact-integer
+    sum ÷ count in double, bit-stable across engines."""
+    from vector_ai_npm_spark.multimodal.binary import synth_ppm_media
+
+    media = synth_ppm_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake_decoder=False).select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
 
 
 @query(
