@@ -270,30 +270,84 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("dedup_near_lsh")  # rows-only: MLlib hash families are model-defined
-def dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B18c: MinHashLSH.approxSimilarityJoin over hashed token features —
-    the library variant of dedup_minhash_pairs (north-star "Batch index
-    build via MLlib"). tests/test_dedup.py checks recall vs exact
-    Jaccard pairs."""
+def mllib_lsh_pairs(docs: DataFrame, dist_threshold: float = 0.6) -> DataFrame:
+    """MinHashLSH.approxSimilarityJoin over hashed token features —
+    shared by the B18c query and its planted-dup recall contract."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.expr(_SPARK_TOKS.replace("text", "text")).alias("tokens")
+        "doc_id", F.expr(_SPARK_TOKS).alias("tokens")
     ).where(F.size("tokens") > 0)
     tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 16)
     feats = tf.transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5,
                      seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(
+        feats, feats, dist_threshold, distCol="jaccard_dist"
+    )
     return (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_id_a"),
             F.col("datasetB.doc_id").alias("doc_id_b"),
             F.col("jaccard_dist"),
+        )
+    )
+
+
+@query("dedup_near_lsh")  # rows-only: MLlib hash families are model-defined
+def dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18c: MinHashLSH.approxSimilarityJoin over hashed token features —
+    the library variant of dedup_minhash_pairs (north-star "Batch index
+    build via MLlib"). tests/test_dedup.py checks recall vs exact
+    Jaccard pairs; the driver-checkable recall contract is
+    lsh_dedup_recall below."""
+    return mllib_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_LSH_PLANT_OFFSET = 1_000_000
+
+
+@query(
+    "lsh_dedup_recall",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+    FROM documents
+    """,
+)
+def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18c recall contract as a driver-checkable row (the
+    ann_recall_vs_exact pattern applied to the MLlib MinHashLSH route).
+
+    Plant one textual near-dup per document (the text plus one rare
+    token ⇒ token-set Jaccard ≈ |T|/(|T|+1) ≥ ~0.9), union, and run the
+    shared MLlib pipeline. A planted pair escapes all 5 hash tables with
+    p = (1−j)^5 ≤ 1e-5, so the expected aggregate recall is ≈ 1; the
+    contract pins ≥ 0.95 — a regression in tokenization, the feature
+    hash, or the LSH join flips recall_ok to FALSE → hash mismatch →
+    red driver row. (The model is seeded, so the measured value is
+    deterministic per fixture.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        (F.col("doc_id") + _LSH_PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqxvplantmarker")).alias("text"),
+    )
+    pairs = mllib_lsh_pairs(docs.unionByName(planted))
+    found = pairs.where(
+        F.col("doc_id_b") == F.col("doc_id_a") + _LSH_PLANT_OFFSET
+    )
+    n_planted = docs.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_planted.join(
+            found.agg(F.count(F.lit(1)).alias("n_found")), how="cross"
+        )
+        .select(
+            F.col("n").alias("n_planted"),
+            (
+                F.col("n_found").cast("double")
+                >= F.lit(0.95) * F.col("n").cast("double")
+            ).alias("recall_ok"),
         )
     )
 

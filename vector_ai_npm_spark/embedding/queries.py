@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.chunking.mdx import split_mdx_headers, synth_mdx
+from vector_ai_npm_spark.chunking.queries import _ORACLE_CHUNKS_CTE
 from vector_ai_npm_spark.embedding.hashing import embed_input_expr, hashing_embedder
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
@@ -35,15 +36,28 @@ def embed_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_text")  # rows-only: vector values defined by our Python model
+@query(
+    "embed_text",
+    oracle=_ORACLE_CHUNKS_CTE
+    + """
+    SELECT doc_id, chunk_id,
+           CAST(64 AS BIGINT) AS dim,
+           TRUE AS norm_ok
+    FROM chunks
+    """,
+)
 def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (vector half): chunk the synthesized corpus, format, embed.
 
-    Invariants pinned in tests/test_embedding.py: dim constant, unit
-    norm, determinism. The query face emits only scalar columns (dim,
-    norm, a rounded head-of-vector preview string) — raw array columns
-    crash the driver's pandas canonicalizer, and the library API
-    (`hashing_embedder`) still returns the real array<float> vector.
+    The vector VALUES are defined by our Python hashing model (no DuckDB
+    twin — tests/test_embedding.py pins them: determinism, similarity
+    ordering), but the vector CONTRACT is oracle-checkable: one
+    embedding per chunk (keys mirror the chunk CTE), fixed dim, unit L2
+    norm within 1e-6. A regression in the embedder's shape, coverage, or
+    normalization turns a TRUE into a FALSE or drops a key → red driver
+    row. The library API (`hashing_embedder`) still returns the real
+    array<float> vector; this face emits only scalars (raw array columns
+    crash the driver's pandas canonicalizer — round-1 red row).
     """
     docs = load_table(spark, sf_dir, "documents")
     chunks = split_mdx_headers(synth_mdx(docs))
@@ -56,15 +70,11 @@ def embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(
         F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
     )
-    head = F.array_join(
-        F.transform(F.slice(arr, 1, 4), lambda x: F.round(x, 4).cast("string")), ","
-    )
     return embedded.select(
         "doc_id",
         "chunk_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(norm, 6).alias("l2_norm"),
-        head.alias("vec_head"),
+        (F.abs(norm - F.lit(1.0)) <= F.lit(1e-6)).alias("norm_ok"),
     )
 
 

@@ -44,36 +44,68 @@ from vector_ai_npm_spark.registry import query
 _HLL_LGK = 14
 
 
-@query("agg_sketch_distinct")  # rows-only: estimates have no DuckDB twin
+@query(
+    "agg_sketch_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_ok,
+           TRUE AS theta_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type, three ways: exact, HLL, theta.
 
-    The exact column exists so the accuracy contract is checkable inside
-    the result itself (tests assert |est−exact|/exact ≤ 2%). At 100 TB
-    you'd drop the exact column and keep the sketches: both aggregate
-    map-side into constant-size state, so the shuffle carries
-    O(groups × 16 KiB) regardless of row count — vs count_distinct's
-    O(distinct values) exchange.
+    The raw estimates have no DuckDB twin (sketch internals differ by
+    engine), so the driver-checkable face pins the CONTRACT: the exact
+    count (hash-matchable) beside one boolean per sketch asserting
+    |est − exact| ≤ 2%·exact (HLL lgK=14 ⇒ ~0.8% RSE; 2% ≈ 2.5σ). The
+    oracle mirrors the exact side and TRUE per bound — estimate drift
+    beyond the guarantee turns into a red driver row. At 100 TB you'd
+    drop the exact column and keep the sketches: both aggregate map-side
+    into constant-size state, so the shuffle carries O(groups × 16 KiB)
+    regardless of row count — vs count_distinct's O(distinct values)
+    exchange.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    sk = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", _HLL_LGK)).alias(
             "hll_users"
         ),
         F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("theta_users"),
     )
+    tol = F.lit(0.02) * F.col("exact_users")
+    return sk.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("hll_users") - F.col("exact_users")) <= tol).alias("hll_ok"),
+        (F.abs(F.col("theta_users") - F.col("exact_users")) <= tol).alias(
+            "theta_ok"
+        ),
+    )
 
 
-@query("agg_sketch_merge")  # rows-only: estimates have no DuckDB twin
+@query(
+    "agg_sketch_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_merged,
+           TRUE AS merge_lossless
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeability contract: union-of-daily-partials ≡ full pass.
 
     Builds one HLL sketch per (event_type, day), merges the partials with
     ``hll_union_agg``, and joins against the single-pass sketch. HLL
     union is register-wise max, so ``merged_users == direct_users``
-    EXACTLY (same lgK) — pinned in tests. This is the incremental-metrics
-    pattern: persist the daily sketch column, never rescan history.
+    EXACTLY (same lgK) — emitted as the ``merge_lossless`` boolean the
+    oracle pins to TRUE (beside the hash-matchable day count). This is
+    the incremental-metrics pattern: persist the daily sketch column,
+    never rescan history.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
@@ -89,11 +121,21 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.join(direct, "event_type").select(
-        "event_type", "days_merged", "merged_users", "direct_users"
+        "event_type",
+        "days_merged",
+        (F.col("merged_users") == F.col("direct_users")).alias("merge_lossless"),
     )
 
 
-@query("agg_kll_quantiles")  # rows-only: sketch quantiles have no DuckDB twin
+@query(
+    "agg_kll_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantiles: KLL sketch of l_extendedprice per returnflag.
 
@@ -101,21 +143,39 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact quantiles need a sort or cumulative-count pass; KLL is a
     single-pass constant-memory aggregate whose state merges across
     partitions AND across incremental batches, with a proven rank-error
-    bound (~1.7% at the default k=200 — pinned in tests against the
-    exact ranks). The right default for 100 TB latency dashboards.
+    bound (~1.65% at the default k=200, 99% confidence). The right
+    default for 100 TB latency dashboards.
+
+    Driver face mirrors agg_approx_percentile's contract shape: the KLL
+    values themselves differ by engine, so emit one boolean per rank
+    asserting the estimate lies inside the exact discrete-quantile band
+    at q ± 3% (the rank-error bound plus margin for disc's ceil
+    rounding; the local pytest pins a tighter 2.5% on the measured
+    rank). The oracle pins the group count and TRUE per band.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    sk = li.groupBy("l_returnflag").agg(
+    wg = "WITHIN GROUP (ORDER BY l_extendedprice)"
+    ranks = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    aggs = [
         F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
         F.count(F.lit(1)).alias("n"),
-    )
-    return sk.select(
-        "l_returnflag",
-        "n",
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
-    )
+    ]
+    for q, nm in ranks:
+        lo, hi = max(0.0, q - 0.03), min(1.0, q + 0.03)
+        aggs += [
+            F.expr(f"percentile_disc({lo}) {wg}").alias(f"_lo_{nm}"),
+            F.expr(f"percentile_disc({hi}) {wg}").alias(f"_hi_{nm}"),
+        ]
+    sk = li.groupBy("l_returnflag").agg(*aggs)
+    cols = ["l_returnflag", "n"]
+    for q, nm in ranks:
+        est = F.kll_sketch_get_quantile_double("sk", F.lit(q))
+        cols.append(
+            ((F.col(f"_lo_{nm}") <= est) & (est <= F.col(f"_hi_{nm}"))).alias(
+                f"{nm}_ok"
+            )
+        )
+    return sk.select(*cols)
 
 
 # Number of range buckets for the clustered layout. At 100 TB this would

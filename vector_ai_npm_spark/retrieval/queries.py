@@ -224,6 +224,54 @@ def similarity_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivf_store_recall",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS k, TRUE AS self_rank1_ok, TRUE AS recall_ok
+    FROM (VALUES (1)) t(x)
+    """,
+)
+def ivf_store_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF store's search contract as a driver-checkable
+    row: (a) the query vector's own row must surface at rank 1 with
+    similarity ≈ 1 (the query's cell is always probed — it IS the
+    nearest centroid), and (b) top-k overlap vs the hash-green exact
+    top-k must be ≥ 3/5 at nprobe = nlist/2 on the uniform-random
+    (ANN-hostile) fixture — the floor separating cell-pruned search
+    from chance. Store build + search are deterministic (seeded
+    quantizer), so both booleans are stable per fixture."""
+    import tempfile
+
+    from vector_ai_npm_spark.retrieval.store import (
+        persist_ivf_store,
+        search_ivf_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 7).select("embedding").first()[0])
+    store_dir = tempfile.mkdtemp(prefix="ivf_recall_")
+    persist_ivf_store(emb, store_dir, nlist=8)
+    hits = search_ivf_store(spark, store_dir, qvec, k=5, nprobe=4).select(
+        "vec_id", "similarity", "rank"
+    )
+    exact = similarity_search_topk(
+        emb.select("vec_id", "embedding"), qvec, threshold=-1.0, k=5
+    ).select(F.col("vec_id").alias("e_vec_id"))
+    overlap = hits.join(
+        exact, hits.vec_id == F.col("e_vec_id"), "inner"
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    self_ok = hits.where(
+        (F.col("rank") == 1)
+        & (F.col("vec_id") == 7)
+        & (F.col("similarity") >= 0.999999)
+    ).agg(F.count(F.lit(1)).alias("n_self"))
+    return overlap.join(self_ok, how="cross").select(
+        F.lit(5).cast("long").alias("k"),
+        (F.col("n_self") == 1).alias("self_rank1_ok"),
+        (F.col("n_overlap") >= 3).alias("recall_ok"),
+    )
+
+
 @query("vector_store_ivf")  # rows-only: cell assignment is model-defined
 def vector_store_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 at-rest layout: build the cell-PARTITIONED on-disk store, then
