@@ -126,3 +126,36 @@ def chunk_subsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub_content",
         F.length("sub_content").cast("long").alias("sub_len"),
     )
+
+
+@query(
+    "chunk_subsplit_contract",
+    oracle=_ORACLE_CHUNKS_CTE
+    + """
+    SELECT doc_id, chunk_id, TRUE AS has_subs, TRUE AS len_ok
+    FROM chunks
+    """,
+)
+def chunk_subsplit_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's SQL-checkable invariant face (the contract SURVEY §2 A3
+    declares): the recursive splitter itself is not SQL-expressible, but
+    per PARENT chunk (keys mirror the chunk CTE) two invariants are —
+    every parent yields ≥ 1 sub-chunk, and every sub-chunk is ≤
+    chunk_size (the fixture text is whitespace-splittable, and the
+    ladder ends with the char-level separator, so the ≤ bound is
+    unconditional here). A splitter regression that drops chunks,
+    duplicates keys, or over-lengths a piece turns a TRUE false or
+    breaks the key set → red driver row."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = split_mdx_headers(synth_mdx(docs))
+    sub = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.posexplode(subsplit_udf(120, 30)(F.col("content"))).alias(
+            "sub_pos", "sub_content"
+        ),
+    )
+    return sub.groupBy("doc_id", "chunk_id").agg(
+        (F.count(F.lit(1)) >= 1).alias("has_subs"),
+        (F.max(F.length("sub_content")) <= 120).alias("len_ok"),
+    )
