@@ -89,6 +89,20 @@ def test_ngram_jaccard_has_no_cross_product(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_ann_bands_on_collapsed_reps(spark, sf_smoke):
+    """The LSH route must band CANONICAL REPRESENTATIVES, not raw rows
+    (r5 exact-dup collapse): the plan's band self-join sides sit above
+    the collapse Aggregate (xxhash64 class keys), and nothing in the
+    plan is a cross product. A regression to raw banding re-introduces
+    the B²-candidates-per-duplicate-class hot spot."""
+    plan = _plan(spark, "dedup_embedding_ann", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan, "collapse class keys missing from plan"
+    # the collapse is a hash aggregate keyed on the vector-hash classes
+    assert "min_by" in plan.lower(), plan[:2000]
+
+
 def test_asof_join_is_single_window_no_join_explosion(spark, sf_smoke):
     # the union-and-carry-forward shape: one Window, zero joins
     plan = _plan(spark, "join_asof", sf_smoke)
