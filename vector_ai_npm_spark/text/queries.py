@@ -369,3 +369,45 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(comp, "doc_id")
         .select("doc_id", "component_id", "n_chars", "n_tokens", "lang")
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH x AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), tot AS (SELECT COUNT(*) AS n_total FROM x)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS found_ok
+    FROM x, tot GROUP BY tok, n_total
+    HAVING COUNT(*) > 0.01 * n_total
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+ scale path: heavy-hitter terms via ``DataFrame.stat.freqItems``
+    (the Karp/Papadimitriou/Shenker streaming counter) beside the exact
+    count — the "top domains / top boilerplate tokens" op of a corpus
+    pipeline at 100 TB, where the sketch pass is one scan with
+    constant-size per-partition state and NO shuffle of the token stream.
+
+    Contract shape: the rows are the EXACT heavy hitters (count >
+    support·N, hash-matchable in DuckDB); ``found_ok`` pins the sketch's
+    superset guarantee — every true heavy hitter must appear in the
+    freqItems result. The superset's false positives are filtered by the
+    exact side (the standard two-pass heavy-hitter recipe: sketch to
+    shortlist, one exact count pass over the shortlist).
+
+    The freqItems result is a single bounded row (≤ 1/support items) —
+    driver-collected like the IVF centroid probe, not a data collect."""
+    support = 0.01
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+    shortlist = set(toks.stat.freqItems(["tok"], support=support).first()[0])
+    n_total = toks.count()
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.where(
+        F.col("n") > F.lit(support) * F.lit(float(n_total))
+    ).select(
+        "tok",
+        "n",
+        F.col("tok").isin(*shortlist).alias("found_ok"),
+    )
