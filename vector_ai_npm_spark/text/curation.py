@@ -368,3 +368,124 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Test-set decontamination (n-gram overlap vs a held-out benchmark set)
+# --------------------------------------------------------------------------
+
+# 8-token shingles, the usual decontamination n-gram size (13 in GPT-3's
+# report; smaller here so the ~100-token fixture docs carry enough grams)
+_SPARK_8GRAMS = (
+    f"CASE WHEN size({_SPARK_TOKS}) >= 8 THEN array_distinct(transform("
+    f"sequence(1, size({_SPARK_TOKS}) - 7), "
+    f"i -> array_join(slice({_SPARK_TOKS}, i, 8), ' '))) "
+    f"ELSE array(array_join({_SPARK_TOKS}, ' ')) END"
+)
+_DUCK_8GRAMS = (
+    f"CASE WHEN len({_DUCK_TOKS}) >= 8 THEN list_distinct(list_transform("
+    f"range(1, len({_DUCK_TOKS}) - 6), "
+    f"i -> array_to_string({_DUCK_TOKS}[i:i+7], ' '))) "
+    f"ELSE [array_to_string({_DUCK_TOKS}, ' ')] END"
+)
+
+# deterministic pseudo-benchmark: every 97th document plays the eval set
+_BENCH_MOD = 97
+
+
+@query(
+    "curate_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_DUCK_8GRAMS}) AS gram FROM documents
+    ), bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0
+    ), hits AS (
+      SELECT DISTINCT g.doc_id
+      FROM g JOIN bench ON g.gram = bench.gram
+      WHERE g.doc_id % {_BENCH_MOD} != 0
+    )
+    SELECT d.doc_id,
+           d.doc_id % {_BENCH_MOD} = 0 AS is_benchmark,
+           h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Gopher eval-overlap filter,
+    arXiv:2005.14165 §C / arXiv:2112.11446): flag every training
+    document sharing any 8-token shingle with the held-out benchmark
+    set (here: the deterministic doc_id % 97 == 0 slice).
+
+    100 TB shape: the benchmark gram set is eval-suite-sized (thousands
+    of docs), so it BROADCASTS — the corpus side streams through a
+    broadcast left-semi join on the gram key and aggregates distinct
+    doc ids; the corpus is never shuffled by gram. Training docs whose
+    flag is true are dropped (or quarantined) before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_8GRAMS)).alias("gram")
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_grams = grams.where(is_bench).select("gram").distinct()
+    hits = (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            is_bench.alias("is_benchmark"),
+            F.coalesce("_hit", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "text_rarity_score",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM x GROUP BY tok
+    )
+    SELECT x.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(df.doc_freq) AS BIGINT) AS sum_df,
+           CAST(MIN(df.doc_freq) AS BIGINT) AS rarest_df
+    FROM x JOIN df ON x.tok = df.tok
+    GROUP BY x.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal: per document, the total and minimum
+    corpus document-frequency of its tokens — the integer core of a
+    unigram-LM quality score (docs dominated by rare/garbage tokens have
+    low sum_df; a downstream filter thresholds sum_df/n_toks without
+    re-scanning). Integer outputs keep the oracle bit-stable (no ln —
+    the lesson of text_tfidf_scored's 1-ulp divergence).
+
+    Plan: one tokenize Generate, df from a term-keyed aggregate of the
+    SAME exploded frame (self-join on tok — at 100 TB the df side is
+    vocabulary-sized and broadcastable after aggregation), one doc-keyed
+    aggregate. Two shuffles total (term, doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+    df = x.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    return (
+        x.join(F.broadcast(df), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("doc_freq").alias("sum_df"),
+            F.min("doc_freq").alias("rarest_df"),
+        )
+    )
