@@ -103,6 +103,23 @@ def test_embedding_ann_bands_on_collapsed_reps(spark, sf_smoke):
     assert "min_by" in plan.lower(), plan[:2000]
 
 
+def test_rarity_score_tokenizes_once(spark, sf_smoke):
+    """text_rarity_score must carry ONE Generate (the TF-IDF lesson): df
+    comes from a window over the tf aggregate, never a second tokenize
+    of the raw corpus."""
+    plan = _plan(spark, "text_rarity_score", sf_smoke)
+    assert plan.count("Generate") == 1, plan[:2000]
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_smoke):
+    """The corpus side must stream through a BROADCAST semi join on the
+    gram key — shuffling 100 TB of corpus grams by gram would be the
+    wrong plan; the benchmark set is eval-suite-sized by construction."""
+    plan = _plan(spark, "curate_decontaminate", sf_smoke)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_is_single_window_no_join_explosion(spark, sf_smoke):
     # the union-and-carry-forward shape: one Window, zero joins
     plan = _plan(spark, "join_asof", sf_smoke)

@@ -471,21 +471,27 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanning). Integer outputs keep the oracle bit-stable (no ln —
     the lesson of text_tfidf_scored's 1-ulp divergence).
 
-    Plan: one tokenize Generate, df from a term-keyed aggregate of the
-    SAME exploded frame (self-join on tok — at 100 TB the df side is
-    vocabulary-sized and broadcastable after aggregation), one doc-keyed
-    aggregate. Two shuffles total (term, doc)."""
+    Plan: ONE tokenize Generate (the TF-IDF discipline — a second
+    Generate tokenizes 100 TB twice): tf per (doc, tok) collapses the
+    exploded stream map-side; doc_freq comes from a term-window over
+    the tf aggregate, not a re-aggregation of raw tokens; the final
+    doc-keyed aggregate folds Σtf, Σtf·df, min df. Shuffles touch only
+    the (doc, tok, tf) aggregate — never the raw token stream twice."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    x = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
-    df = x.groupBy("tok").agg(
-        F.count_distinct("doc_id").alias("doc_freq")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    df = F.count(F.lit(1)).over(Window.partitionBy("tok"))
     return (
-        x.join(F.broadcast(df), "tok")
+        tf.withColumn("doc_freq", df)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum("doc_freq").alias("sum_df"),
+            F.sum("tf").alias("n_toks"),
+            F.sum(F.col("tf") * F.col("doc_freq")).alias("sum_df"),
             F.min("doc_freq").alias("rarest_df"),
         )
     )
