@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from vector_ai_npm_spark.chunking.mdx import split_mdx_headers, synth_mdx
 from vector_ai_npm_spark.chunking.queries import _ORACLE_CHUNKS_CTE
 from vector_ai_npm_spark.embedding.hashing import embed_input_expr, hashing_embedder
+from vector_ai_npm_spark.functions.numeric import o_davg
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
 
@@ -115,4 +116,44 @@ def vector_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum(F.length("content")).alias("content_chars"),
+    )
+
+
+@query(
+    "vector_mean_pool",
+    oracle=f"""
+    WITH x AS (
+      SELECT label, CAST(i - 1 AS BIGINT) AS dim_pos,
+             CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT label, dim_pos,
+           {o_davg('v')} AS mean_component,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM x GROUP BY label, dim_pos
+    """,
+)
+def vector_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled vectors per label (centroid computation — the
+    chunk→document pooling and k-means/IVF building block): posexplode
+    components, exact-decimal mean per (label, dim) so the float fold is
+    order-independent and bit-equal across engines (functions.numeric).
+
+    100 TB shape: one Generate over the corpus, one shuffle keyed
+    (label, dim) with map-side combine — per-group state is a single
+    decimal accumulator, memory O(labels × dim) regardless of corpus
+    size. Reassembling the pooled array is a downstream
+    sort_array(collect_list(struct(dim_pos, v))) over dim-sized groups."""
+    from vector_ai_npm_spark.functions.numeric import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim_pos", "v"
+        ),
+    )
+    return x.groupBy("label", F.col("dim_pos").cast("long").alias("dim_pos")).agg(
+        davg("v", "mean_component"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
