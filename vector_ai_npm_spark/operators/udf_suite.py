@@ -118,3 +118,49 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_z",
         )
     )
+
+
+@query(
+    "udtf_sentences",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS sent_pos,
+           parts[CAST(i AS INTEGER)] AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+         UNNEST(range(1, len(parts) + 1)) AS t(i)
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29+: a REAL Python UDTF (Spark 4 `@udtf`) in a LATERAL join —
+    one input row expands to one row per sentence, with the expansion
+    logic in the UDTF's `eval` generator. Complements the
+    UDTF-via-explode face in `udf_surface` with the first-class API.
+
+    Deliberately simple split semantics ('. ' separator, Python
+    `str.split`) so the DuckDB oracle reproduces the rows exactly —
+    this query pins the UDTF execution path (registration, lateral
+    correlation, generator protocol), not clever NLP.
+
+    Scale note: Python UDTFs are row-at-a-time like scalar UDFs — the
+    JVM-native equivalent (`split` + `posexplode`, see
+    chunk_split_headers) is the production path for a split this
+    regular; the UDTF earns its cost only when the expansion logic
+    needs real Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_pos: bigint, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". "), start=1):
+                yield i, s
+
+    spark.udtf.register("udtf_sentences_split", SentenceSplit)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_sentences_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_pos, s.sentence
+        FROM udtf_sentences_docs d,
+             LATERAL udtf_sentences_split(d.text) s
+        """
+    )
