@@ -103,6 +103,15 @@ def test_embedding_ann_bands_on_collapsed_reps(spark, sf_smoke):
     assert "min_by" in plan.lower(), plan[:2000]
 
 
+def test_multires_rollup_is_one_pass(spark, sf_smoke):
+    """Three time resolutions must come from ONE scan + ONE Expand +
+    ONE shuffle (the GROUPING SETS shape) — not three scans of the
+    fact feed."""
+    plan = _plan(spark, "rollup_time_multires", sf_smoke)
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert plan.count("Expand") == 1, plan[:2000]
+
+
 def test_rarity_score_tokenizes_once(spark, sf_smoke):
     """text_rarity_score must carry ONE Generate (the TF-IDF lesson): df
     comes from a window over the tf aggregate, never a second tokenize

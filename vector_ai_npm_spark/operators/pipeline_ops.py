@@ -177,3 +177,57 @@ def cdc_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return kept.unionByName(closed).unionByName(opened)
+
+
+@query(
+    "rollup_time_multires",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 1 MINUTE, ts) AS m,
+             time_bucket(INTERVAL 1 HOUR, ts)   AS h,
+             time_bucket(INTERVAL 1 DAY, ts)    AS d
+      FROM events
+    )
+    SELECT CASE WHEN m IS NOT NULL THEN '1m'
+                WHEN h IS NOT NULL THEN '1h' ELSE '1d' END AS resolution,
+           COALESCE(m, h, d) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(30,8)))
+                AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM b
+    GROUP BY GROUPING SETS ((m, event_type), (h, event_type), (d, event_type))
+    """,
+)
+def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    pattern): minute, hour, and day buckets per event_type computed in
+    ONE pass via GROUPING SETS — Catalyst plans a single Expand (3×
+    row replication of the narrow projection) into one shuffle/partial
+    aggregate, vs three separate scans of a 100 TB fact feed. This is
+    the write-side shape for serving dashboards at several zoom levels
+    from one job; sums use the exact-decimal fold (functions.numeric)
+    so every resolution is bit-consistent with its finer parents."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "value",
+        F.date_trunc("minute", "ts").alias("m"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+    )
+    b.createOrReplaceTempView("rollup_multires_b")
+    return spark.sql(
+        """
+        SELECT CASE WHEN m IS NOT NULL THEN '1m'
+                    WHEN h IS NOT NULL THEN '1h' ELSE '1d' END AS resolution,
+               COALESCE(m, h, d) AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(30,8)))
+                    AS DECIMAL(30,8)) AS DOUBLE) AS total_value
+        FROM rollup_multires_b
+        GROUP BY GROUPING SETS ((m, event_type), (h, event_type), (d, event_type))
+        """
+    )
