@@ -54,7 +54,9 @@ def exact_pairs(
     block_col: str | None = "label",
     salt: int = 4,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold within blocks, salted grid join.
+    """Exact all-pairs cosine ≥ threshold within blocks: exact-dup
+    collapse → salted grid join on the canonical representatives →
+    pair re-expansion.
 
     A plain self-join on `block_col` shuffles on ~#blocks keys ⇒ at most
     #blocks busy tasks no matter the cluster. The grid rewrite salts both
@@ -63,21 +65,38 @@ def exact_pairs(
     parallelism at an S× replication of the (narrow) inputs. Every
     unordered pair lands in exactly one cell ⇒ identical results to the
     naive join.
+
+    The collapse (same discipline as lsh_pairs) shrinks the quadratic
+    term to DISTINCT vectors: B exact copies cost one grid row instead
+    of B, and the C(B,2) duplicate pairs are emitted by the linear
+    re-expansion instead of B² cosine evaluations. On a duplicate-heavy
+    corpus this converts the O(n²/block) grid into O(d²/block) for d
+    distinct values (BASELINE.md §4d: the 10× replica, which is 10
+    copies of everything, runs the grid at ~1× cost). Identical inputs
+    ⇒ identical cosines, so results are bit-equal to the uncollapsed
+    plan (the hash-green dedup_embedding oracle is unchanged).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    reps, members = collapse_exact_duplicates(emb, id_col, vec_col, block_col)
+    reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
+    class_cols = ["_h1", "_h2"] + ([block_col] if block_col else [])
+
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    base = emb.select(*cols, (F.col(id_col) % salt).alias("_salt"))
+    base = reps.select(*cols, (F.col(id_col) % salt).alias("_salt"))
     grid = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_other")
     a = base.select("*", grid).alias("a")
     b = base.select("*", grid).alias("b")
     cond = (
-        (F.col(f"a._other") == F.col("b._salt"))
-        & (F.col(f"b._other") == F.col("a._salt"))
+        (F.col("a._other") == F.col("b._salt"))
+        & (F.col("b._other") == F.col("a._salt"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
     cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return (
+    rep_pairs = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),
@@ -85,6 +104,9 @@ def exact_pairs(
             cos.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+    return expand_member_pairs(
+        rep_pairs, reps, members, threshold, id_col, vec_col, class_cols
     )
 
 
@@ -257,15 +279,38 @@ def lsh_pairs(
         .where(F.col("cosine") >= threshold)
     )
 
-    # --- re-expansion: representative pairs → member pairs -------------
-    # Cross-class: every member of class(rep_a) pairs with every member
-    # of class(rep_b); identical vectors ⇒ the rep cosine IS the member
-    # cosine. Orientation by least/greatest (classes are disjoint id
-    # sets, so no pair is emitted twice).
+    return expand_member_pairs(
+        rep_pairs, reps, members, threshold, id_col, vec_col, class_cols
+    )
+
+
+def expand_member_pairs(
+    rep_pairs: DataFrame,
+    reps: DataFrame,
+    members: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    class_cols: list[str],
+) -> DataFrame:
+    """Representative pairs → member pairs (shared by exact_pairs and
+    lsh_pairs after the exact-dup collapse).
+
+    Cross-class: every member of class(rep_a) pairs with every member
+    of class(rep_b); identical vectors ⇒ the rep cosine IS the member
+    cosine. Orientation by least/greatest (classes are disjoint id
+    sets, so no pair is emitted twice).
+
+    Intra-class: each duplicate class of size B contributes its C(B,2)
+    pairs at the self-cosine of the shared vector (≈1.0 up to fp
+    rounding — computed, not assumed, so the emitted value is
+    bit-identical to the uncollapsed plan's).
+    """
     rep_class = reps.select(
         F.col(id_col).alias("_rep_id"),
         *[F.col(c).alias(f"_k_{c}") for c in class_cols],
     )
+
     def _members_as(side: str):
         cond = None
         for c in class_cols:
@@ -297,10 +342,6 @@ def lsh_pairs(
             "cosine",
         )
     )
-    # Intra-class: each duplicate class of size B contributes its
-    # C(B,2) pairs at the self-cosine of the shared vector (≈1.0 up to
-    # fp rounding — computed, not assumed, so the emitted value is
-    # bit-identical to the uncollapsed plan's).
     dup_classes = reps.where(F.col("_csize") >= 2).select(
         *class_cols,
         cosine_similarity(F.col(vec_col), F.col(vec_col)).alias("cosine"),
