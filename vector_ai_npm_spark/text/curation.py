@@ -495,3 +495,41 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_freq").alias("rarest_df"),
         )
     )
+
+
+@query(
+    "curate_split_train_val",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#split'),
+                  1, 15) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'val' ELSE 'test' END AS split
+    FROM s
+    """,
+)
+def curate_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split (96/2/2) via
+    keyed md5 hash-threshold — the sample_ops discipline applied to
+    dataset splitting. Hashing the DOCUMENT id (never the chunk id)
+    means every derived row of a document — chunks, sub-chunks,
+    embeddings — inherits one split downstream by joining on doc_id, so
+    no document straddles train and eval (the leakage failure mode of
+    row-level random splits). Partitioning-independent, engine-stable,
+    re-derivable anywhere from the id alone: no split table to keep in
+    sync at 100 TB, though you CAN materialize it as a partition column
+    (sink_parquet pattern) for split-pruned scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("split")))
+    bucket = F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint") % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 96, "train")
+        .when(bucket < 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
