@@ -496,3 +496,61 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_pairs(spark, sf_dir)
     return assign_components(docs, pairs)
+
+
+def _keep_best_oracle() -> str:
+    """Components closure (same recursive CTE) + quality-ranked canonical
+    selection: keep the LONGEST member per cluster, not the min-id."""
+    pairs_sql = registry._ORACLES["dedup_minhash_pairs"]
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+              UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(v, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v
+    ),
+    comp AS (SELECT v, MIN(r) AS component_id FROM reach GROUP BY v),
+    base AS (
+      SELECT d.doc_id,
+             COALESCE(c.component_id, d.doc_id) AS component_id,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    )
+    SELECT doc_id, component_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY component_id
+                              ORDER BY n_tokens DESC, doc_id ASC) = 1
+             AS keep_best
+    FROM base
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 closing step, quality-aware variant: within each transitive
+    near-dup cluster keep the HIGHEST-QUALITY member (longest token
+    count, min-id tiebreak) instead of the arbitrary min-id canonical —
+    the curation semantics real pipelines want (the best copy survives,
+    not the first-crawled one). Plan: the components fixpoint (min-label
+    propagation) plus ONE extra window over doc-count-sized rows keyed
+    by component — negligible next to the pair generation."""
+    from pyspark.sql import Window
+
+    from vector_ai_npm_spark.dedup.components import assign_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    comp = assign_components(docs, pairs).select("doc_id", "component_id")
+    base = docs.select(
+        "doc_id", F.size(F.expr(_SPARK_TOKS)).cast("long").alias("n_tokens")
+    ).join(comp, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return base.select(
+        "doc_id",
+        "component_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep_best"),
+    )
