@@ -169,3 +169,30 @@ def test_exact_dedup_flags_injected_duplicates(spark):
     out = {r.doc_id: r.is_dup for r in df.select(
         "doc_id", (F.col("doc_id") != keeper).alias("is_dup")).collect()}
     assert out == {1: False, 2: True, 3: False}
+
+
+def test_keep_best_exactly_one_keeper_per_component(spark, sf_smoke):
+    rows = registry.run("dedup_keep_best", spark, sf_smoke).collect()
+    keepers = {}
+    for r in rows:
+        keepers.setdefault(r.component_id, []).append(r)
+    for cid, members in keepers.items():
+        kept = [r for r in members if r.keep_best]
+        assert len(kept) == 1, (cid, members)
+        # the keeper is the longest (min-id tiebreak)
+        best = max(members, key=lambda r: (r.n_tokens, -r.doc_id))
+        assert kept[0].doc_id == best.doc_id
+
+
+def test_split_train_val_proportions_and_determinism(spark, sf_smoke):
+    a = {r.doc_id: r.split for r in registry.run(
+        "curate_split_train_val", spark, sf_smoke).collect()}
+    b = {r.doc_id: r.split for r in registry.run(
+        "curate_split_train_val", spark, sf_smoke).collect()}
+    assert a == b, "split must be deterministic"
+    n = len(a)
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] / n > 0.9
+    assert 0 < c["val"] / n < 0.06 and 0 < c["test"] / n < 0.06
