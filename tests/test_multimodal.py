@@ -102,3 +102,31 @@ def test_spark_decode_matches_local(spark, sf_smoke):
         w, h, px = decode_pixels(payload)
         want = (w, h, len(payload), round(sum(px) / len(px), 6))
         assert out[r.asset_id] == want, r.asset_id
+
+
+def test_decoder_roundtrip_property():
+    """Property: for random dims/pixels, encode→decode is the identity
+    for both PPM and BMP (stride padding, bottom-up flip, BGR swap)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        pixels = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        assert decode_pixels(_ppm(w, h, pixels)) == (w, h, pixels)
+        rows = [pixels[r * w * 3 : (r + 1) * w * 3] for r in range(h)]
+        assert decode_pixels(_bmp24(w, h, rows)) == (w, h, pixels)
+
+    check()

@@ -127,3 +127,54 @@ def test_window_rotates_off_previous_round():
     assert len(window - latest) >= 40, (
         f"window repeats {len(window & latest)} of the previous round's names"
     )
+
+
+def test_rotation_covers_all_queries_within_cycle(monkeypatch, tmp_path):
+    """Simulate the driver against the real registry: starting from
+    all-green history, repeatedly (a) take the first-50 window, (b)
+    record a green row for it at round r, (c) re-sort. Every registered
+    query must be re-verified within ceil(n/50) rounds — the window
+    must never freeze on a subset."""
+    import math
+
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    rows_only = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": 1,
+        "err": "no_oracle",
+    }
+    names = list(registry.all_queries())
+    oracles = set(registry.all_oracles())
+    files = []
+
+    def fake_glob(self, pat):
+        return iter(list(files))
+
+    monkeypatch.setattr(registry.Path, "glob", fake_glob)
+    # round 0: everything green at once
+    f0 = tmp_path / "CORRECTNESS_r00.json"
+    f0.write_text(json.dumps(
+        {n: (green if n in oracles else rows_only) for n in names}
+    ))
+    files.append(f0)
+
+    seen_rounds = {}
+    cycle = math.ceil(len(names) / 50)
+    for r in range(1, cycle + 1):
+        window = list(registry.all_queries())[:50]
+        for n in window:
+            seen_rounds.setdefault(n, r)
+        f = tmp_path / f"CORRECTNESS_r{r:02d}.json"
+        f.write_text(json.dumps(
+            {n: (green if n in oracles else rows_only) for n in window}
+        ))
+        files.append(f)
+    missed = [n for n in names if n not in seen_rounds]
+    assert not missed, f"{len(missed)} queries never re-verified: {missed[:5]}"
