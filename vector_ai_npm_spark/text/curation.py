@@ -533,3 +533,70 @@ def curate_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "curate_strip_html",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><script>var x=1;</script></head><body><div class="nav">menu</div><p>'
+             || text || '</p><footer>(c) corp</footer></body></html>' AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(html,
+                 '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<nav[^>]*>.*?</nav>|<footer[^>]*>.*?</footer>|<header[^>]*>.*?</header>|<div class="nav">.*?</div>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g')) AS stripped
+      FROM h
+    )
+    SELECT doc_id,
+           regexp_replace(stripped, ' +', ' ', 'g') AS clean_text,
+           CAST(length(regexp_replace(stripped, ' +', ' ', 'g')) AS BIGINT)
+             AS n_chars
+    FROM s
+    """,
+)
+def curate_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (the RefinedWeb/trafilatura stage as regex
+    plumbing): drop script/style blocks, chrome containers (nav, footer,
+    header), then all remaining tags, and collapse whitespace — per
+    document, map-only, zero shuffles at any scale. The fixture has no
+    HTML, so the page is SYNTHESIZED deterministically around the text
+    (same string in both engines — the synth_mdx discipline), which
+    makes the stripper itself the thing under oracle test. In
+    production the regex core swaps for a real extractor (trafilatura /
+    readability) behind the same (doc_id, html) → (doc_id, clean_text)
+    signature — this pins the Spark-side shape and the oracle plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script>var x=1;</script></head><body><div class="nav">menu</div><p>'),
+        F.col("text"),
+        F.lit("</p><footer>(c) corp</footer></body></html>"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    html,
+                    r"(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>",
+                    " ",
+                ),
+                r'(?s)<nav[^>]*>.*?</nav>|<footer[^>]*>.*?</footer>|<header[^>]*>.*?</header>|<div class="nav">.*?</div>',
+                " ",
+            ),
+            r"<[^>]+>",
+            " ",
+        )
+    )
+    clean = F.regexp_replace(stripped, " +", " ")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars"),
+    )
