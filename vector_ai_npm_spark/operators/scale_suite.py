@@ -24,11 +24,14 @@ state in Postgres (vector-client.ts:293-313) where exact DISTINCT / sort
 is cheap at its scale; these operators are the Spark-native replacements
 once the store is parquet measured in terabytes.
 
-Estimate-bearing queries are rows-only for the driver's oracle gate
-(DuckDB's HLL internals differ, so estimates can't hash-match); their
-accuracy and merge-consistency contracts are pinned in
-tests/test_scale_suite.py instead. The layout query IS oracle-checked:
-re-laying-out data must never change query results.
+Raw estimates have no DuckDB twin (sketch internals differ by engine),
+so the estimate-bearing queries emit CONTRACT faces instead: the exact
+side (hash-matchable) beside booleans pinning each estimate inside its
+documented error bound, with TRUE mirrored in the oracle — drift beyond
+the guarantee becomes a red driver row. The raw-estimate accuracy and
+merge-consistency pins live in tests/test_scale_suite.py. The layout
+query IS value-oracle-checked: re-laying-out data must never change
+query results.
 """
 
 from __future__ import annotations
