@@ -227,3 +227,35 @@ def test_engine_scale_family_facade(spark, sf_smoke, tmp_path):
     }
     for r in est:
         assert abs(r.est - exact[r.event_type]) <= 0.02 * exact[r.event_type]
+
+
+def test_engine_curation_facade(spark, sf_smoke):
+    """split_dataset / decontaminate / keep_best_per_cluster facade
+    methods: split is total and doc-keyed; decontamination flags the
+    benchmark overlap; exactly one keeper per cluster."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.engine import VectorEngine
+    from vector_ai_npm_spark.io.sources import load_table
+
+    eng = VectorEngine(spark)
+    docs = load_table(spark, sf_smoke, "documents")
+
+    split = eng.split_dataset(docs)
+    assert split.where(~F.col("split").isin("train", "val", "test")).count() == 0
+    assert split.count() == docs.count()
+
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    flagged = eng.decontaminate(docs.where(F.col("doc_id") % 97 != 0), bench)
+    assert "contaminated" in flagged.columns
+    assert flagged.count() == docs.where(F.col("doc_id") % 97 != 0).count()
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], ["doc_id_a", "doc_id_b"]
+    )
+    scored = docs.select("doc_id", F.col("n_chars").alias("q"))
+    kept = eng.keep_best_per_cluster(scored, pairs, "q")
+    cluster = kept.where(F.col("component_id") == 0).collect()
+    assert sum(1 for r in cluster if r.keep_best) == 1
+    best = max(cluster, key=lambda r: (r.q, -r.doc_id))
+    assert [r.doc_id for r in cluster if r.keep_best] == [best.doc_id]

@@ -188,6 +188,83 @@ class VectorEngine:
             F.hll_sketch_agg(value_col, lg_k).alias(f"{value_col}_hll")
         )
 
+    def split_dataset(self, df: DataFrame, id_col: str = "doc_id",
+                      train: int = 96, val: int = 2) -> DataFrame:
+        """Deterministic leakage-safe train/val/test split column keyed on
+        the DOCUMENT id (derived rows inherit the split by joining on the
+        id — no document straddles train and eval). Percentages are
+        train/val with the remainder as test."""
+        from pyspark.sql import functions as F
+
+        key = F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                                F.lit("split")))
+        bucket = F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint") % 100
+        return df.withColumn(
+            "split",
+            F.when(bucket < train, "train")
+            .when(bucket < train + val, "val")
+            .otherwise("test"),
+        )
+
+    def decontaminate(self, corpus: DataFrame, benchmark: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      ngram: int = 8) -> DataFrame:
+        """Flag corpus rows sharing any `ngram`-token shingle with the
+        benchmark set (broadcast semi join on the gram key — the corpus
+        is never shuffled by gram). Returns corpus plus a
+        ``contaminated`` boolean; drop or quarantine flagged rows before
+        training."""
+        from pyspark.sql import functions as F
+
+        toks = (
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+        )
+        grams_expr = (
+            f"CASE WHEN size({toks}) >= {ngram} THEN array_distinct("
+            f"transform(sequence(1, size({toks}) - {ngram - 1}), "
+            f"i -> array_join(slice({toks}, i, {ngram}), ' '))) "
+            f"ELSE array(array_join({toks}, ' ')) END"
+        )
+        bench_grams = (
+            benchmark.select(F.explode(F.expr(grams_expr)).alias("gram"))
+            .distinct()
+        )
+        hits = (
+            corpus.select(id_col, F.explode(F.expr(grams_expr)).alias("gram"))
+            .join(F.broadcast(bench_grams), "gram", "left_semi")
+            .select(id_col)
+            .distinct()
+            .withColumn("_hit", F.lit(True))
+        )
+        return (
+            corpus.join(hits, id_col, "left")
+            .withColumn("contaminated", F.coalesce("_hit", F.lit(False)))
+            .drop("_hit")
+        )
+
+    def keep_best_per_cluster(self, docs: DataFrame, pairs: DataFrame,
+                              quality_col: str,
+                              id_col: str = "doc_id") -> DataFrame:
+        """Close near-dup pairs into components and keep the
+        HIGHEST-quality member per cluster (min-id tiebreak) — the
+        curation semantics where the best copy survives, not the
+        first-crawled one."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from vector_ai_npm_spark.dedup.components import assign_components
+
+        comp = assign_components(docs, pairs, doc_id=id_col).select(
+            id_col, "component_id"
+        )
+        w = Window.partitionBy("component_id").orderBy(
+            F.col(quality_col).desc(), F.col(id_col).asc()
+        )
+        return (
+            docs.join(comp, id_col)
+            .withColumn("keep_best", F.row_number().over(w) == 1)
+        )
+
     # --- reference-parity surface (VectorClient method names) -----------
 
     def _store_path(self, db_table: str) -> str:
