@@ -103,6 +103,15 @@ def test_embedding_ann_bands_on_collapsed_reps(spark, sf_smoke):
     assert "min_by" in plan.lower(), plan[:2000]
 
 
+def test_funnel_is_single_shuffle(spark, sf_smoke):
+    """All three funnel stages must ride ONE user-keyed exchange
+    (consecutive Window nodes over the same partitioning) and one scan —
+    stage count must not multiply shuffles of the event feed."""
+    plan = _plan(spark, "funnel_steps", sf_smoke)
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
 def test_multires_rollup_is_one_pass(spark, sf_smoke):
     """Three time resolutions must come from ONE scan + ONE Expand +
     ONE shuffle (the GROUPING SETS shape) — not three scans of the

@@ -231,3 +231,91 @@ def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((m, event_type), (h, event_type), (d, event_type))
         """
     )
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.first_view,
+             MIN(CASE WHEN e.event_type = 'click'
+                       AND e.ts > s1.first_view THEN e.ts END) AS first_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id, s1.first_view
+    ), s3 AS (
+      SELECT e.user_id, s2.first_view, s2.first_click,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts > s2.first_click THEN e.ts END)
+               AS first_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id, s2.first_view, s2.first_click
+    )
+    SELECT user_id, first_view, first_click, first_purchase,
+           CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+                     WHEN first_click IS NOT NULL THEN 2
+                     WHEN first_view IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_depth
+    FROM s3
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis (view → click-after-view →
+    purchase-after-click) per user — the product-analytics shape that
+    needs ORDERED stage semantics, not independent filters (a click
+    before the first view must not count).
+
+    Plan: three chained per-user window minima over the SAME partition
+    key — Catalyst plans consecutive Window nodes over one exchange, so
+    the whole funnel costs ONE shuffle of the events feed regardless of
+    stage count; per-user state is three timestamps. The oracle spells
+    the identical stages as chained grouped CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    with_v = ev.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    with_c = with_v.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    with_p = with_c.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return (
+        with_p.groupBy("user_id")
+        .agg(
+            F.first("first_view").alias("first_view"),
+            F.first("first_click").alias("first_click"),
+            F.first("first_purchase").alias("first_purchase"),
+        )
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.when(F.col("first_purchase").isNotNull(), 3)
+            .when(F.col("first_click").isNotNull(), 2)
+            .when(F.col("first_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("funnel_depth"),
+        )
+    )
