@@ -319,3 +319,39 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_depth"),
         )
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           median(value) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS trailing_median
+    FROM events
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exact median per user (last 10 events) — the robust
+    baseline for streaming anomaly detection, where a mean is hostage
+    to the very outliers being hunted. Exact median over a bounded ROWS
+    frame is cheap (frame state ≤ 10 values) and engine-stable: both
+    engines interpolate the even-count midpoint with the same (a+b)/2,
+    pinned bit-equal by the agg_percentile family. One shuffle on the
+    user key; total order inside the frame via the (ts, event_id)
+    tiebreak so the frame contents are deterministic under ties.
+    (Spark's `median` rejects window frames; `percentile(x, 0.5)` is the
+    identical interpolated computation and accepts them.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr("percentile(value, 0.5)").over(w).alias("trailing_median"),
+    )
