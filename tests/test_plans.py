@@ -112,6 +112,38 @@ def test_funnel_is_single_shuffle(spark, sf_smoke):
     assert plan.count("Exchange") == 1, plan[:2000]
 
 
+def test_analytics_ops_shuffle_budget(spark, sf_smoke):
+    """The event-analytics family must stay within its documented
+    shuffle budget and keep the hot path JVM-only (no Python eval)."""
+    budgets = {  # name -> (max exchanges, max scans)
+        "cohort_retention": (2, 1),
+        "events_path_ngrams": (2, 1),
+        "agg_mode_per_key": (2, 1),
+        "window_anomaly_zscore": (1, 1),
+    }
+    for name, (max_ex, max_scan) in budgets.items():
+        plan = _plan(spark, name, sf_smoke)
+        assert plan.count("Exchange") <= max_ex, f"{name}:\n{plan[:2000]}"
+        assert plan.count("Scan parquet") <= max_scan, f"{name}:\n{plan[:2000]}"
+        assert "EvalPython" not in plan, f"{name} fell off the JVM:\n{plan[:2000]}"
+
+
+def test_mode_per_key_uses_window_group_limit(spark, sf_smoke):
+    """The rn=1 filter must plan as WindowGroupLimit (running top-1),
+    not a full per-user sort + filter."""
+    plan = _plan(spark, "agg_mode_per_key", sf_smoke)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_histogram_broadcasts_scalar_stats(spark, sf_smoke):
+    """The min/max statistic must reach the binning pass as a broadcast
+    of the 1-row aggregate (BroadcastNestedLoopJoin), never a driver
+    collect baked into the plan."""
+    plan = _plan(spark, "agg_histogram", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "EvalPython" not in plan
+
+
 def test_multires_rollup_is_one_pass(spark, sf_smoke):
     """Three time resolutions must come from ONE scan + ONE Expand +
     ONE shuffle (the GROUPING SETS shape) — not three scans of the

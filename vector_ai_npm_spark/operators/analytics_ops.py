@@ -1,0 +1,316 @@
+"""Event-analytics operators: cohorts, paths, modes, anomalies, histograms.
+
+Reference context: the reference ships no event analytics (its only table
+is the vector store, vector-client.ts:306-308); these are the
+product/ops-analytics shapes a training-data platform runs beside its
+curation jobs (which user cohorts produce data, where the anomalous
+feeds are), so they live in the north-star extension surface alongside
+`sessionize` and `funnel_steps`.
+
+Every operator is one or two keyed shuffles over the events feed — no
+driver-side loops, no cross products — and each docstring states the
+100 TB plan shape explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.functions.numeric import _DEC, _PREC, _SCALE
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+
+def _wdsum(col: str, w: Window) -> F.Column:
+    """Windowed mirror of functions.numeric.dsum: exact decimal sum over
+    a frame, finished as DOUBLE (order-independent, engine-stable)."""
+    return F.sum(F.col(col).cast(_DEC)).over(w).cast(_DEC).cast("double")
+
+
+def _o_wdsum(expr: str) -> str:
+    """DuckDB mirror of :func:`_wdsum` (OVER w appended by the caller
+    via the ``{over}`` placeholder)."""
+    return (
+        f"CAST(CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{_SCALE}))) "
+        f"OVER w AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS event_week,
+             CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id))
+               AS DATE) AS cohort_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, event_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    FIRST event; each later week they appear in increments that
+    cohort's count at the corresponding offset — the classic retention
+    triangle.
+
+    Plan: the per-user first-event timestamp is a window MIN over the
+    user partition (shuffle 1), then a hash aggregate on
+    (cohort_week, week_offset) with a distinct-user count (shuffle 2,
+    on a key space of weeks² — tiny). At 100 TB the events feed is
+    shuffled once by user_id (the same exchange sessionize/funnel use —
+    a shared clustering layout amortizes all three) and the retention
+    matrix is O(weeks²) rows regardless of input size. COUNT(DISTINCT)
+    inside the second agg is safe because user_id within a
+    (cohort, offset) cell is already co-partitioned by the first
+    shuffle's key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("event_week"),
+        F.date_trunc("week", F.min("ts").over(w)).cast("date").alias("cohort_week"),
+    )
+    return (
+        e.groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("event_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "events_path_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS step_from,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS step_to
+      FROM events
+    )
+    SELECT step_from, step_to, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM t WHERE step_to IS NOT NULL
+    GROUP BY step_from, step_to
+    """,
+)
+def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bigrams: counts of consecutive event-type transitions
+    per user (the Markov-chain / user-path building block — "what do
+    users do right after an error?").
+
+    Plan: ONE shuffle on user_id for the lead() window (deterministic
+    (ts, event_id) order so ties are stable), then a hash aggregate on
+    the 25-cell transition matrix — the second "shuffle" moves at most
+    |event_types|² rows per partition after map-side combine. At 100 TB
+    this is the same single-exchange shape as sessionize; extending to
+    trigrams is one more lead() over the SAME window (no extra
+    shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    t = ev.select(
+        F.col("event_type").alias("step_from"),
+        F.lead("event_type").over(w).alias("step_to"),
+    )
+    return (
+        t.where(F.col("step_to").isNotNull())
+        .groupBy("step_from", "step_to")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "agg_mode_per_key",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type ASC
+             ) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key MODE (most frequent value) with a deterministic
+    tiebreak: each user's most common event type, ties resolved
+    alphabetically — engines disagree on bare mode() tiebreaks, so the
+    count+row_number spelling is the portable (and distributed) form.
+
+    Plan: hash aggregate on (user_id, event_type) — map-side combine
+    collapses the feed to |users|×|types| rows BEFORE the shuffle —
+    then a window top-1 per user over that already-small frame.
+    Catalyst plans the rn=1 filter as WindowGroupLimit (running top-1,
+    no full sort materialization). At 100 TB the post-agg frame is
+    O(users × 5), so the second exchange is negligible; this beats
+    any collect_list/UDF mode by never holding a user's raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+_Z_ORACLE = f"""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             {_o_wdsum('value')} AS sx,
+             {_o_wdsum('value * value')} AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN n >= 5 AND (sxx - sx * sx / n) / (n - 1) > 0
+                THEN (value - sx / n)
+                     / sqrt((sxx - sx * sx / n) / (n - 1))
+           END AS zscore,
+           COALESCE(
+             CASE WHEN n >= 5 AND (sxx - sx * sx / n) / (n - 1) > 0
+                  THEN abs((value - sx / n)
+                       / sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0
+             END, FALSE) AS is_anomaly
+    FROM t
+"""
+
+
+@query("window_anomaly_zscore", oracle=_Z_ORACLE)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flag per user: each event scored
+    against the mean/stddev of its own last 20 events (bounded ROWS
+    frame). The robust-median complement lives in
+    `window_moving_median`; this is the parametric fast path.
+
+    Engine-stable numerics: built-in stddev over a window is a
+    streaming Welford update whose low bits depend on evaluation
+    order, so the moments come from EXACT decimal power sums over the
+    frame (the agg_stats recipe applied to windows) and are finished
+    in IEEE doubles — bit-identical in both engines. Frame state is
+    two decimals + a count regardless of history length.
+
+    Plan: ONE shuffle on user_id; both power sums and the count share
+    the single window frame. Warm-up (< 5 points) and zero-variance
+    frames yield NULL score / FALSE flag rather than ±inf."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-19, Window.currentRow)
+    )
+    t = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        _wdsum("value", w).alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast(_DEC))
+        .over(w)
+        .cast(_DEC)
+        .cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    z = (F.col("value") - F.col("sx") / n) / F.sqrt(var)
+    defined = (F.col("n") >= 5) & (var > 0)
+    return t.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(defined, z).alias("zscore"),
+        F.coalesce(
+            F.when(defined, F.abs(z) > 3.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+_N_BUCKETS = 20
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    WITH s AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem
+    ), b AS (
+      SELECT CAST(least(floor((l_extendedprice - s.mn)
+                              / ((s.mx - s.mn) / {_N_BUCKETS})),
+                        {_N_BUCKETS - 1}) AS BIGINT) AS bucket,
+             s.mn AS mn, s.mx AS mx
+      FROM lineitem, s
+    )
+    SELECT bucket,
+           mn + bucket * ((mx - mn) / {_N_BUCKETS}) AS bucket_lo,
+           mn + (bucket + 1) * ((mx - mn) / {_N_BUCKETS}) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM b GROUP BY bucket, mn, mx
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with DATA-DERIVED bounds: 20 buckets over
+    [min, max] of l_extendedprice — the two-pass scan-stats-then-bin
+    pattern every profiler/optimizer statistics job uses.
+
+    Plan: pass 1 is a 1-row global min/max aggregate (map-side partial,
+    ~nothing shuffled); Catalyst broadcasts that single row into pass
+    2's bucket expression (BroadcastNestedLoopJoin of a 1-row side —
+    the cheap, correct way to use a scalar statistic cluster-wide, vs
+    collect()-ing it to the driver and baking it into the plan, which
+    would break plan reuse/caching at 100 TB). Pass 2 is one hash
+    aggregate on ≤ 20 keys after map-side combine. The top bucket is
+    closed (least(…, 19)) so x = max lands in bucket 19 in both
+    engines; all bin arithmetic is IEEE double on identical inputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / _N_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+        F.lit(_N_BUCKETS - 1),
+    ).cast("long")
+    return (
+        li.crossJoin(F.broadcast(s))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "bucket",
+            (F.col("mn") + F.col("bucket") * width).alias("bucket_lo"),
+            (F.col("mn") + (F.col("bucket") + 1) * width).alias("bucket_hi"),
+            "n_items",
+        )
+    )

@@ -66,6 +66,7 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.streaming.queries  # noqa: F401
     import vector_ai_npm_spark.multimodal.queries  # noqa: F401
     import vector_ai_npm_spark.operators.pipeline_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.analytics_ops  # noqa: F401
     import vector_ai_npm_spark.operators.udf_suite  # noqa: F401
     # --- end of the round-2 50-query driver window ---
     import vector_ai_npm_spark.dedup.ann_queries  # noqa: F401
