@@ -152,3 +152,50 @@ def test_bucketed_store_zero_exchange_fetch(spark, sf_oracle):
     assert plan.count("Bucketed: true") == 2, plan
     n = out.count()
     assert n == emb.where(F.col("vec_id") % 5 == 0).count()
+
+
+def test_mmr_skips_near_duplicate(spark):
+    """Planted case: candidates A≈B (near-identical, both highly
+    relevant) and C (less relevant, diverse). Pure relevance ranks
+    A,B,C; MMR at λ=0.5 must rank A,C,B — the redundancy penalty has
+    to defer the near-duplicate."""
+    from vector_ai_npm_spark.retrieval.mmr import mmr_rerank
+
+    store = spark.createDataFrame(
+        [
+            (1, [0.99, 0.10, 0.00]),   # A: top relevance
+            (2, [0.98, 0.12, 0.00]),   # B: near-duplicate of A
+            (3, [0.60, 0.00, 0.80]),   # C: diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "q_vec_id long, q_embedding array<float>"
+    )
+    out = mmr_rerank(queries, store, k=3, k_candidates=3, lam=0.5)
+    picks = [
+        r.vec_id for r in out.orderBy("mmr_rank").collect()
+    ]
+    assert picks == [1, 3, 2], picks
+
+
+def test_mmr_lambda1_equals_topk(spark, sf_oracle):
+    """λ=1 must reproduce the exact top-k ordering exactly (the same
+    gate the driver pins via mmr_contract, asserted directly here)."""
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.retrieval.mmr import mmr_rerank
+    from vector_ai_npm_spark.retrieval.search import similarity_join
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    mmr = mmr_rerank(queries, emb, k=5, k_candidates=20, lam=1.0)
+    exact = similarity_join(queries, emb, k=5, threshold=-1.0)
+    got = {
+        (r.q_vec_id, r.mmr_rank): r.vec_id
+        for r in mmr.collect()
+    }
+    want = {(r.q_vec_id, r.rank): r.vec_id for r in exact.collect()}
+    assert got == want

@@ -255,6 +255,80 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "timeseries_gapfill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             {_o_wdsum('value').replace('OVER w ', '')} AS day_value
+      FROM events GROUP BY user_id, day
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      FROM daily GROUP BY user_id
+    ), cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    )
+    SELECT c.user_id, c.day, d.day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           d.day_value IS NULL AS is_gap
+    FROM cal c LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (the hypertable
+    `time_bucket_gapfill` / `locf` pattern): each user's daily value
+    series is densified to a complete calendar between their first and
+    last active day, and missing days carry the last observed value
+    forward (`is_gap` marks the synthesized rows).
+
+    Plan: the 100 TB trick is that EVERYTHING after the first daily
+    aggregate operates on the reduced (user × day) frame, never the raw
+    feed — the event scan collapses via map-side combine into one keyed
+    shuffle; span min/max, the per-user `sequence()` explode (calendar
+    synthesis WITHOUT a driver loop or a numbers table), the
+    equi-join, and the forward-fill window all move O(users × days)
+    rows. Fill values use the exact-decimal sum so gap-filled copies
+    are bit-identical to their source row in both engines; the LOCF
+    itself is `last(col, ignorenulls)` over a running frame — state is
+    one value per user regardless of gap length."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast(_DEC))
+            .cast(_DEC)
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNull().alias("is_gap"),
+    )
+
+
 _N_BUCKETS = 20
 
 

@@ -185,6 +185,54 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("mmr_rerank")  # rows-only: greedy selection is iterative, not SQL
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9+: MMR diversity re-rank (λ=0.7) of the exact top-20 candidates
+    down to 5 per query — the distributed two-stage diverse-retrieval
+    shape (see retrieval.mmr). Its full contract vs the hash-green
+    exact top-k is driver-checked by `mmr_contract`."""
+    from vector_ai_npm_spark.retrieval.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    return mmr_rerank(queries, emb, k=5, k_candidates=20, lam=0.7)
+
+
+@query(
+    "mmr_contract",
+    oracle="""
+    SELECT method, scope, ok FROM (VALUES
+      ('mmr_lambda1', 'q0', TRUE), ('mmr_lambda1', 'q7', TRUE),
+      ('mmr_lambda1', 'q42', TRUE),
+      ('mmr_diverse', 'q0', TRUE), ('mmr_diverse', 'q7', TRUE),
+      ('mmr_diverse', 'q42', TRUE)
+    ) t(method, scope, ok)
+    """,
+)
+def mmr_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR's selection machinery as oracle-pinnable booleans:
+
+      * λ=1 degenerates MMR to pure relevance, so its output must equal
+        the exact top-5 ranking position-for-position — a COMPLETE
+        equivalence gate on candidate plumbing, tiebreaks, and the
+        greedy loop, anchored to the hash-green `join_similarity`.
+      * at λ=0.7: exactly k distinct picks, rank 1 = exact top-1, and
+        mmr_score non-increasing (greedy max over a pointwise-shrinking
+        objective). Any regression flips a row → hash mismatch."""
+    from vector_ai_npm_spark.retrieval.mmr import mmr_contract_rows, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    cand = mmr_rerank(queries, emb, k=5, k_candidates=20, lam=0.7)
+    l1 = mmr_rerank(queries, emb, k=5, k_candidates=20, lam=1.0)
+    exact = similarity_join(queries, emb, k=5, threshold=-1.0)
+    return mmr_contract_rows(cand, l1, exact, k=5, query_ids=_QUERY_IDS)
+
+
 @query(
     "result_project",
     oracle="""
