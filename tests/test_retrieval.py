@@ -199,3 +199,51 @@ def test_mmr_lambda1_equals_topk(spark, sf_oracle):
     }
     want = {(r.q_vec_id, r.rank): r.vec_id for r in exact.collect()}
     assert got == want
+
+
+def test_pq_clustered_reconstruction_and_adc(spark):
+    """On clusterable data PQ must be near-lossless: 8 tight clusters
+    in 64-dim (within ksub=16 codebook capacity per subspace) → recon
+    cosine ≥ 0.95, and ADC must find each query's true neighbors."""
+    import numpy as np
+
+    from vector_ai_npm_spark.retrieval.pq import (
+        pq_adc_search,
+        pq_encode,
+        train_pq,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64) * 5.0
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + rng.randn(64) * 0.05]))
+    store = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = train_pq(store, m=8, ksub=16, seed=1)
+    enc = pq_encode(store, books)
+    recon = enc.agg(F.min("recon_cos")).collect()[0][0]
+    assert recon >= 0.95, recon
+
+    # ADC must retrieve the query's own cluster (vecs ≡ 0 mod 8)
+    q = rows[0][1]
+    hits = [r.vec_id for r in pq_adc_search(enc, books, q, k=5).collect()]
+    assert hits[0] == 0, hits
+    assert all(h % 8 == 0 for h in hits), hits  # all from cluster 0
+
+
+def test_pq_encoding_deterministic(spark, sf_oracle):
+    """Same store + seed → identical codebooks and identical codes."""
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.retrieval.pq import pq_encode, train_pq
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    b1 = train_pq(emb, m=8, ksub=16)
+    b2 = train_pq(emb, m=8, ksub=16)
+    import numpy as np
+
+    assert np.array_equal(b1, b2)
+    c1 = {r.vec_id: r.codes for r in pq_encode(emb, b1).collect()}
+    c2 = {r.vec_id: r.codes for r in pq_encode(emb, b2).collect()}
+    assert c1 == c2

@@ -234,6 +234,102 @@ def mmr_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vector_quantize_pq",
+    oracle="""
+    SELECT scope, ok FROM (VALUES
+      ('m_codes_per_vec', TRUE), ('codes_in_range', TRUE),
+      ('compression_32x', TRUE), ('recon_mean_floor', TRUE),
+      ('recon_min_floor', TRUE), ('recon_beats_rank0', TRUE),
+      ('adc_self_top1', TRUE)
+    ) t(scope, ok)
+    """,
+)
+def vector_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (retrieval.pq) as oracle-pinnable booleans —
+    the 32× ANN memory-compression path (FAISS IVF-PQ's second stage):
+
+      * every vector gets exactly m=8 codes, each in [0, ksub=16)
+      * compression is 32× by construction (dim×4 bytes → m bytes),
+        derived from the DATA (size(embedding), size(codes)), not
+        constants
+      * mean/min reconstruction cosine ≥ 0.6 / 0.4 on the
+        uniform-random (quantization-hostile) fixture — measured
+        0.676 / 0.563; and the mean must beat the rank-0 baseline
+        (cosine to the global mean vector ≈ 0.05 here), the floor that
+        separates a trained codebook from a degenerate one
+      * ADC search (lookup-table distance over CODES, no decode) must
+        put the query's own row at rank 1 — quantization error is
+        shared, so self-distance stays minimal
+
+    Training is the capped deterministic hash-sample + driver Lloyd
+    recipe (retrieval/ivf.py); encoding and ADC are single Arrow
+    passes, so every boolean is stable per fixture."""
+    from vector_ai_npm_spark.retrieval.pq import (
+        pq_adc_search,
+        pq_encode,
+        train_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, ksub=16)
+    enc = pq_encode(emb, books).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    qvec = list(emb.where(F.col("vec_id") == 7).select("embedding").first()[0])
+    adc_self = (
+        pq_adc_search(pq_encode(emb, books), books, qvec, k=1)
+        .agg(F.bool_and(F.col("vec_id") == 7).alias("ok"))
+        .select(F.lit("adc_self_top1").alias("scope"), "ok")
+    )
+    # rank-0 baseline: cosine of each vector to the global mean vector,
+    # computed distributed via a broadcast 1-row per-dim decimal mean
+    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+
+    mean_vec = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg((F.sum(F.col("x").cast("decimal(30,8)")) / F.count(F.lit(1)))
+             .cast("double").alias("mu"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("s"))
+        .select(F.transform("s", lambda e: e["mu"]).alias("mean_vec"))
+    )
+    rank0 = (
+        emb.crossJoin(F.broadcast(mean_vec))
+        .select(cosine_similarity(F.col("embedding"), F.col("mean_vec")).alias("c0"))
+        .agg(F.avg("c0").alias("mean_c0"))
+    )
+    agg = (
+        enc.crossJoin(F.broadcast(rank0))
+        .agg(
+            F.bool_and(F.size("codes") == 8).alias("m_ok"),
+            F.bool_and(
+                (F.array_min("codes") >= 0) & (F.array_max("codes") < 16)
+            ).alias("range_ok"),
+            F.bool_and(
+                F.size("embedding") * 4 == F.size("codes") * 32
+            ).alias("comp_ok"),
+            (F.avg("recon_cos") >= 0.6).alias("mean_ok"),
+            (F.min("recon_cos") >= 0.4).alias("min_ok"),
+            (F.avg("recon_cos") > F.first("mean_c0")).alias("beats_rank0"),
+        )
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("m_codes_per_vec").alias("scope"), F.col("m_ok").alias("ok")),
+                F.struct(F.lit("codes_in_range").alias("scope"), F.col("range_ok").alias("ok")),
+                F.struct(F.lit("compression_32x").alias("scope"), F.col("comp_ok").alias("ok")),
+                F.struct(F.lit("recon_mean_floor").alias("scope"), F.col("mean_ok").alias("ok")),
+                F.struct(F.lit("recon_min_floor").alias("scope"), F.col("min_ok").alias("ok")),
+                F.struct(F.lit("recon_beats_rank0").alias("scope"), F.col("beats_rank0").alias("ok")),
+            )
+        ).alias("r")
+    ).select("r.scope", "r.ok")
+    return rows.unionByName(adc_self)
+
+
+@query(
     "result_project",
     oracle="""
     SELECT doc_id, n_chars,
