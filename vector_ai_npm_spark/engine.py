@@ -98,6 +98,37 @@ class VectorEngine:
 
         return similarity_search_topk(store, query_vec, threshold, k)
 
+    def similarity_search_diverse(self, queries: DataFrame, store: DataFrame,
+                                  k: int = 5, k_candidates: int = 20,
+                                  lam: float = 0.7) -> DataFrame:
+        """MMR diversity re-rank: exact/ANN candidates per query, then
+        greedy relevance-vs-redundancy selection (retrieval.mmr) — the
+        distributed generalization of getAnswer's context dedup
+        (vector-client.ts:434-444)."""
+        from vector_ai_npm_spark.retrieval.mmr import mmr_rerank
+
+        return mmr_rerank(queries, store, k=k, k_candidates=k_candidates,
+                          lam=lam)
+
+    def quantize_store(self, store: DataFrame, m: int = 8,
+                       ksub: int = 16):
+        """Train PQ codebooks and encode the store to m-byte codes
+        (32× compression at dim=64); returns (codes_df, codebooks) —
+        pass both to `search_quantized`."""
+        from vector_ai_npm_spark.retrieval.pq import pq_encode, train_pq
+
+        books = train_pq(store, m=m, ksub=ksub)
+        return pq_encode(store, books), books
+
+    def search_quantized(self, store: DataFrame, query_vec: list[float],
+                         k: int = 5, nlist: int = 8,
+                         nprobe: int = 4) -> DataFrame:
+        """IVF-PQ batch search: cell pruning → ADC code shortlist →
+        exact re-rank (retrieval.pq.ivfpq_search)."""
+        from vector_ai_npm_spark.retrieval.pq import ivfpq_search
+
+        return ivfpq_search(store, query_vec, k=k, nlist=nlist, nprobe=nprobe)
+
     def dedup_clusters(self, docs: DataFrame, pairs: DataFrame,
                        doc_id: str = "doc_id") -> DataFrame:
         """Close a near-dup candidate-pair relation (from any of the

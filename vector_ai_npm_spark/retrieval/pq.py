@@ -146,3 +146,71 @@ def pq_adc_search(
         .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_search(
+    store: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full FAISS IVF-PQ pipeline, batch-shaped:
+
+      1. IVF cell pruning — scan only the query's nprobe nearest cells
+         (~nprobe/nlist of the corpus; a partition-pruned read when the
+         index table is written partitioned by cell_id).
+      2. ADC shortlist — rank the surviving CODES by lookup-table
+         distance (8 bytes/row touched, no vectors), keep
+         `shortlist` (default 4k) candidates.
+      3. Exact re-rank — hydrate true vectors for the shortlist only
+         and compute exact cosine top-k.
+
+    Memory math at 100 TB: stage 2 scans m-byte codes instead of
+    dim×4-byte vectors (32× here), and stage 3 touches `shortlist`
+    vectors per query — the only full-precision reads in the whole
+    search. Build is deterministic (seeded quantizers), so results are
+    stable per fixture."""
+    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+    from vector_ai_npm_spark.retrieval.ivf import build_ivf_index
+
+    if shortlist is None:
+        shortlist = 4 * k
+    books = train_pq(store, vec_col=vec_col, m=m, ksub=ksub)
+    assigned, centroids = build_ivf_index(store, vec_col, nlist=nlist)
+    codes = pq_encode(store, books, vec_col=vec_col, id_col=id_col)
+    index = assigned.select(id_col, "cell_id").join(codes, id_col)
+
+    # nprobe nearest cells: nlist rows — a driver-side argsort
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = {r[0]: np.asarray(r[1]) for r in centroids.collect()}
+    order = sorted(
+        cents, key=lambda c: float(((q - cents[c]) ** 2).sum())
+    )[:nprobe]
+
+    probed = index.where(F.col("cell_id").isin(*[int(c) for c in order]))
+    short = pq_adc_search(probed, books, query_vec, k=shortlist, id_col=id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    w_rank = F.row_number()
+    from pyspark.sql import Window
+
+    return (
+        short.join(store.select(id_col, vec_col), id_col)
+        .select(
+            id_col,
+            "cell_id",
+            cosine_similarity(F.col(vec_col), qlit).alias("similarity"),
+        )
+        .withColumn(
+            "rank",
+            w_rank.over(
+                Window.orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+            ).cast("long"),
+        )
+        .where(F.col("rank") <= k)
+    )

@@ -329,6 +329,79 @@ def vector_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.unionByName(adc_self)
 
 
+@query("similarity_search_ivfpq")  # rows-only: cell/code assignment is model-defined
+def similarity_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 at scale, variant 3: the full FAISS IVF-PQ pipeline — cell
+    pruning → ADC code shortlist (8-byte rows) → exact re-rank of the
+    shortlist only (see retrieval.pq.ivfpq_search). Recall contract
+    driver-checked by `ivfpq_recall`."""
+    from vector_ai_npm_spark.retrieval.pq import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 7).select("embedding").first()[0])
+    return ivfpq_search(emb, qvec, k=5, nlist=8, nprobe=4).select(
+        "vec_id", "cell_id", "similarity", "rank"
+    )
+
+
+@query(
+    "ivfpq_recall",
+    oracle="""
+    SELECT scope, ok FROM (VALUES
+      ('q0_self_top1', TRUE), ('q7_self_top1', TRUE), ('q42_self_top1', TRUE),
+      ('q0_overlap3', TRUE), ('q7_overlap3', TRUE), ('q42_overlap3', TRUE),
+      ('agg_recall_065', TRUE)
+    ) t(scope, ok)
+    """,
+)
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's recall contract vs the hash-green exact top-k, pinned as
+    booleans (measured 3/5, 4/5, 4/5 on the uniform-random fixture at
+    nprobe = nlist/2 with a 4k ADC shortlist — the self row always at
+    rank 1 because quantization error is shared):
+
+      * per query: own row at rank 1, overlap ≥ 3/5 (the ivf_half
+        chance-vs-pruning floor)
+      * aggregate: Σoverlap ≥ 0.65 · Σk
+
+    A regression in the PQ codebooks, ADC table, cell probe, or
+    re-rank flips a row → hash mismatch → red driver row."""
+    from vector_ai_npm_spark.retrieval.pq import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = []
+    total_overlap = None
+    for qid in _QUERY_IDS:
+        qvec = list(
+            emb.where(F.col("vec_id") == qid).select("embedding").first()[0]
+        )
+        hits = ivfpq_search(emb, qvec, k=5, nlist=8, nprobe=4)
+        exact = similarity_search_topk(
+            emb.select("vec_id", "embedding"), qvec, threshold=-1.0, k=5
+        ).select(F.col("vec_id").alias("e_vec_id"))
+        ov = hits.join(exact, hits.vec_id == F.col("e_vec_id")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        self_ok = hits.where(
+            (F.col("rank") == 1) & (F.col("vec_id") == qid)
+        ).agg((F.count(F.lit(1)) == 1).alias("ok")).select(
+            F.lit(f"q{qid}_self_top1").alias("scope"), "ok"
+        )
+        ov_ok = ov.select(
+            F.lit(f"q{qid}_overlap3").alias("scope"),
+            (F.col("n") >= 3).alias("ok"),
+        )
+        out.append(self_ok.unionByName(ov_ok))
+        total_overlap = ov if total_overlap is None else total_overlap.unionByName(ov)
+    agg = total_overlap.agg(
+        (F.sum("n").cast("double") >= F.lit(0.65 * 15)).alias("ok")
+    ).select(F.lit("agg_recall_065").alias("scope"), "ok")
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.unionByName(agg)
+
+
 @query(
     "result_project",
     oracle="""
