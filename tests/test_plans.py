@@ -144,6 +144,21 @@ def test_histogram_broadcasts_scalar_stats(spark, sf_smoke):
     assert "EvalPython" not in plan
 
 
+def test_join_partition_pruned_uses_dpp(spark, sf_smoke):
+    """The fact scan must carry a dynamicpruning PartitionFilter derived
+    from the dim side — the runtime partition-prune that makes the
+    100 TB star join read only matching directories."""
+    plan = _plan(spark, "join_partition_pruned", sf_smoke)
+    assert "dynamicpruning" in plan, plan[:3000]
+
+
+def test_profile_table_is_single_scan(spark, sf_smoke):
+    """The whole per-column profile must come from ONE scan of the
+    table (Expand fans out columns; it must not re-scan per column)."""
+    plan = _plan(spark, "profile_table", sf_smoke)
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
 def test_multires_rollup_is_one_pass(spark, sf_smoke):
     """Three time resolutions must come from ONE scan + ONE Expand +
     ONE shuffle (the GROUPING SETS shape) — not three scans of the

@@ -329,6 +329,126 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_partition_pruned",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL({_PREC},{_SCALE})))
+                AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP), end-to-end: the fact feed is
+    laid out PARTITIONED BY its join key (event_type directories), the
+    dim side carries a selective filter, and Spark derives the fact
+    scan's partition list AT RUNTIME from the dim join's broadcast —
+    the star-schema pattern that turns a 100 TB fact scan into reading
+    only the matching partition directories, with no literal IN-list in
+    user code (the filter lives on the DIM, exactly like a date-dim
+    prune). The plan gate pins `dynamicpruning` in PartitionFilters.
+
+    The partitioned layout is (re)written to a temp dir per run — at
+    scale this is the at-rest table layout, written once (see
+    `layout_cluster_range` for the within-partition complement)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_by_type_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .where(F.col("event_type").isin("click", "purchase"))
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC))
+            .cast(_DEC)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}"),
+    ("o_orderpriority", "{c}"),
+    ("o_orderdate", "CAST({c} AS VARCHAR)"),
+    ("o_totalprice", "CAST(CAST({c} AS DECIMAL(15,2)) AS VARCHAR)"),
+)
+
+
+@query(
+    "profile_table",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {tpl.format(c=f'MIN({c})')} AS min_val,
+           {tpl.format(c=f'MAX({c})')} AS max_val
+    FROM orders
+    """
+        for c, tpl in _PROFILE_COLS
+    ),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (the ANALYZE TABLE / data-quality-report shape):
+    one row per column with row/null/distinct counts and min/max,
+    rendered to strings via type-stable paths (ints/dates exact;
+    doubles through DECIMAL(15,2) so both engines print identical
+    digits — raw double→string formatting is NOT engine-portable).
+
+    Plan: ONE scan; the multi-column exact COUNT(DISTINCT) makes
+    Catalyst plan a single Expand (one replica per distinct column)
+    into one aggregate — the standard exact shape. At 100 TB you trade
+    exactness for a single no-Expand pass by swapping in
+    approx_count_distinct (HLL, mergeable state) — same operator,
+    one-line change; exact is kept here because the oracle pins it.
+    Output is O(columns) rows from any input size."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _ in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    a = o.agg(*aggs)
+
+    def _render(c: str, tpl: str, side: str) -> F.Column:
+        if "DECIMAL" in tpl:
+            return F.col(f"{c}__{side}").cast("decimal(15,2)").cast("string")
+        return F.col(f"{c}__{side}").cast("string")
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            _render(c, tpl, "min").alias("min_val"),
+            _render(c, tpl, "max").alias("max_val"),
+        )
+        for c, tpl in _PROFILE_COLS
+    ]
+    return a.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
 _N_BUCKETS = 20
 
 
