@@ -157,3 +157,167 @@ def vector_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("v", "mean_component"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@query(
+    "embed_incremental",
+    oracle="""
+    WITH prior AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]'
+                  ELSE text END AS text
+      FROM documents
+    ), b AS (
+      SELECT doc_id, sha256(text) AS h FROM batch
+    )
+    SELECT b.doc_id, b.h AS content_hash,
+           CASE WHEN p.doc_id IS NULL THEN 'embed' ELSE 'reuse' END AS action,
+           TRUE AS has_vector
+    FROM b LEFT JOIN prior p ON b.doc_id = p.doc_id AND b.h = p.h
+    """,
+)
+def embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 at scale: INCREMENTAL embedding. The reference re-embeds
+    every chunk on every ingest (the sequential loop at
+    vector-client.ts:149-151 has no change detection); at 100 TB the
+    only affordable shape is content-hash diffing — re-embed ONLY rows
+    whose sha256(text) is absent from the existing store, reuse the
+    stored vector otherwise.
+
+    Fixture scenario: the prior store covers doc_id % 3 ≠ 0; the new
+    batch edits every 5th doc. So `action` = 'embed' for new docs
+    (doc_id % 3 = 0) and edited docs (% 5 = 0), 'reuse' for the rest —
+    a complete decision-table the oracle mirrors hash-for-hash.
+
+    Plan: one LEFT join on (doc_id, content_hash) — hashes computed
+    JVM-side (sha2), ~72 bytes/row shuffled, never the text; only the
+    'embed' slice enters the Arrow embed stage (the expensive Python
+    hop scales with the CHANGE rate, not the corpus). `has_vector`
+    proves both legs produced a vector: reused rows hydrate from the
+    prior store, changed rows from the fresh embed pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.sha2("text", 256).alias("h"),
+        hashing_embedder()(F.col("text")).alias("embedding"),
+    )
+    batch = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b = batch.select("doc_id", "text", F.sha2("text", 256).alias("h"))
+    joined = b.join(
+        prior.withColumnRenamed("h", "p_h").withColumnRenamed(
+            "doc_id", "p_doc_id"
+        ),
+        (b.doc_id == F.col("p_doc_id")) & (b.h == F.col("p_h")),
+        "left",
+    )
+    to_embed = joined.where(F.col("p_doc_id").isNull())
+    embedded = to_embed.select(
+        "doc_id", "h", hashing_embedder()(F.col("text")).alias("vec")
+    )
+    reused = joined.where(F.col("p_doc_id").isNotNull()).select(
+        "doc_id", "h", F.col("embedding").alias("vec")
+    )
+    final = embedded.select(
+        "doc_id", "h", "vec", F.lit("embed").alias("action")
+    ).unionByName(
+        reused.select("doc_id", "h", "vec", F.lit("reuse").alias("action"))
+    )
+    return final.select(
+        "doc_id",
+        F.col("h").alias("content_hash"),
+        "action",
+        F.col("vec").isNotNull().alias("has_vector"),
+    )
+
+
+@query(
+    "vector_store_compact",
+    oracle="""
+    SELECT scope, ok FROM (VALUES
+      ('was_fragmented', TRUE), ('files_reduced', TRUE),
+      ('file_count_target', TRUE), ('rows_preserved', TRUE),
+      ('content_preserved', TRUE)
+    ) t(scope, ok)
+    """,
+)
+def vector_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store maintenance: small-files compaction (io.compaction) as
+    oracle-pinnable booleans. The fixture store is written deliberately
+    fragmented (32 files for a few hundred rows — the accreted
+    micro-batch pathology), then compacted to byte-derived target
+    sizing with a shuffle-free coalesce rewrite into a NEW directory:
+
+      * was_fragmented / files_reduced / file_count_target — the
+        rewrite really merged (32 → planned n, n < 32, counted from
+        the filesystem, not assumed)
+      * rows_preserved / content_preserved — compaction changes LAYOUT
+        only: row count and an order-insensitive content checksum
+        (sum of xxhash64 over every column) are bit-equal across the
+        rewrite, the `layout_cluster_range` discipline."""
+    import tempfile
+
+    from vector_ai_npm_spark.io.compaction import (
+        compact_parquet,
+        data_file_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="compact_")
+    src, dst = base + "/v0", base + "/v1"
+    emb.repartition(32).write.mode("overwrite").parquet(src)
+    n_before, total = data_file_stats(src)
+    planned = compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, total // 4)
+    )
+    n_after, _ = data_file_stats(dst)
+
+    def _checksum(df: DataFrame):
+        # bit_xor fold: order-independent AND overflow-free (a straight
+        # sum of xxhash64 trips ANSI long-overflow); rows are unique by
+        # vec_id so xor cancellation of duplicate rows cannot occur
+        return df.select(
+            F.xxhash64("vec_id", F.col("embedding").cast("array<double>"),
+                       "label").alias("h"),
+        ).agg(
+            F.expr("bit_xor(h)").alias("sig"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    a = _checksum(spark.read.parquet(src)).select(
+        F.col("sig").alias("sig_a"), F.col("n").alias("n_a")
+    )
+    b = _checksum(spark.read.parquet(dst)).select(
+        F.col("sig").alias("sig_b"), F.col("n").alias("n_b")
+    )
+    flags = a.crossJoin(b).select(
+        F.lit(n_before > 8).alias("was_fragmented"),
+        F.lit(n_after < n_before).alias("files_reduced"),
+        F.lit(n_after == planned).alias("file_count_target"),
+        (F.col("n_a") == F.col("n_b")).alias("rows_preserved"),
+        (F.col("sig_a") == F.col("sig_b")).alias("content_preserved"),
+    )
+    return flags.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("scope"), F.col(s).alias("ok"))
+                    for s in (
+                        "was_fragmented",
+                        "files_reduced",
+                        "file_count_target",
+                        "rows_preserved",
+                        "content_preserved",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.scope", "r.ok")

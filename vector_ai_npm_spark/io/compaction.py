@@ -1,0 +1,61 @@
+"""Small-files compaction — the OPTIMIZE/rewrite-data-files maintenance op.
+
+Why it exists: a 100 TB table accreted by many incremental writes
+(streaming micro-batches, per-partition appends, the versioned-publish
+sink in streaming.sinks) ends up as millions of KB-sized parquet files.
+Every downstream scan then pays per-file open/footer/seek costs and the
+scheduler pays per-split overhead — the classic small-files problem.
+Table formats productionize the fix as `OPTIMIZE` (Delta) /
+`rewrite_data_files` (Iceberg); the engine-level primitive is the same:
+read, re-bucket to ~target-sized outputs, atomically republish.
+
+Shape choices:
+  * file count is derived from the ACTUAL on-disk bytes (driver-side
+    listing — metadata-scale work), never hardcoded;
+  * `coalesce(n)` merges partitions WITHOUT a shuffle — each output
+    task concatenates whole input splits, so compaction cost is one
+    read+write pass. `repartition(n)` (full shuffle) is only worth it
+    when inputs are skewed enough that merge-only produces uneven
+    files — exposed via `shuffle=True`;
+  * the rewrite lands in a NEW directory (version-flip publish), never
+    in place — readers of the old layout are undisturbed until the
+    pointer swap, same discipline as streaming.sinks.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _part_files(path: str) -> list[str]:
+    return [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+
+
+def data_file_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of the parquet data files in `path`."""
+    files = _part_files(path)
+    return len(files), sum(os.path.getsize(f) for f in files)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    shuffle: bool = False,
+) -> int:
+    """Rewrite `src`'s many small parquet files into ~target-sized files
+    at `dst`; returns the planned output file count."""
+    _, total = data_file_stats(src)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df: DataFrame = spark.read.parquet(src)
+    df = df.repartition(n) if shuffle else df.coalesce(n)
+    df.write.mode("overwrite").parquet(dst)
+    return n
