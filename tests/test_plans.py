@@ -144,6 +144,16 @@ def test_histogram_broadcasts_scalar_stats(spark, sf_smoke):
     assert "EvalPython" not in plan
 
 
+def test_concurrency_sweep_avoids_global_sort(spark, sf_smoke):
+    """The sweep line must be the two-level prefix sum: the event-scale
+    running sum partitions by day (parallel), and the ONLY
+    single-partition exchange is the O(days) carry aggregate. A global
+    ORDER BY over the points would show a second SinglePartition."""
+    plan = _plan(spark, "concurrency_sweep", sf_smoke)
+    assert plan.count("Exchange SinglePartition") == 1, plan[:3000]
+    assert plan.count("Scan parquet") <= 2, plan[:2000]
+
+
 def test_join_partition_pruned_uses_dpp(spark, sf_smoke):
     """The fact scan must carry a dynamicpruning PartitionFilter derived
     from the dim side — the runtime partition-prune that makes the

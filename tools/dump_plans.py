@@ -40,6 +40,12 @@ PLAN_QUERIES = (
     ("tpch_q9", "widest join: filtered part broadcast + derived partsupp"),
     ("agg_sketch_distinct", "constant-size mergeable sketch state"),
     ("layout_cluster_range", "range-clustered scan, pushed range filter"),
+    ("cohort_retention", "window MIN + (cohort, offset) agg — two shuffles"),
+    ("window_anomaly_zscore", "decimal power sums over one window frame"),
+    ("timeseries_gapfill", "post-agg calendar densification + LOCF window"),
+    ("profile_table", "single scan, one Expand for multi-col distinct"),
+    ("join_partition_pruned", "runtime DPP partition filter from dim side"),
+    ("agg_histogram", "1-row stats broadcast into the binning pass"),
 )
 
 

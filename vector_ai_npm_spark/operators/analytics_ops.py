@@ -330,6 +330,140 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "concurrency_sweep",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM x
+    ), sess AS (
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM s GROUP BY user_id, session_seq
+    ), pts AS (
+      SELECT s AS t, CAST(1 AS BIGINT) AS delta, user_id, session_seq,
+             CAST(date_trunc('day', s) AS DATE) AS day
+      FROM sess
+      UNION ALL
+      SELECT e, CAST(-1 AS BIGINT), user_id, session_seq,
+             CAST(date_trunc('day', e) AS DATE)
+      FROM sess
+    ), loc AS (
+      SELECT t, delta, user_id, session_seq, day,
+             SUM(delta) OVER (PARTITION BY day
+               ORDER BY t ASC, delta DESC, user_id ASC, session_seq ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS local_sum
+      FROM pts
+    ), dt AS (
+      SELECT day, SUM(delta) AS dsum FROM pts GROUP BY day
+    ), carry AS (
+      SELECT day, COALESCE(SUM(dsum) OVER (ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM dt
+    )
+    SELECT loc.t, loc.user_id, loc.session_seq, loc.delta,
+           CAST(loc.local_sum + carry.c AS BIGINT) AS concurrent
+    FROM loc JOIN carry USING (day)
+    """,
+)
+def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency via a DISTRIBUTED sweep line: how many user
+    sessions are open at every session boundary (the 'concurrent
+    users/transfers/calls over time' analytics staple).
+
+    A naive sweep is a single global ORDER BY + running sum — one
+    partition, the textbook scale-breaker. This is the two-level
+    prefix-sum fix (the scan/prefix-sum pattern from GPU computing,
+    applied to shuffles):
+
+      1. ±1 boundary points, bucketed by DAY;
+      2. running sum WITHIN each day partition (parallel across days);
+      3. per-day totals (tiny aggregate) get their own prefix sum —
+         a window over O(days) rows, not O(events);
+      4. concurrent = local running sum + broadcast-joined carry-in.
+
+    Ordering convention: at equal timestamps, starts (+1) sort before
+    ends (−1) — touching intervals count as overlapping — with
+    (user_id, session_seq) as the final total-order tiebreak so both
+    engines fold the same sequence. Sessions reuse `sessionize`'s
+    30-minute-gap islands (same single user-keyed shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    is_start = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 minutes")),
+            1,
+        ).otherwise(0)
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum(is_start).over(wrun).cast("long").alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    # both boundary points from ONE pass over sess (explode of a 2-array,
+    # not a union that would re-derive the session frame per leg)
+    pts = sess.select(
+        "user_id",
+        "session_seq",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).cast("long").alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).cast("long").alias("delta")),
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.t").alias("t"),
+        F.col("p.delta").alias("delta"),
+        "user_id",
+        "session_seq",
+        F.date_trunc("day", "p.t").cast("date").alias("day"),
+    )
+    wday = (
+        Window.partitionBy("day")
+        .orderBy(
+            F.col("t").asc(), F.col("delta").desc(),
+            F.col("user_id").asc(), F.col("session_seq").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = pts.withColumn("local_sum", F.sum("delta").over(wday))
+    dt = pts.groupBy("day").agg(F.sum("delta").alias("dsum"))
+    wcarry = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = dt.select(
+        "day", F.coalesce(F.sum("dsum").over(wcarry), F.lit(0)).alias("c")
+    )
+    return loc.join(F.broadcast(carry), "day").select(
+        "t",
+        "user_id",
+        "session_seq",
+        "delta",
+        (F.col("local_sum") + F.col("c")).cast("long").alias("concurrent"),
+    )
+
+
+@query(
     "join_partition_pruned",
     oracle=f"""
     SELECT event_type,
