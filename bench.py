@@ -54,6 +54,10 @@ BENCH_QUERIES = (
     "similarity_search_ann",  # LSH-pruned batch ANN (recall≥0.9 pinned in tests)
     "similarity_search_ivf",  # IVF cell-partitioned ANN store + pruned search
     "dedup_embedding_ann",    # LSH-routed near-dup at t=0.95 (recall 1.0 pinned)
+    "concurrency_sweep",      # distributed sweep line (two-level prefix sum)
+    "timeseries_gapfill",     # calendar densification + LOCF window
+    "mmr_rerank",             # MMR diverse retrieval (Arrow greedy per query)
+    "vector_quantize_pq",     # PQ train/encode/ADC contract (32x compression)
 )
 
 
