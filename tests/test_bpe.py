@@ -1,0 +1,85 @@
+"""BPE trainer: the distributed merge loop must equal a pure-Python
+reference implementation round-for-round (values, not just shapes)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _reference_bpe(word_freq: dict[str, int], n_merges: int):
+    """Textbook BPE on a word-frequency dict: argmax adjacent pair
+    (freq desc, pair asc), greedy left-to-right non-overlapping merge."""
+    vocab = {w: [c for c in w] for w in word_freq}
+    out = []
+    for r in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, toks in vocab.items():
+            f = word_freq[w]
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), pf = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r, left, right, left + right, pf))
+        for w, toks in vocab.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            vocab[w] = merged
+    return out
+
+
+def _word_freq(texts) -> dict[str, int]:
+    c: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if w:
+                c[w] += 1
+    return dict(c)
+
+
+def test_bpe_equals_reference_on_fixture(spark, sf_smoke):
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.text.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = [
+        (r.merge_round, r.pair_left, r.pair_right, r.merged, r.pair_freq)
+        for r in train_bpe_merges(docs, n_merges=8).collect()
+    ]
+    texts = [r[0] for r in docs.select("text").collect()]
+    want = _reference_bpe(_word_freq(texts), 8)
+    assert got == want
+
+
+def test_bpe_planted_corpus(spark):
+    """Classic Sennrich example family: 'low lower lowest' — the first
+    merges must assemble the shared stem deterministically."""
+    from vector_ai_npm_spark.text.bpe import train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower lowest")], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_round, r.merged, r.pair_freq)
+        for r in train_bpe_merges(docs, n_merges=3).collect()
+    ]
+    want = [
+        (r, m, f)
+        for r, _l, _r, m, f in _reference_bpe(
+            _word_freq(["low low low lower lower lowest"]), 3
+        )
+    ]
+    assert got == want
+    # the stem 'lo'/'low' must appear among the first merges
+    assert any(m in ("lo", "low") for _r, m, _f in got), got

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.chunking.mdx import split_mdx_headers, synth_mdx
+from vector_ai_npm_spark.chunking.queries import _ORACLE_CHUNKS_CTE
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.rag.pipeline import (
     context_group_dedup,
@@ -122,4 +123,59 @@ def ingest_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("long").alias("content_len"),
         F.size("embedding").cast("long").alias("dim"),
         "metadata_json",
+    )
+
+
+@query(
+    "ingest_contract",
+    oracle=_ORACLE_CHUNKS_CTE
+    + """
+    , valid AS (
+      SELECT doc_id FROM chunks
+      WHERE chunk_id = 1 AND starts_with(header, '## Context')
+    )
+    SELECT c.doc_id, c.chunk_id,
+           TRUE AS len_ok, TRUE AS dim_ok, TRUE AS pos_ok, TRUE AS meta_ok
+    FROM chunks c JOIN valid v ON c.doc_id = v.doc_id
+    """,
+)
+def ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship A13 pipeline's contract as a hash-checkable row set
+    (the pipeline itself stays rows-only — subsplit + embed are not
+    SQL — but its COVERAGE and invariants are):
+
+      * key coverage — grouping the ingest output by (doc_id,
+        chunk_id) must reproduce EXACTLY the parent-chunk key set of
+        the hash-green chunk CTE restricted to '## Context'-valid docs
+        (vector-client.ts:161-170 drops invalid docs): a dropped or
+        phantom parent breaks the row count/hash;
+      * len_ok — every sub-chunk ≤ chunk_size(120) (the splitter's
+        ladder ends at per-char, so the bound is hard);
+      * dim_ok — every store row carries a 64-dim embedding;
+      * pos_ok — sub_pos is exactly 0..n-1 per parent (posexplode
+        contiguity survived the pipeline);
+      * meta_ok — metadata_json round-trips the parent chunkId
+        (sub-chunks share it, the SURVEY §2A quirk, ref :227-234).
+    """
+    from vector_ai_npm_spark.engine import EngineConfig
+
+    docs = load_table(spark, sf_dir, "documents")
+    mdx = synth_mdx(docs)
+    out = ingest_pipeline(mdx, EngineConfig(chunk_size=120, chunk_overlap=30))
+    return (
+        out.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.bool_and(F.length("content") <= 120).alias("len_ok"),
+            F.bool_and(F.size("embedding") == 64).alias("dim_ok"),
+            (
+                (F.min("sub_pos") == 0)
+                & (F.max("sub_pos") + 1 == F.count(F.lit(1)))
+                & (F.countDistinct("sub_pos") == F.count(F.lit(1)))
+            ).alias("pos_ok"),
+            F.bool_and(
+                F.get_json_object("metadata_json", "$.chunkId").cast("long")
+                == F.col("chunk_id")
+            ).alias("meta_ok"),
+        )
+        .select("doc_id", "chunk_id", "len_ok", "dim_ok", "pos_ok", "meta_ok")
     )

@@ -411,3 +411,55 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("tok").isin(*shortlist).alias("found_ok"),
     )
+
+
+@query("tokenizer_bpe_merges")  # rows-only: the merge loop is iterative
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+: the first 8 BPE tokenizer merges learned from the corpus
+    (text.bpe — word-dict formulation: ONE corpus pass, then k
+    vocab-scale rounds). Round-1 is independently cross-engine-checked
+    by `bpe_round1_argmax`; the full greedy loop is pinned against a
+    pure-Python reference trainer in tests/test_bpe.py."""
+    from vector_ai_npm_spark.text.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, n_merges=8)
+
+
+@query(
+    "bpe_round1_argmax",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents
+    ), v AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w WHERE w <> '' GROUP BY w
+    ), p AS (
+      SELECT substring(w, CAST(i AS INTEGER), 1) AS pair_left,
+             substring(w, CAST(i AS INTEGER) + 1, 1) AS pair_right,
+             freq
+      FROM v, UNNEST(range(1, length(w))) AS t(i)
+    )
+    SELECT CAST(1 AS BIGINT) AS merge_round, pair_left, pair_right,
+           CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM p GROUP BY pair_left, pair_right
+    ORDER BY pair_freq DESC, pair_left ASC, pair_right ASC
+    LIMIT 1
+    """,
+)
+def bpe_round1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's first merge decision as a VALUE-level
+    cross-engine check (not pinned constants): round 1 is pure SQL —
+    adjacent character-pair frequencies weighted by word count, argmax
+    with the (freq desc, pair asc) tiebreak — so DuckDB recomputes the
+    exact pair the trainer must pick. A tokenization, weighting, or
+    tiebreak regression changes the emitted pair → hash mismatch.
+    (Rounds 2+ depend on applied merges — iterative, covered by the
+    reference-trainer equality test in tests/test_bpe.py.)"""
+    from vector_ai_npm_spark.text.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, n_merges=1).select(
+        "merge_round", "pair_left", "pair_right", "pair_freq"
+    )
