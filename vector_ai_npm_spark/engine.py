@@ -129,6 +129,14 @@ class VectorEngine:
 
         return ivfpq_search(store, query_vec, k=k, nlist=nlist, nprobe=nprobe)
 
+    def train_tokenizer(self, docs: DataFrame, text_col: str = "text",
+                        n_merges: int = 8) -> DataFrame:
+        """Learn BPE merge pairs from the corpus (text.bpe — one
+        corpus-scale pass, then vocab-scale merge rounds)."""
+        from vector_ai_npm_spark.text.bpe import train_bpe_merges
+
+        return train_bpe_merges(docs, text_col=text_col, n_merges=n_merges)
+
     def dedup_clusters(self, docs: DataFrame, pairs: DataFrame,
                        doc_id: str = "doc_id") -> DataFrame:
         """Close a near-dup candidate-pair relation (from any of the

@@ -511,3 +511,78 @@ def vector_store_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivf_store(spark, store_dir, qvec, k=5, nprobe=4).select(
         "vec_id", "cell_id", "similarity", "rank"
     )
+
+
+@query(
+    "vector_pca_project",
+    oracle="""
+    SELECT scope, ok FROM (VALUES
+      ('k_components', TRUE), ('orthonormal', TRUE),
+      ('variance_ordered', TRUE), ('variance_floor', TRUE),
+      ('proj_rows', TRUE), ('proj_dim', TRUE)
+    ) t(scope, ok)
+    """,
+)
+def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction for the vector store — MLlib PCA (the
+    north-star 'batch index build via MLlib'), 64 → 8 dims, as
+    oracle-pinnable booleans. PCA-rotating before quantization is the
+    OPQ recipe (Ge et al., CVPR 2013): decorrelated subspaces make the
+    PQ codebooks in retrieval.pq strictly better.
+
+      * k_components / proj_dim / proj_rows — the fitted basis is
+        exactly k=8 vectors of dim 64 and every store row projects to
+        an 8-dim vector (no rows dropped);
+      * orthonormal — Pᵀ·P = I within 1e-6 (checked on the model's
+        k×64 basis, a driver-scale matrix by construction);
+      * variance_ordered — explained-variance ratios non-increasing
+        and positive (the eigen-order contract);
+      * variance_floor — Σ explained ≥ k/dim: the top-k eigenvectors
+        must capture at least the isotropic share, the floor that
+        separates a fitted basis from an arbitrary one.
+
+    Train cost is one distributed covariance (O(dim²) state) + a
+    driver-side eigendecomposition of the 64×64 Gramian — corpus-size
+    independent, the same sample-vs-assign split as IVF/PQ training."""
+    import numpy as np
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = MLPCA(k=8, inputCol="features", outputCol="pca").fit(vecs)
+    P = model.pc.toArray()  # (dim, k)
+    gram = P.T @ P
+    ortho = bool(np.allclose(gram, np.eye(P.shape[1]), atol=1e-6))
+    ev = np.asarray(model.explainedVariance)
+    ordered = bool(np.all(np.diff(ev) <= 1e-12) and np.all(ev > 0))
+    floor = bool(ev.sum() >= P.shape[1] / P.shape[0])
+    proj = model.transform(vecs)
+    stats = proj.select(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vector_to_array(F.col("pca")))).alias("dmin"),
+        F.max(F.size(vector_to_array(F.col("pca")))).alias("dmax"),
+    ).crossJoin(emb.agg(F.count(F.lit(1)).alias("n_in")))
+    flags = stats.select(
+        F.lit(P.shape[1] == 8).alias("k_components"),
+        F.lit(ortho).alias("orthonormal"),
+        F.lit(ordered).alias("variance_ordered"),
+        F.lit(floor).alias("variance_floor"),
+        (F.col("n") == F.col("n_in")).alias("proj_rows"),
+        ((F.col("dmin") == 8) & (F.col("dmax") == 8)).alias("proj_dim"),
+    )
+    return flags.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("scope"), F.col(s).alias("ok"))
+                    for s in (
+                        "k_components", "orthonormal", "variance_ordered",
+                        "variance_floor", "proj_rows", "proj_dim",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.scope", "r.ok")
