@@ -154,6 +154,26 @@ def test_concurrency_sweep_avoids_global_sort(spark, sf_smoke):
     assert plan.count("Scan parquet") <= 2, plan[:2000]
 
 
+def test_bloom_filtered_join_injects_runtime_filter(spark, sf_smoke):
+    """Under the tuned confs the fact scan must carry the runtime
+    bloom_filter_might_contain predicate built from the dim side."""
+    from vector_ai_npm_spark.operators.analytics_ops import (
+        _BLOOM_CONFS,
+        bloom_filtered_join,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = bloom_filtered_join(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "might_contain" in plan.lower(), plan[:3000]
+
+
 def test_join_partition_pruned_uses_dpp(spark, sf_smoke):
     """The fact scan must carry a dynamicpruning PartitionFilter derived
     from the dim side — the runtime partition-prune that makes the

@@ -329,6 +329,79 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # fixture-sized thresholds so the rewrite triggers at sf0.01 the way
+    # it would on real stats at 100 TB
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuned join itself (no conf scoping) — callers own the confs;
+    tests/test_plans.py pins `bloom_filter_might_contain` in its plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast(_DEC).cast("double")
+            .alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "join_bloom_filtered",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL({_PREC},{_SCALE})))
+                AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE)
+             AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter pruned join — DPP's sibling for NON-partition
+    keys: the selective dim side (URGENT orders) builds a Bloom filter
+    aggregate at runtime that is pushed into the fact scan as a
+    `might_contain` predicate, so ~80% of lineitem rows die AT THE SCAN
+    instead of traveling through the shuffle to be dropped by the join.
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~match set (Spark's runtime-filter rewrite;
+    broadcast disabled here to exercise the shuffle-join case it
+    targets).
+
+    Conf scoping: the rewrite is driven by session confs, so the tuned
+    plan is EXECUTED inside this function (sink + re-read, the
+    `vector_insert` discipline) and every conf restored before return —
+    the registry contract is that queries never leak session state."""
+    import tempfile
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    path = tempfile.mkdtemp(prefix="bloom_join_") + "/out"
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        bloom_filtered_join(spark, sf_dir).write.mode("overwrite").parquet(path)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(path)
+
+
 @query(
     "concurrency_sweep",
     oracle="""
