@@ -130,3 +130,37 @@ def test_decoder_roundtrip_property():
         assert decode_pixels(_bmp24(w, h, rows)) == (w, h, pixels)
 
     check()
+
+
+def test_resize_output_recomposes_with_decoder(spark, sf_smoke):
+    """Resized P6 payloads must round-trip through the SAME decode
+    stage (stage composability): extract_features over resize_images
+    output reports 2x2 dims and the identical mean pixel."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.multimodal.binary import (
+        extract_features,
+        resize_images,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(load_table(spark, sf_smoke, "documents"))
+    resized = resize_images(media, out_w=2, out_h=2)
+    feats = extract_features(
+        resized.select(
+            "asset_id",
+            F.lit("image").alias("modality"),
+            F.col("payload_out").alias("payload"),
+            F.lit("{}").alias("meta_json"),
+        ),
+        fake_decoder=False,
+    )
+    joined = feats.join(
+        resized.select("asset_id", "mean_resized"), "asset_id"
+    ).select(
+        "width", "height",
+        (F.abs(F.col("mean_pixel") - F.col("mean_resized")) < 1e-9).alias("ok"),
+    )
+    rows = joined.collect()
+    assert rows and all(r.width == 2 and r.height == 2 and r.ok for r in rows)

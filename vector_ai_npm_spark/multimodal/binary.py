@@ -248,3 +248,51 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 32,
         F.col("frame_no").cast("long").alias("frame_no"),
         (F.col("i") * every_n_bytes).cast("long").alias("byte_offset"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("mean_resized", DoubleType()),
+        StructField("payload_out", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """Nearest-neighbor image resize over binary payloads — the third
+    leg of the north-star multimodal quartet (decode / features /
+    RESIZE / frame-sample). Deterministic NN index map
+    (src = floor(dst · src_dim / dst_dim), the classic integer
+    subsample) so the result is bit-reproducible and SQL-mirrorable;
+    output is re-encoded as P6 so the stage composes with decode.
+
+    Scale shape: one Arrow-batched mapInPandas pass; per-row state is
+    one image; the payload column never leaves the JVM except through
+    Arrow batches. A production codec (JPEG/PNG, interpolating kernels)
+    slots in behind the same schema — the documented seam."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, pix = decode_pixels(bytes(b))
+                nch = len(pix) // (w * h)
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, nch)
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                res = arr[ri][:, ci, :]
+                mean = float(res.astype(np.int64).sum()) / res.size
+                header = f"P6\n{out_w} {out_h}\n255\n".encode()
+                rows.append((int(aid), out_w, out_h, mean,
+                             header + res.tobytes()))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "out_w", "out_h", "mean_resized",
+                         "payload_out"],
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -128,3 +128,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded JVM-side (posexplode of a sequence)."""
     media = synth_media(load_table(spark, sf_dir, "documents"))
     return frame_sample(media, every_n_bytes=32, max_frames=8)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INTEGER) AS w,
+             4 + CAST(doc_id % 3 AS INTEGER) AS h,
+             sha256(text) || sha256(text || 'a') || sha256(text || 'b')
+               AS chain
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(2 AS BIGINT) AS out_w,
+           CAST(2 AS BIGINT) AS out_h,
+           ROUND(list_aggregate(
+             list_transform(range(0, 12), i ->
+               unicode(substr(chain,
+                 (CAST(i AS INTEGER) // 6 * h // 2 * w
+                  + (CAST(i AS INTEGER) // 3) % 2 * w // 2) * 3
+                 + CAST(i AS INTEGER) % 3 + 1, 1))),
+             'avg'), 6) AS mean_resized
+    FROM m
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN resize of the genuine P6 payloads to 2×2 through the real
+    decoder + re-encode (multimodal.binary.resize_images). The oracle
+    recomputes the SAME nearest-neighbor index map over the
+    DuckDB-reconstructed pixel bytes — src = floor(dst·src/2) per axis,
+    12 sampled bytes averaged exactly — so a stride, index-map, or
+    channel-order regression hash-mismatches. Mean is an exact integer
+    sum ÷ 12 in doubles, round 6dp both sides."""
+    from vector_ai_npm_spark.multimodal.binary import (
+        resize_images,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(load_table(spark, sf_dir, "documents"))
+    return resize_images(media, out_w=2, out_h=2).select(
+        "asset_id", "out_w", "out_h",
+        F.round("mean_resized", 6).alias("mean_resized"),
+    )
