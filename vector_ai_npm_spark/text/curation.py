@@ -600,3 +600,116 @@ def curate_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "curate_quality_classifier",
+    oracle="""
+    SELECT scope, ok FROM (VALUES
+      ('both_classes_present', TRUE), ('coverage', TRUE),
+      ('coef_finite', TRUE), ('auc_floor', TRUE), ('rule_recovery', TRUE)
+    ) t(scope, ok)
+    """,
+)
+def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fasttext/DataComp pattern
+    layered over Gopher rules): train an MLlib LogisticRegression on
+    the WEAK LABELS produced by the rule filter (`curate_gopher_quality`
+    keep verdicts) from the same cheap features (n_words,
+    mean_word_len, stop_hits) — the production recipe where the learned
+    model then generalizes the rules to held-out corpora. Contract:
+
+      * both_classes_present / coverage — the weak-label set is
+        non-degenerate and every tokenizable doc gets a prediction;
+      * coef_finite — the fit converged to finite coefficients;
+      * auc_floor — train AUC ≥ 0.85: the model must substantially
+        recover a label that IS a function of its features;
+      * rule_recovery — ≥ 80% of predictions agree with the rule
+        verdict at the 0.5 threshold.
+
+    Scale: featurization is the map-only Gopher fold; LR training is
+    MLlib's treeAggregate gradient loop (constant-size driver state);
+    scoring is one distributed pass. AUC floors (not exact values) keep
+    the contract robust to float-fold order across partitionings."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_SPARK_TOKS)
+    m = (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("double").alias("n_words"),
+            (
+                F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+                .cast("double")
+                / F.size("toks")
+            ).alias("mean_word_len"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.col("toks")),
+                    F.array(*[F.lit(s) for s in _STOP_SET]),
+                )
+            )
+            .cast("double")
+            .alias("stop_hits"),
+        )
+        .withColumn(
+            "label",
+            (
+                F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+                & F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
+                & (F.col("stop_hits") >= _MIN_STOP_HITS)
+            ).cast("double"),
+        )
+    )
+    feats = VectorAssembler(
+        inputCols=["n_words", "mean_word_len", "stop_hits"],
+        outputCol="features",
+    ).transform(m)
+    lr = LogisticRegression(
+        maxIter=50, regParam=0.01, featuresCol="features", labelCol="label"
+    )
+    model = lr.fit(feats)
+    import math
+
+    coef_finite = bool(
+        all(math.isfinite(c) for c in model.coefficients)
+        and math.isfinite(model.intercept)
+    )
+    scored = model.transform(feats)
+    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(scored)
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").alias("n_pos"),
+        F.sum(
+            (F.col("prediction") == F.col("label")).cast("long")
+        ).alias("n_agree"),
+    ).crossJoin(m.agg(F.count(F.lit(1)).alias("n_in")))
+    flags = stats.select(
+        (
+            (F.col("n_pos") > 0) & (F.col("n_pos") < F.col("n"))
+        ).alias("both_classes_present"),
+        (F.col("n") == F.col("n_in")).alias("coverage"),
+        F.lit(coef_finite).alias("coef_finite"),
+        F.lit(bool(auc >= 0.85)).alias("auc_floor"),
+        (
+            F.col("n_agree").cast("double") >= 0.8 * F.col("n").cast("double")
+        ).alias("rule_recovery"),
+    )
+    return flags.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("scope"), F.col(s).alias("ok"))
+                    for s in (
+                        "both_classes_present", "coverage", "coef_finite",
+                        "auc_floor", "rule_recovery",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.scope", "r.ok")
