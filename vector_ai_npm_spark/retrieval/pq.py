@@ -148,47 +148,49 @@ def pq_adc_search(
     )
 
 
-def ivfpq_search(
+def build_ivfpq_index(
     store: DataFrame,
-    query_vec: list[float],
-    k: int = 5,
     nlist: int = 8,
-    nprobe: int = 4,
     m: int = 8,
     ksub: int = 16,
-    shortlist: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """The full FAISS IVF-PQ pipeline, batch-shaped:
-
-      1. IVF cell pruning — scan only the query's nprobe nearest cells
-         (~nprobe/nlist of the corpus; a partition-pruned read when the
-         index table is written partitioned by cell_id).
-      2. ADC shortlist — rank the surviving CODES by lookup-table
-         distance (8 bytes/row touched, no vectors), keep
-         `shortlist` (default 4k) candidates.
-      3. Exact re-rank — hydrate true vectors for the shortlist only
-         and compute exact cosine top-k.
-
-    Memory math at 100 TB: stage 2 scans m-byte codes instead of
-    dim×4-byte vectors (32× here), and stage 3 touches `shortlist`
-    vectors per query — the only full-precision reads in the whole
-    search. Build is deterministic (seeded quantizers), so results are
-    stable per fixture."""
-    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+):
+    """Build the IVF-PQ index ONCE for any number of searches: returns
+    (index_df = (id, cell_id, codes, recon_cos), centroids = {cell:
+    np.array}, books). Train/assign/encode each cost one pass; at scale
+    the index_df is what you persist partitioned by cell_id — queries
+    then amortize the build across the whole workload instead of
+    re-quantizing per search."""
     from vector_ai_npm_spark.retrieval.ivf import build_ivf_index
 
-    if shortlist is None:
-        shortlist = 4 * k
     books = train_pq(store, vec_col=vec_col, m=m, ksub=ksub)
     assigned, centroids = build_ivf_index(store, vec_col, nlist=nlist)
     codes = pq_encode(store, books, vec_col=vec_col, id_col=id_col)
     index = assigned.select(id_col, "cell_id").join(codes, id_col)
-
-    # nprobe nearest cells: nlist rows — a driver-side argsort
-    q = np.asarray(query_vec, dtype=np.float64)
     cents = {r[0]: np.asarray(r[1]) for r in centroids.collect()}
+    return index, cents, books
+
+
+def ivfpq_search_index(
+    index: DataFrame,
+    cents: dict,
+    books: np.ndarray,
+    store: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a prebuilt IVF-PQ index (see ivfpq_search for the
+    pipeline shape)."""
+    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+
+    if shortlist is None:
+        shortlist = 4 * k
+    q = np.asarray(query_vec, dtype=np.float64)
     order = sorted(
         cents, key=lambda c: float(((q - cents[c]) ** 2).sum())
     )[:nprobe]
@@ -213,4 +215,43 @@ def ivfpq_search(
             ).cast("long"),
         )
         .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_search(
+    store: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full FAISS IVF-PQ pipeline, batch-shaped (build + search):
+
+      1. IVF cell pruning — scan only the query's nprobe nearest cells
+         (~nprobe/nlist of the corpus; a partition-pruned read when the
+         index table is written partitioned by cell_id).
+      2. ADC shortlist — rank the surviving CODES by lookup-table
+         distance (8 bytes/row touched, no vectors), keep
+         `shortlist` (default 4k) candidates.
+      3. Exact re-rank — hydrate true vectors for the shortlist only
+         and compute exact cosine top-k.
+
+    Memory math at 100 TB: stage 2 scans m-byte codes instead of
+    dim×4-byte vectors (32× here), and stage 3 touches `shortlist`
+    vectors per query — the only full-precision reads in the whole
+    search. Build is deterministic (seeded quantizers), so results are
+    stable per fixture. For many queries over one corpus, call
+    build_ivfpq_index once and ivfpq_search_index per query."""
+    index, cents, books = build_ivfpq_index(
+        store, nlist=nlist, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col
+    )
+    return ivfpq_search_index(
+        index, cents, books, store, query_vec,
+        k=k, nprobe=nprobe, shortlist=shortlist,
+        vec_col=vec_col, id_col=id_col,
     )

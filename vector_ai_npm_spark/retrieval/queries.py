@@ -366,16 +366,28 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A regression in the PQ codebooks, ADC table, cell probe, or
     re-rank flips a row → hash mismatch → red driver row."""
-    from vector_ai_npm_spark.retrieval.pq import ivfpq_search
+    from pyspark import StorageLevel
+
+    from vector_ai_npm_spark.retrieval.pq import (
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE index build amortized across all three searches (the
+    # workload shape build_ivfpq_index exists for) — persisted so the
+    # per-query probes re-read codes, not re-quantize the corpus
+    index, cents, books = build_ivfpq_index(emb, nlist=8)
+    index = index.persist(StorageLevel.MEMORY_AND_DISK)
     out = []
     total_overlap = None
     for qid in _QUERY_IDS:
         qvec = list(
             emb.where(F.col("vec_id") == qid).select("embedding").first()[0]
         )
-        hits = ivfpq_search(emb, qvec, k=5, nlist=8, nprobe=4)
+        hits = ivfpq_search_index(
+            index, cents, books, emb, qvec, k=5, nprobe=4
+        )
         exact = similarity_search_topk(
             emb.select("vec_id", "embedding"), qvec, threshold=-1.0, k=5
         ).select(F.col("vec_id").alias("e_vec_id"))
