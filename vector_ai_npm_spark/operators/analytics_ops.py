@@ -715,3 +715,127 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+@query(
+    "recursive_cte_closure",
+    oracle="""
+    WITH RECURSIVE anc(node, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+      UNION ALL
+      SELECT d.doc_id, a.depth + 1
+      FROM documents d JOIN anc a ON d.doc_id // 2 = a.node
+      WHERE d.doc_id > 1
+    )
+    SELECT node, depth FROM anc
+    """,
+)
+def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal with a FIRST-CLASS recursive CTE (Spark 4's
+    WITH RECURSIVE): the implicit binary tree over doc_ids
+    (parent = id DIV 2) walked from the root, emitting every node's
+    depth — the org-chart / BOM / folder-tree query shape, in pure SQL
+    on BOTH engines (DuckDB mirrors the identical recursion).
+
+    Versus dedup_components' hand-rolled label propagation (which
+    solves arbitrary-graph closure with pointer jumping), the
+    recursive CTE is the declarative path for DAG/tree-shaped data:
+    each iteration is one distributed join of the frontier against the
+    edge relation, state = the accumulated result, rounds = tree depth
+    (log n here, ~9 at sf0.01 — far under the engine's recursion
+    limit). Frontier-vs-edges joins plan like any equi-join, so
+    broadcast/AQE apply per level."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id").createOrReplaceTempView("rec_docs")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+          UNION ALL
+          SELECT d.doc_id, a.depth + 1
+          FROM rec_docs d JOIN anc a ON d.doc_id DIV 2 = a.node
+          WHERE d.doc_id > 1
+        )
+        SELECT node, depth FROM anc
+        """
+    )
+
+
+@query(
+    "events_rfm",
+    oracle=f"""
+    WITH g AS (SELECT MAX(ts) AS now FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(ts), g.now) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(CAST(CAST(SUM(CAST(value AS DECIMAL({_PREC},{_SCALE})))
+                  AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE)
+               AS monetary
+      FROM events, g GROUP BY user_id, g.now
+    ), s AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)
+               AS BIGINT) AS r_quintile,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+               AS BIGINT) AS f_quintile,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC)
+               AS BIGINT) AS m_quintile
+      FROM u
+    )
+    SELECT *,
+           CASE WHEN r_quintile = 1 AND f_quintile <= 2 THEN 'champion'
+                WHEN r_quintile <= 2 AND f_quintile <= 3 THEN 'loyal'
+                WHEN r_quintile >= 4 AND f_quintile >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM s
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles +
+    segment label) — the workhorse customer-analytics rollup.
+
+    Plan: ONE corpus-scale aggregate reduces events to the per-user
+    frame (map-side combined); the anchor timestamp is a 1-row MAX
+    broadcast (the agg_histogram stats pattern); the three ntile
+    windows then run over USERS, not events — a reduced frame that is
+    the documented trade (at extreme user counts swap ntile for
+    percent_rank over a range-partitioned sort). Every ordering
+    carries a user_id tiebreak so quintile boundaries are
+    deterministic under metric ties; monetary uses the exact-decimal
+    fold."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("now"))
+    u = (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("user_id", "now")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast(_DEC)).cast(_DEC).cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff(F.col("now"), F.col("last_ts")).cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    s = u.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(wr).cast("long").alias("r_quintile"),
+        F.ntile(5).over(wf).cast("long").alias("f_quintile"),
+        F.ntile(5).over(wm).cast("long").alias("m_quintile"),
+    )
+    return s.withColumn(
+        "segment",
+        F.when((F.col("r_quintile") == 1) & (F.col("f_quintile") <= 2), "champion")
+        .when((F.col("r_quintile") <= 2) & (F.col("f_quintile") <= 3), "loyal")
+        .when((F.col("r_quintile") >= 4) & (F.col("f_quintile") >= 4), "at_risk")
+        .otherwise("regular"),
+    )

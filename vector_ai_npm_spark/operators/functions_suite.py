@@ -185,3 +185,37 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).cast("long").alias("k_bucket"),
         (k > 50).alias("k_high"),
     )
+
+
+@query(
+    "json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7
+                AS BIGINT) AS k_mod,
+           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24+: semi-structured data through Spark 4's VARIANT type —
+    `parse_json` once into a binary-encoded variant, then typed
+    `variant_get` path extraction. Versus the string-walking
+    get_json_object (json_funcs), VARIANT parses each document ONCE
+    into a shredded binary form, so repeated/nested extraction doesn't
+    re-tokenize the JSON text — the 100 TB answer for wide event
+    payloads read by many fields (same engine direction as
+    Parquet variant shredding). Missing paths yield SQL NULL, pinned
+    by `missing_is_null`."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.expr("CAST(variant_get(v, '$.k', 'bigint') AS BIGINT)")
+    return ev.select("event_id", v.alias("v")).select(
+        "event_id",
+        k.alias("k"),
+        (k % 7).cast("long").alias("k_mod"),
+        F.expr("variant_get(v, '$.missing', 'string')").isNull().alias(
+            "missing_is_null"
+        ),
+    )
