@@ -839,3 +839,72 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("r_quintile") >= 4) & (F.col("f_quintile") >= 4), "at_risk")
         .otherwise("regular"),
     )
+
+
+@query(
+    "attribution_first_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS rn
+      FROM events WHERE event_type IN ('view', 'click')
+    ), ft AS (
+      SELECT user_id, event_id AS touch_event_id, ts AS touch_ts,
+             event_type AS touch_type
+      FROM t WHERE rn = 1
+    )
+    SELECT p.event_id AS purchase_event_id, p.user_id, p.ts AS purchase_ts,
+           ft.touch_event_id, ft.touch_type,
+           CASE WHEN ft.touch_ts <= p.ts
+                THEN CAST(date_diff('day', ft.touch_ts, p.ts) AS BIGINT)
+           END AS days_to_convert,
+           COALESCE(ft.touch_ts <= p.ts, FALSE) AS attributed
+    FROM events p LEFT JOIN ft ON p.user_id = ft.user_id
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credited to its user's
+    FIRST view/click ever (the marketing-analytics workhorse; last-touch
+    is the same plan with the window order reversed). Purchases that
+    precede any touch (or users with no touch) stay unattributed —
+    pinned by the `attributed` flag rather than silently dropped.
+
+    Plan: the touch relation reduces to ONE row per user (row_number
+    over the user-keyed window, WindowGroupLimit keeps top-1 per task),
+    so the purchase join is fact ⋈ user-sized-dim — broadcastable at
+    any event volume where users ≪ events, and the same user-keyed
+    exchange sessionize/funnel/cohort already cluster by. Deterministic
+    (ts, event_id) tiebreak fixes same-timestamp touches."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ft = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("touch_event_id"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_type").alias("touch_type"),
+        )
+    )
+    p = ev.where(F.col("event_type") == "purchase")
+    return p.join(ft, "user_id", "left").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "touch_event_id",
+        "touch_type",
+        F.when(
+            F.col("touch_ts") <= F.col("ts"),
+            F.datediff(F.col("ts"), F.col("touch_ts")).cast("long"),
+        ).alias("days_to_convert"),
+        F.coalesce(F.col("touch_ts") <= F.col("ts"), F.lit(False)).alias(
+            "attributed"
+        ),
+    )
