@@ -46,6 +46,9 @@ PLAN_QUERIES = (
     ("profile_table", "single scan, one Expand for multi-col distinct"),
     ("join_partition_pruned", "runtime DPP partition filter from dim side"),
     ("agg_histogram", "1-row stats broadcast into the binning pass"),
+    ("concurrency_sweep", "two-level prefix sum, one tiny SinglePartition"),
+    ("events_rfm", "corpus agg → user frame → quintile windows"),
+    ("attribution_first_touch", "touch top-1 per user ⋈ purchases"),
 )
 
 
