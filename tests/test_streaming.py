@@ -339,3 +339,76 @@ def test_upsert_sink_idempotent_on_batch_retry(spark, sf_smoke):
         r.user_id: (r.total_value, r.n_events)
         for r in final_totals(spark, store).collect()
     } == once
+
+
+def test_stream_sessionize_equals_batch(spark, sf_smoke, events_stream_dir):
+    """applyInPandasWithState sessionizer: per-event session assignment
+    over the stream must equal the batch gaps-and-islands query
+    (the registry's `sessionize`)."""
+    from vector_ai_npm_spark.operators.pipeline_ops import sessionize
+    from vector_ai_npm_spark.streaming.stateful import sessionize_stateful
+
+    batch = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(spark, sf_smoke).collect()
+    }
+    out = _run_stream(
+        spark, events_stream_dir, sessionize_stateful, "t_sess_state",
+        mode="update",
+    )
+    got = {(r.user_id, r.event_id): r.session_seq for r in out}
+    assert got == batch
+
+
+def test_stream_sessionize_state_spans_batches(spark):
+    """The carried-state property itself: two time-ordered files
+    processed as SEPARATE micro-batches (maxFilesPerTrigger=1) must
+    yield the same session numbering as one batch — a session open at
+    the batch boundary continues, a >gap silence across the boundary
+    opens a new one."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.streaming.stateful import sessionize_stateful
+
+    rows1 = [  # batch 1: one session (gap < 30 min)
+        (1, 10, "2024-01-01 10:00:00"),
+        (1, 11, "2024-01-01 10:10:00"),
+    ]
+    rows2 = [  # batch 2: continues session 1, then a >30min gap → session 2
+        (1, 12, "2024-01-01 10:25:00"),
+        (1, 13, "2024-01-01 11:30:00"),
+    ]
+    d = tempfile.mkdtemp(prefix="sess_batches_")
+    schema = "user_id long, event_id long, ts string"
+    spark.createDataFrame(rows1, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(rows2, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_sess_span")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_id: r.session_seq
+            for r in spark.table("t_sess_span").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {10: 1, 11: 1, 12: 1, 13: 2}, got

@@ -158,3 +158,63 @@ def user_totals_stateful(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming sessionizer: per-EVENT session assignment with carried state
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, microseconds
+
+SESSION_OUT_SCHEMA = "user_id long, event_id long, ts timestamp, session_seq long"
+SESSION_STATE_SCHEMA = "last_us long, seq long"
+
+
+def _update_session_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gaps-and-islands fold with CARRIED state: the previous
+    micro-batch's (last event time, session counter) survive in the
+    state store, so a session that spans a batch boundary keeps its
+    number instead of restarting — the thing a per-batch window can
+    never do. Rows are sorted (ts, event_id) within the batch; the
+    correctness contract is per-user event-time-ordered ARRIVAL across
+    batches (file source in path order here; production pairs this
+    with a watermark that holds back out-of-order feeds)."""
+    last_us, seq = state.get if state.exists else (-1, 0)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out_seq = []
+    for ts in pdf["ts"]:
+        ts_us = int(pd.Timestamp(ts).value // 1000)
+        if last_us < 0 or ts_us - last_us > SESSION_GAP_US:
+            seq += 1
+        last_us = ts_us
+        out_seq.append(seq)
+    state.update((last_us, seq))
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].astype("int64"),
+            "event_id": pdf["event_id"].astype("int64"),
+            "ts": pdf["ts"],
+            "session_seq": pd.Series(out_seq, index=pdf.index, dtype="int64"),
+        }
+    )
+
+
+def sessionize_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming face of operators.pipeline_ops.sessionize: every event
+    carries its (user, session) key as it flows through, sessions
+    continue across micro-batches via keyed state."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session_state,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
