@@ -908,3 +908,57 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed"
         ),
     )
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), span AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud
+    ), cover AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
+               AS DATE) AS as_of_day
+      FROM ud
+    )
+    SELECT c.as_of_day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM cover c, span s
+    WHERE c.as_of_day BETWEEN s.d0 AND s.d1
+    GROUP BY c.as_of_day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the WAU curve) — THE growth metric —
+    via the explode-instead-of-range-join trick: a user active on day d
+    counts as active "as of" days d..d+6, so each distinct (user, day)
+    row fans out to the ≤7 as-of days it covers and the rolling
+    distinct count becomes a plain hash aggregate. No range join, no
+    per-day window with set state, no day×events self-join.
+
+    Plan: (1) events collapse to DISTINCT (user, day) — one shuffle,
+    map-side combined, output |users|×|days| at most; (2) a 7× map-side
+    fan-out via sequence/explode (JVM Generate, no Python); (3) one
+    countDistinct aggregate on (as_of_day). At 100 TB stage 1 is the
+    only event-scale pass; everything after is user×day scale. Days
+    past the observed span are trimmed so both engines see the same
+    calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    span = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("as_of_day"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(span))
+        .where(F.col("as_of_day").between(F.col("d0"), F.col("d1")))
+        .groupBy("as_of_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
