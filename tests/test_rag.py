@@ -259,3 +259,62 @@ def test_engine_curation_facade(spark, sf_smoke):
     assert sum(1 for r in cluster if r.keep_best) == 1
     best = max(cluster, key=lambda r: (r.q, -r.doc_id))
     assert [r.doc_id for r in cluster if r.keep_best] == [best.doc_id]
+
+
+def test_facade_retrieval_tier_methods(spark, sf_smoke):
+    """The round-5 facade additions must delegate correctly:
+    diverse search (MMR), PQ quantization, IVF-PQ search, and BPE
+    tokenizer training all runnable from the VectorEngine surface."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.engine import EngineConfig, VectorEngine
+    from vector_ai_npm_spark.io.sources import load_table
+
+    eng = VectorEngine(spark, EngineConfig())
+    emb = load_table(spark, sf_smoke, "embeddings")
+    docs = load_table(spark, sf_smoke, "documents")
+
+    queries = emb.where(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    diverse = eng.similarity_search_diverse(queries, emb, k=3, k_candidates=10)
+    assert diverse.count() == 6  # 2 queries × 3 picks
+
+    codes, books = eng.quantize_store(emb, m=8, ksub=16)
+    assert codes.where(F.size("codes") != 8).count() == 0
+    assert books.shape == (8, 16, 8)
+
+    qvec = list(emb.where(F.col("vec_id") == 7).select("embedding").first()[0])
+    hits = eng.search_quantized(emb, qvec, k=3, nlist=4, nprobe=2)
+    rows = hits.orderBy("rank").collect()
+    assert len(rows) == 3 and rows[0].vec_id == 7  # self-match at rank 1
+
+    merges = eng.train_tokenizer(docs, n_merges=2)
+    got = merges.collect()
+    assert len(got) == 2 and all(m.merged == m.pair_left + m.pair_right for m in got)
+
+
+def test_mmr_composes_with_ann_candidates(spark, sf_smoke):
+    """mmr_rerank(candidates=...) must accept the ANN path's output —
+    the two-stage diverse-retrieval composition (ANN prune → MMR)."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.retrieval.lsh import ann_similarity_join
+    from vector_ai_npm_spark.retrieval.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    cand = ann_similarity_join(queries, emb, k=10)
+    out = mmr_rerank(queries, emb, k=3, candidates=cand)
+    per_q = {r[0]: r[1] for r in out.groupBy("q_vec_id").count().collect()}
+    assert per_q == {0: 3, 7: 3}
+    # picks must come from the ANN candidate set
+    extra = out.join(
+        cand.select("q_vec_id", "vec_id"), ["q_vec_id", "vec_id"], "left_anti"
+    ).count()
+    assert extra == 0
