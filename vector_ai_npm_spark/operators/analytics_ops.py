@@ -962,3 +962,147 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("as_of_day")
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+
+
+_FUZZY_K = 4    # rarest grams kept per name (the prefix-filter budget)
+_FUZZY_DF_CAP = 50  # a gram may BLOCK only if <= this many names carry it
+
+
+@query(
+    "join_fuzzy_string",
+    oracle=f"""
+    WITH q AS (
+      SELECT GREATEST(3, CAST(CEIL(LOG10(COUNT(*) + 1)) AS INTEGER) - 1) AS q
+      FROM customer
+    ), clean AS (
+      SELECT c_custkey AS c_key, c_name FROM customer
+    ), dirty AS (
+      SELECT c_custkey AS d_key,
+             substring(c_name, 1, CAST(c_custkey % (length(c_name) - 1) AS INTEGER))
+             || substring(c_name, CAST(c_custkey % (length(c_name) - 1) AS INTEGER) + 2)
+               AS d_name
+      FROM customer
+    ), cg AS (
+      SELECT DISTINCT c_key, unnest(list_transform(
+               range(1, length(c_name) - q.q + 2),
+               i -> substring(c_name, CAST(i AS INTEGER), q.q))) AS gram
+      FROM clean, q
+    ), df AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM cg GROUP BY gram
+    ), crare AS (
+      SELECT c_key, gram FROM (
+        SELECT c_key, cg.gram,
+               row_number() OVER (PARTITION BY c_key
+                 ORDER BY df.df ASC, cg.gram ASC) AS rn
+        FROM cg JOIN df ON cg.gram = df.gram
+        WHERE df.df <= {_FUZZY_DF_CAP}
+      ) WHERE rn <= {_FUZZY_K}
+    ), dg AS (
+      SELECT DISTINCT d_key, unnest(list_transform(
+               range(1, length(d_name) - q.q + 2),
+               i -> substring(d_name, CAST(i AS INTEGER), q.q))) AS gram
+      FROM dirty, q
+    ), drare AS (
+      SELECT d_key, gram FROM (
+        SELECT d_key, dg.gram,
+               row_number() OVER (PARTITION BY d_key
+                 ORDER BY df.df ASC, dg.gram ASC) AS rn
+        FROM dg JOIN df ON dg.gram = df.gram
+        WHERE df.df <= {_FUZZY_DF_CAP}
+      ) WHERE rn <= {_FUZZY_K}
+    ), cand AS (
+      SELECT DISTINCT d.d_key, c.c_key
+      FROM drare d JOIN crare c ON d.gram = c.gram
+    ), scored AS (
+      SELECT cand.d_key, cand.c_key,
+             CAST(levenshtein(di.d_name, cl.c_name) AS BIGINT) AS lev
+      FROM cand
+      JOIN dirty di ON cand.d_key = di.d_key
+      JOIN clean cl ON cand.c_key = cl.c_key
+      WHERE levenshtein(di.d_name, cl.c_name) <= 2
+    )
+    SELECT d_key, c_key AS matched_key, lev FROM (
+      SELECT *, row_number() OVER (PARTITION BY d_key
+                ORDER BY lev ASC, c_key ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def join_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: match corrupted names (one
+    char deterministically dropped) back to the clean customer table
+    with a q-gram PREFIX-FILTER block + edit-distance re-rank — the
+    set-similarity-join recipe (PPJoin family): joining on every 3-gram
+    would pair all rows through common grams ('Cus', '000'), so each
+    name keeps only its k=4 RAREST grams (ranked by exact corpus
+    document frequency) and only those block — candidate count tracks
+    gram selectivity, not n². Survivors pay levenshtein ≤ 2; best match
+    per dirty row with a (distance, key) tiebreak.
+
+    Scale shape: gram df is one hash agg; rare-gram selection a
+    per-name window over ≤16 grams; the block join moves (key, gram)
+    pairs only — names hydrate AFTER candidates. Recall is the
+    prefix-filter trade: a corruption that destroys all k shared rare
+    grams drops that pair (raise k for recall, both engines agree
+    exactly either way). Corrupted grams absent from the clean vocab
+    are excluded from ranking — they can never block."""
+    import math
+
+    cust = load_table(spark, sf_dir, "customer")
+    n_names = cust.count()
+    q = max(3, math.ceil(math.log10(n_names + 1)) - 1)
+    clean = cust.select(F.col("c_custkey").alias("c_key"), "c_name")
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.concat(
+            F.expr("substring(c_name, 1, CAST(c_custkey % (length(c_name) - 1) AS INT))"),
+            F.expr("substring(c_name, CAST(c_custkey % (length(c_name) - 1) AS INT) + 2)"),
+        ).alias("d_name"),
+    )
+
+    def grams(df: DataFrame, key: str, name: str) -> DataFrame:
+        return df.select(
+            key,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({name}) - {q} + 1),"
+                    f" i -> substring({name}, i, {q}))"
+                )
+            ).alias("gram"),
+        ).distinct()
+
+    cg = grams(clean, "c_key", "c_name")
+    dfreq = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+
+    def rare(g: DataFrame, key: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.col("df").asc(), F.col("gram").asc())
+        return (
+            g.join(dfreq.where(F.col("df") <= _FUZZY_DF_CAP), "gram")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _FUZZY_K)
+            .select(key, "gram")
+        )
+
+    cand = (
+        rare(grams(dirty, "d_key", "d_name"), "d_key")
+        .join(rare(cg, "c_key"), "gram")
+        .select("d_key", "c_key")
+        .distinct()
+    )
+    scored = (
+        cand.join(dirty, "d_key")
+        .join(clean, "c_key")
+        .select(
+            "d_key", "c_key",
+            F.levenshtein("d_name", "c_name").cast("long").alias("lev"),
+        )
+        .where(F.col("lev") <= 2)
+    )
+    wbest = Window.partitionBy("d_key").orderBy(
+        F.col("lev").asc(), F.col("c_key").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("d_key", F.col("c_key").alias("matched_key"), "lev")
+    )
