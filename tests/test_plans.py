@@ -373,3 +373,34 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, sf_smoke):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_gate,
         )
+
+
+def test_skyline_equals_bruteforce(spark, sf_smoke):
+    """The two-level prefix decomposition must equal the O(n²)
+    dominance definition exactly (q beats p iff price ≤ AND size ≥,
+    strict somewhere; equal points keep the smallest key)."""
+    from vector_ai_npm_spark import registry
+    from vector_ai_npm_spark.io.sources import load_table
+
+    rows = load_table(spark, sf_smoke, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    pts = [(r.p_partkey, r.p_retailprice, r.p_size) for r in rows]
+
+    def dominated(p):
+        for q in pts:
+            if q[0] == p[0]:
+                continue
+            if q[1] <= p[1] and q[2] >= p[2] and (
+                q[1] < p[1] or q[2] > p[2]
+                or (q[1] == p[1] and q[2] == p[2] and q[0] < p[0])
+            ):
+                return True
+        return False
+
+    want = sorted(p[0] for p in pts if not dominated(p))
+    got = sorted(
+        r.p_partkey
+        for r in registry.run("agg_skyline", spark, sf_smoke).collect()
+    )
+    assert got == want

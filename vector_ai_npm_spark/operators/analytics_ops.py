@@ -1106,3 +1106,96 @@ def join_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("d_key", F.col("c_key").alias("matched_key"), "lev")
     )
+
+
+@query(
+    "agg_skyline",
+    oracle="""
+    WITH s AS (
+      SELECT MIN(p_retailprice) AS mn, MAX(p_retailprice) AS mx FROM part
+    ), b AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             CAST(least(floor((p_retailprice - s.mn)
+                              / ((s.mx - s.mn) / 20)), 19) AS BIGINT)
+               AS bucket
+      FROM part, s
+    ), loc AS (
+      SELECT *,
+             MAX(p_size) OVER (PARTITION BY bucket
+               ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_local
+      FROM b
+    ), bmax AS (
+      SELECT bucket, MAX(p_size) AS bucket_max FROM b GROUP BY bucket
+    ), carry AS (
+      SELECT bucket,
+             MAX(bucket_max) OVER (ORDER BY bucket ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS carry_max
+      FROM bmax
+    )
+    SELECT loc.p_partkey, loc.p_retailprice,
+           CAST(loc.p_size AS BIGINT) AS p_size
+    FROM loc JOIN carry USING (bucket)
+    WHERE loc.p_size > COALESCE(
+            greatest(COALESCE(loc.prev_max_local, -1),
+                     COALESCE(carry.carry_max, -1)), -1)
+    """,
+)
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts no other part beats on
+    BOTH price (lower-better) and size (higher-better) — the classic
+    multi-criteria shortlist operator (hotel cheap-AND-close). Exact
+    dominance with deterministic ties: at equal price, larger size
+    (then smaller key) wins; duplicates keep the first key.
+
+    The textbook sweep is a global sort + running max — one partition.
+    This is the SAME two-level prefix decomposition as
+    `concurrency_sweep`, applied to running MAX: price-range buckets
+    from a broadcast 1-row min/max (the agg_histogram stats pattern),
+    running max-size within each bucket (parallel across buckets), an
+    O(buckets) carry prefix, and a row survives iff its size exceeds
+    both its local prefix max and the carry — bitwise the global sweep
+    answer, without the global sort. Plan cost: one stats pass + one
+    bucket-keyed window + a broadcast of 20 carry rows."""
+    part = load_table(spark, sf_dir, "part")
+    s = part.agg(
+        F.min("p_retailprice").alias("mn"), F.max("p_retailprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 20
+    b = part.crossJoin(F.broadcast(s)).select(
+        "p_partkey", "p_retailprice", "p_size",
+        F.least(
+            F.floor((F.col("p_retailprice") - F.col("mn")) / width), F.lit(19)
+        ).cast("long").alias("bucket"),
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy(
+            F.col("p_retailprice").asc(), F.col("p_size").desc(),
+            F.col("p_partkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = b.withColumn("prev_max_local", F.max("p_size").over(wloc))
+    bmax = b.groupBy("bucket").agg(F.max("p_size").alias("bucket_max"))
+    wcarry = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bmax.select(
+        "bucket", F.max("bucket_max").over(wcarry).alias("carry_max")
+    )
+    return (
+        loc.join(F.broadcast(carry), "bucket")
+        .where(
+            F.col("p_size")
+            > F.greatest(
+                F.coalesce(F.col("prev_max_local"), F.lit(-1)),
+                F.coalesce(F.col("carry_max"), F.lit(-1)),
+            )
+        )
+        .select(
+            "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+        )
+    )
