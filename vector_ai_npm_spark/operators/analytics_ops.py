@@ -1199,3 +1199,65 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
         )
     )
+
+
+@query(
+    "agg_gini",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value ASC, event_id ASC) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(CAST(CAST(SUM(CAST((2 * i - n - 1) * value
+                  AS DECIMAL({_PREC},{_SCALE})))
+                AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE)
+           / (CAST(MAX(n) AS DOUBLE)
+              * CAST(CAST(CAST(SUM(CAST(value AS DECIMAL({_PREC},{_SCALE})))
+                    AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE))
+             AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution per event type — the
+    inequality/imbalance diagnostic (for training corpora: how skewed
+    is the token/domain mass; 0 = uniform, →1 = one giant). Computed
+    by the rank formula G = Σ(2i − n − 1)·x᎐i / (n·Σx) over
+    ascending-sorted values.
+
+    Engine-stable numerics: both Σ terms fold in exact decimals (the
+    dsum discipline) and finish in IEEE doubles; rank ties (equal
+    values) don't move the sum — coefficient mass over a tied block is
+    order-invariant — but the (value, event_id) tiebreak makes the
+    intermediate frame deterministic anyway. Plan: ONE shuffle on
+    event_type serves both window functions (row_number + count share
+    the partition) and the final per-group aggregate is map-side
+    combined. Per-group state: two decimal accumulators."""
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    wr = wp.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    num = (
+        F.sum(
+            ((2 * F.col("i") - F.col("n") - 1) * F.col("value")).cast(_DEC)
+        )
+        .cast(_DEC)
+        .cast("double")
+    )
+    den = F.max("n").cast("double") * (
+        F.sum(F.col("value").cast(_DEC)).cast(_DEC).cast("double")
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        (num / den).alias("gini"),
+    )
