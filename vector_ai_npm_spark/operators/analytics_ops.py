@@ -22,6 +22,83 @@ from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
 
 
+def _ntile_two_level(
+    frame: DataFrame,
+    out_col: str,
+    metric: str,
+    descending: bool,
+    tiebreak: str,
+    n_tiles: int = 5,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY metric, tiebreak)`` without
+    a single-partition sort — the two-level rank decomposition shared
+    with `concurrency_sweep` / `skyline_2d`, applied to global ranking:
+
+      1. a 1-row (min, max, count) stats aggregate is broadcast and each
+         row is binned into one of ``n_bins`` value-range buckets (the
+         bin expression is monotone in the sort direction, so bucket
+         order refines the global order);
+      2. ``row_number`` runs per BUCKET (bounded partitions, no global
+         sort) over (metric, tiebreak);
+      3. per-bucket counts — at most ``n_bins`` rows — get a prefix sum
+         and broadcast back: global_rank = carry + local_rank;
+      4. the tile is the closed form of SQL ntile: the first N % n
+         tiles take ceil(N/n) rows, the rest floor(N/n).
+
+    Exactness: (metric, tiebreak) is a total order (tiebreak unique), so
+    the global rank — and therefore the tile — is bit-identical to the
+    unpartitioned-window formulation the DuckDB oracle runs; only the
+    physical shape changes (3 bounded shuffles instead of one
+    all-rows-to-one-task sort)."""
+    m = F.col(metric).cast("double")
+    stats = F.broadcast(
+        frame.agg(
+            F.min(m).alias("_lo"),
+            F.max(m).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    f = frame.crossJoin(stats)
+    width = F.greatest(
+        (F.col("_hi") - F.col("_lo")) / F.lit(n_bins), F.lit(1e-12)
+    )
+    offset = (F.col("_hi") - m) if descending else (m - F.col("_lo"))
+    f = f.withColumn(
+        "_bucket",
+        F.least(F.floor(offset / width), F.lit(n_bins - 1)).cast("long"),
+    )
+    order = [
+        F.col(metric).desc() if descending else F.col(metric).asc(),
+        F.col(tiebreak).asc(),
+    ]
+    wloc = Window.partitionBy("_bucket").orderBy(*order)
+    loc = f.withColumn("_lrank", F.row_number().over(wloc).cast("long"))
+    per = f.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    wcarry = Window.orderBy(F.col("_bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = per.select(
+        "_bucket",
+        F.coalesce(F.sum("_bn").over(wcarry), F.lit(0)).alias("_carry"),
+    )
+    ranked = loc.join(F.broadcast(carry), "_bucket").withColumn(
+        "_grank", F.col("_carry") + F.col("_lrank")
+    )
+    big = F.col("_n") % n_tiles               # tiles that get one extra row
+    size_big = F.floor(F.col("_n") / n_tiles) + 1
+    size_small = F.floor(F.col("_n") / n_tiles)
+    in_big = F.col("_grank") <= big * size_big
+    tile = F.when(
+        in_big, F.floor((F.col("_grank") - 1) / size_big) + 1
+    ).otherwise(
+        big + 1 + F.floor((F.col("_grank") - 1 - big * size_big) / size_small)
+    )
+    return ranked.withColumn(out_col, tile.cast("long")).drop(
+        "_lo", "_hi", "_n", "_bucket", "_lrank", "_bn", "_carry", "_grank"
+    )
+
+
 def _wdsum(col: str, w: Window) -> F.Column:
     """Windowed mirror of functions.numeric.dsum: exact decimal sum over
     a frame, finished as DOUBLE (order-independent, engine-stable)."""
@@ -798,12 +875,13 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE corpus-scale aggregate reduces events to the per-user
     frame (map-side combined); the anchor timestamp is a 1-row MAX
     broadcast (the agg_histogram stats pattern); the three ntile
-    windows then run over USERS, not events — a reduced frame that is
-    the documented trade (at extreme user counts swap ntile for
-    percent_rank over a range-partitioned sort). Every ordering
-    carries a user_id tiebreak so quintile boundaries are
-    deterministic under metric ties; monetary uses the exact-decimal
-    fold."""
+    computations then run over USERS, not events — and each quintile is
+    the exact two-level ntile (:func:`_ntile_two_level`): value-binned
+    buckets, per-bucket row_number, tiny prefix-sum carry — so no user
+    frame ever funnels through a single-partition sort even at extreme
+    user counts. Every ordering carries a user_id tiebreak so quintile
+    boundaries are deterministic under metric ties; monetary uses the
+    exact-decimal fold."""
     ev = load_table(spark, sf_dir, "events")
     g = ev.agg(F.max("ts").alias("now"))
     u = (
@@ -823,14 +901,16 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
-    s = u.select(
+    s = u
+    for out, metric, desc in (
+        ("r_quintile", "recency_days", False),
+        ("f_quintile", "frequency", True),
+        ("m_quintile", "monetary", True),
+    ):
+        s = _ntile_two_level(s, out, metric, desc, tiebreak="user_id")
+    s = s.select(
         "user_id", "recency_days", "frequency", "monetary",
-        F.ntile(5).over(wr).cast("long").alias("r_quintile"),
-        F.ntile(5).over(wf).cast("long").alias("f_quintile"),
-        F.ntile(5).over(wm).cast("long").alias("m_quintile"),
+        "r_quintile", "f_quintile", "m_quintile",
     )
     return s.withColumn(
         "segment",

@@ -201,20 +201,24 @@ def ivfpq_search_index(
     w_rank = F.row_number()
     from pyspark.sql import Window
 
-    return (
+    # exact re-rank of the (≤shortlist-row) ADC survivors, then top-k via
+    # orderBy+limit (TakeOrderedAndProject) BEFORE the rank window so the
+    # unpartitioned window only ever sees k rows, not the shortlist
+    rescored = (
         short.join(store.select(id_col, vec_col), id_col)
         .select(
             id_col,
             "cell_id",
             cosine_similarity(F.col(vec_col), qlit).alias("similarity"),
         )
-        .withColumn(
-            "rank",
-            w_rank.over(
-                Window.orderBy(F.col("similarity").desc(), F.col(id_col).asc())
-            ).cast("long"),
-        )
-        .where(F.col("rank") <= k)
+        .orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return rescored.withColumn(
+        "rank",
+        w_rank.over(
+            Window.orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+        ).cast("long"),
     )
 
 

@@ -86,14 +86,17 @@ def search_ivf_store(
         "cell_id",
         cosine_similarity(F.col("embedding"), q).alias("similarity"),
     )
-    return (
-        scored.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("similarity").desc(), F.col("vec_id"))
-            ),
-        )
-        .where(F.col("rank") <= k)
+    # top-k FIRST via orderBy+limit → TakeOrderedAndProject (each probed
+    # partition keeps its local k, driver merges k·parts rows); the rank
+    # window then runs over ≤k rows. Ranking the probed scan directly
+    # with an unpartitioned window would funnel O(corpus·nprobe/nlist)
+    # rows through one task — the thing this layout exists to avoid.
+    topk = scored.orderBy(F.col("similarity").desc(), F.col("vec_id")).limit(k)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("similarity").desc(), F.col("vec_id"))
+        ),
     )
 
 
