@@ -1,0 +1,81 @@
+"""Graph-operator invariants beyond the DuckDB parity gate.
+
+Parity (test_oracle_parity) proves Spark ≡ SQL; these pin the parts SQL
+equivalence can't see — that the degree-oriented triangle enumeration
+finds the TRUE 3-cliques (brute force on the smoke graph), that PageRank
+conserves probability mass, and that no graph plan hides a cross
+product."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.operators.graph_ops import (
+    copurchase_edges,
+    graph_degree,
+    graph_pagerank,
+    graph_triangles,
+)
+
+
+def test_triangles_match_brute_force(spark, sf_smoke):
+    """Degree orientation must not change the triangle set: compare the
+    per-node counts against an adjacency-set brute force on sf0.001."""
+    edges = {
+        (r.src, r.dst)
+        for r in copurchase_edges(spark, sf_smoke).select("src", "dst").collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    expected: dict[int, int] = {}
+    for a, b, c in (
+        t
+        for node, nbrs in adj.items()
+        for t in (
+            (node, x, y)
+            for x, y in combinations(sorted(nbrs), 2)
+            if node < x and y in adj[x]
+        )
+    ):
+        for v in (a, b, c):
+            expected[v] = expected.get(v, 0) + 1
+    got = {
+        r.node: r.n_triangles for r in graph_triangles(spark, sf_smoke).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) % 3 == 0  # every triangle counted at 3 nodes
+
+
+def test_degree_sums_to_twice_edges(spark, sf_smoke):
+    n_edges = copurchase_edges(spark, sf_smoke).count()
+    row = graph_degree(spark, sf_smoke).agg(
+        F.sum("degree").alias("dsum"), F.count(F.lit(1)).alias("nodes")
+    ).collect()[0]
+    assert row.dsum == 2 * n_edges
+    assert row.nodes > 0
+
+
+def test_pagerank_conserves_mass(spark, sf_smoke):
+    """Symmetric graph, no dangling nodes ⇒ Σ rank = 1 after any number
+    of power steps (teleport redistributes exactly what damping holds
+    back). The exact-decimal fold quantizes each r/d contribution to 8
+    decimals (≤5e-9 per edge, identically in Spark and DuckDB — that's
+    what makes parity exact), so mass drifts by O(edges · 5e-9) per
+    step, not by float-order noise: ~3e-6 on the smoke graph."""
+    pr = graph_pagerank(spark, sf_smoke)
+    total = pr.agg(F.sum("pagerank").alias("t")).collect()[0].t
+    assert abs(total - 1.0) < 1e-4
+    assert pr.where(F.col("pagerank") <= 0).count() == 0
+
+
+def test_graph_plans_have_no_cross_product(spark, sf_smoke):
+    for df in (graph_triangles(spark, sf_smoke), graph_pagerank(spark, sf_smoke)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # the only nested-loop join allowed is the broadcast of the
+        # 1-row node-count aggregate (the teleport term)
+        assert plan.count("BroadcastNestedLoopJoin") <= 4

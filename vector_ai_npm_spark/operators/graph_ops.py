@@ -1,0 +1,251 @@
+"""Graph analytics over the co-purchase graph: degree, triangles, PageRank.
+
+Reference context: the reference ships no graph operators (its surface is
+the RAG client, vector-client.ts:61-424); these extend the north-star
+suite with the graph shapes a training-data platform runs over its
+entity/link structure (domain link graphs for crawl prioritization,
+co-citation graphs for source weighting) — expressed here over the
+fixture's natural graph: parts co-purchased within an order.
+
+Graph construction is itself the first scale statement: per-order edge
+fan-out is C(basket, 2) and TPC-H-ish baskets are bounded (≤7 lines), so
+the pair self-join is LINEAR in lineitem with a constant factor — never
+n². The weight≥2 threshold ("repeat co-purchases") keeps the graph
+sparse and is applied inside the edge aggregate, before anything
+downstream fans out.
+
+Algorithm notes (public literature):
+  * triangles — degree-ordered orientation ("compact-forward", Latapy
+    2008; the MapReduce variant is Suri & Vassilvitskii WWW'11): orient
+    every edge from the (degree, id)-smaller endpoint to the larger, so
+    wedge enumeration is Σ C(outdeg, 2) with outdeg ≤ O(√m) on any
+    graph, instead of Σ C(deg, 2) which explodes on hubs.
+  * PageRank — fixed-iteration power method (Page et al. 1999), each
+    step one shuffle join (ranks ⋈ edges on src) + one keyed aggregate;
+    the teleport term needs only a broadcast 1-row node count. Sums use
+    the exact-decimal fold so Spark's 32-partition partial aggregates
+    and DuckDB's serial scan produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.functions.numeric import dsum, o_dsum
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+_MIN_W = 2          # repeat co-purchases only: keeps the graph sparse
+_DAMPING = 0.85
+_N_ITER = 3         # fixed power-method steps (declared, oracle-unrolled)
+
+# Shared DuckDB CTE: canonical (src < dst) thresholded edge list.
+_O_EDGES = f"""
+    items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {_MIN_W}
+    ),
+    sym AS (
+      SELECT src AS node, dst AS nbr, w FROM edges
+      UNION ALL
+      SELECT dst AS node, src AS nbr, w FROM edges
+    )
+"""
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) co-purchase edges with weight ≥ _MIN_W.
+
+    One shuffle for the distinct item set (keyed on order), one
+    self-join on the order key (bounded C(basket,2) fan-out), one
+    keyed aggregate for the weights — all linear in lineitem."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= _MIN_W)
+    )
+
+
+def _symmetrized(edges: DataFrame) -> DataFrame:
+    return edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"), "w"
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "w")
+    )
+
+
+@query(
+    "graph_degree",
+    oracle=f"""
+    WITH {_O_EDGES}
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST(SUM(w) AS BIGINT) AS wdegree
+    FROM sym GROUP BY node
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree + weighted degree of the co-purchase graph.
+
+    Plan: edge build (above) + one symmetrize-union + one keyed
+    aggregate — the union doubles rows, not shuffles (both legs share
+    the edge aggregate's output)."""
+    sym = _symmetrized(copurchase_edges(spark, sf_dir))
+    return sym.groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").alias("wdegree"),
+    )
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH {_O_EDGES},
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pernode AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pernode GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation count per node, degree-oriented.
+
+    The oracle enumerates triangles in id-canonical order (a<b<c); the
+    Spark side re-orients every edge from its (degree, id)-smaller
+    endpoint to the larger before the wedge join — the SAME triangle
+    set (orientation never changes which 3-cliques exist), but the
+    wedge fan-out per node is C(outdeg, 2) with outdeg bounded by
+    O(√m) under degree ordering (Latapy's compact-forward invariant),
+    so a power-law hub with degree 10⁶ contributes ~nothing instead of
+    10¹² wedges. All three joins are equi-joins (no cross product);
+    the closing probe keys on the full (lo, hi) edge pair."""
+    edges = copurchase_edges(spark, sf_dir).select("src", "dst")
+    deg = (
+        _symmetrized(edges.withColumn("w", F.lit(1)))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "ds")
+        .join(deg.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("d", "dd")
+    )
+    src_first = F.struct(F.col("ds"), F.col("src")) < F.struct(
+        F.col("dd"), F.col("dst")
+    )
+    oriented = e.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(src_first, F.col("dd")).otherwise(F.col("ds")).alias("dhi"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(b, F.col("a.lo") == F.col("b.lo")).where(
+        F.struct(F.col("a.dhi"), F.col("a.hi"))
+        < F.struct(F.col("b.dhi"), F.col("b.hi"))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("c_lo"), F.col("hi").alias("c_hi")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("a.hi") == F.col("c_lo")) & (F.col("b.hi") == F.col("c_hi")),
+    ).select(
+        F.col("a.lo").alias("x"), F.col("a.hi").alias("y"), F.col("b.hi").alias("z")
+    )
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return pernode.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _o_pr_iter(prev: str, out: str) -> str:
+    """One unrolled DuckDB PageRank step: contributions r/d summed per
+    target with the exact-decimal fold, then teleport added."""
+    return f"""
+    {out} AS (
+      SELECT t.node, 0.15 / n.n + 0.85 * t.s AS r
+      FROM (
+        SELECT s.nbr AS node, {o_dsum(f"{prev}.r / dg.d")} AS s
+        FROM sym s
+        JOIN {prev} ON {prev}.node = s.node
+        JOIN deg dg ON dg.node = s.node
+        GROUP BY s.nbr
+      ) t, n
+    )
+    """
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_O_EDGES},
+    nodes AS (SELECT DISTINCT node FROM sym),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY node),
+    r0 AS (SELECT node, 1.0 / n.n AS r FROM nodes, n),
+    {_o_pr_iter("r0", "r1")},
+    {_o_pr_iter("r1", "r2")},
+    {_o_pr_iter("r2", "r3")}
+    SELECT node, r AS pagerank FROM r3
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_N_ITER}-step power-method PageRank (damping 0.85) on the
+    undirected co-purchase graph.
+
+    Every node in the edge list has degree ≥ 1 (it got there via an
+    edge) and the graph is symmetric, so there is no dangling mass —
+    total rank stays exactly 1 per step (pinned in tests/test_graph.py).
+
+    Plan per iteration: ranks ⋈ sym-edges on the source key (one
+    shuffle; at 100 TB both sides hash-partition on node id and the
+    partitioning is REUSED across iterations since the key never
+    changes), then a keyed aggregate on the target. The node count for
+    the teleport term is a broadcast 1-row aggregate. Per-row
+    arithmetic is plain IEEE double (deterministic in both engines);
+    only the neighbor-sum — the one order-sensitive reduction — goes
+    through the exact-decimal fold."""
+    sym = _symmetrized(copurchase_edges(spark, sf_dir)).select("node", "nbr")
+    nodes = sym.select("node").distinct()
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    ranks = nodes.crossJoin(n).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_N_ITER):
+        contrib = (
+            sym.join(ranks, "node")
+            .join(deg, "node")
+            .groupBy(F.col("nbr").alias("node"))
+            .agg(dsum(F.col("r") / F.col("d"), "s"))
+        )
+        ranks = contrib.crossJoin(n).select(
+            "node",
+            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))

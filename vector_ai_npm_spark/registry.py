@@ -74,6 +74,7 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.tpch_extra  # noqa: F401
     import vector_ai_npm_spark.operators.scale_suite  # noqa: F401
     import vector_ai_npm_spark.operators.relational  # noqa: F401
+    import vector_ai_npm_spark.operators.graph_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
