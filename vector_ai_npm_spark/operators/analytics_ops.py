@@ -795,6 +795,53 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH t AS (
+      SELECT l_extendedprice AS v,
+             ntile(8) OVER (
+               ORDER BY l_extendedprice ASC,
+                        l_orderkey * 10 + l_linenumber ASC
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           MIN(v) AS bucket_lo,
+           MAX(v) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM t GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (8 quantile buckets of l_extendedprice) —
+    the optimizer-statistics sibling of :func:`agg_histogram`'s
+    equi-width bins: every bucket holds the same row count (±1), so
+    bucket boundaries ARE the octiles.
+
+    The oracle says ``ntile(8)`` over the whole table — a
+    single-partition sort of every lineitem row if executed literally.
+    The Spark side instead runs :func:`_ntile_two_level` (value-binned
+    buckets from a broadcast min/max row, per-bucket row_number, tiny
+    prefix-sum carry), then one ≤8-key aggregate for the bucket
+    min/max/count. Ties on price are broken by the unique
+    (l_orderkey, l_linenumber) key — encoded as orderkey·10+linenumber
+    (linenumber ≤ 7) — identically in both engines, so the bucket
+    assignment, and therefore the boundaries, are bit-equal."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+    )
+    binned = _ntile_two_level(
+        li, "bucket", "v", descending=False, tiebreak="tb", n_tiles=8
+    )
+    return binned.groupBy("bucket").agg(
+        F.min("v").alias("bucket_lo"),
+        F.max("v").alias("bucket_hi"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "recursive_cte_closure",
     oracle="""
     WITH RECURSIVE anc(node, depth) AS (

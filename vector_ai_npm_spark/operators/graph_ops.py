@@ -183,6 +183,69 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pernode.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+@query(
+    "basket_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    norder AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n FROM items),
+    cnt AS (SELECT p, CAST(COUNT(*) AS DOUBLE) AS c FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {_MIN_W}
+    )
+    SELECT src, dst, n_ab,
+           CAST(n_ab AS DOUBLE) / ca.c AS confidence,
+           CAST(n_ab AS DOUBLE) * n.n / (ca.c * cb.c) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.p = pairs.src
+    JOIN cnt cb ON cb.p = pairs.dst, norder n
+    """,
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association metrics (support ≥ {_MIN_W} pairs):
+    confidence P(dst|src) and lift P(src,dst)/(P(src)P(dst)).
+
+    Plan: the SAME bounded pair self-join as the graph edge build;
+    item order-frequencies are one keyed aggregate joined back on each
+    endpoint (equi-joins — the item dim shuffles, never the basket
+    cross product); the basket count for lift is a broadcast 1-row
+    aggregate. Per-row metric arithmetic is plain IEEE double with the
+    association order fixed to match the oracle: (n_ab·n)/(c_a·c_b)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = F.broadcast(
+        items.select("o").distinct().agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+    )
+    cnt = items.groupBy("p").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _MIN_W)
+    )
+    return (
+        pairs.join(cnt.withColumnRenamed("p", "src").withColumnRenamed("c", "ca"), "src")
+        .join(cnt.withColumnRenamed("p", "dst").withColumnRenamed("c", "cb"), "dst")
+        .crossJoin(n)
+        .select(
+            "src", "dst", "n_ab",
+            (F.col("n_ab").cast("double") / F.col("ca")).alias("confidence"),
+            (F.col("n_ab").cast("double") * F.col("n") / (F.col("ca") * F.col("cb")))
+            .alias("lift"),
+        )
+    )
+
+
 def _o_pr_iter(prev: str, out: str) -> str:
     """One unrolled DuckDB PageRank step: contributions r/d summed per
     target with the exact-decimal fold, then teleport added."""
