@@ -143,3 +143,58 @@ def test_cluster_layout_files_are_disjoint(spark, sf_oracle):
         f"{len(overlapping)}/{len(spans)} files overlap one month — "
         "clustering is not selective"
     )
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_oracle):
+    """Drive cluster_by_zorder and inspect footers: every file must
+    cover a tight RECTANGLE in (l_partkey, l_suppkey) — the area-sum of
+    per-file bounding boxes stays a small fraction of files × the full
+    grid, which is exactly what lets a 2-D box predicate skip files on
+    either dimension. A partkey-only range cluster would leave each
+    file's suppkey span at full width (ratio ≈ 1 in the suppkey dim)."""
+    import tempfile
+
+    pa_pq = pytest.importorskip("pyarrow.parquet")
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.operators.scale_suite import cluster_by_zorder
+
+    path = tempfile.mkdtemp(prefix="layout_zorder_test_") + "/li"
+    li = load_table(spark, sf_oracle, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    cluster_by_zorder(li, path, "l_partkey", "l_suppkey", buckets=16)
+
+    def _stats(md, name):
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == name and col.statistics:
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        return lo, hi
+
+    boxes = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pa_pq.ParquetFile(f).metadata
+        p = _stats(md, "l_partkey")
+        s = _stats(md, "l_suppkey")
+        assert p[0] is not None and s[0] is not None, f"no stats in {f}"
+        boxes.append((p, s))
+    assert len(boxes) >= 8, f"expected ≥8 clustered files, got {len(boxes)}"
+
+    g_p = (min(b[0][0] for b in boxes), max(b[0][1] for b in boxes))
+    g_s = (min(b[1][0] for b in boxes), max(b[1][1] for b in boxes))
+    full_area = (g_p[1] - g_p[0] + 1) * (g_s[1] - g_s[0] + 1)
+    area_sum = sum(
+        (p[1] - p[0] + 1) * (s[1] - s[0] + 1) for p, s in boxes
+    )
+    # perfect quadtree tiling over n files gives area_sum == full_area;
+    # morton boundary straddling costs a small constant factor. A
+    # one-dimensional cluster scores ≈ n_files/4 × full_area here.
+    assert area_sum <= 4 * full_area, (
+        f"z-order boxes cover {area_sum / full_area:.1f}× the grid over "
+        f"{len(boxes)} files — not a 2-D clustering"
+    )

@@ -244,3 +244,89 @@ def layout_cluster_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
+
+
+_Z_BITS = 16  # fixture keys fit 16 bits; production interleaves 32 per dim
+
+
+def zvalue(a: F.Column, b: F.Column, bits: int = _Z_BITS) -> F.Column:
+    """Morton z-value: interleave the low ``bits`` of two non-negative
+    int keys (a's bit i → position 2i+1, b's → 2i). Pure bitwise
+    shift/and/or column arithmetic — whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    path: str,
+    key_a: str,
+    key_b: str,
+    buckets: int = _CLUSTER_BUCKETS,
+) -> None:
+    """Write ``df`` z-order-clustered on (key_a, key_b): range-partition
+    + in-partition sort on the interleaved Morton value, so every output
+    file covers a tight RECTANGLE in (key_a, key_b) space and parquet
+    min-max footers prune on BOTH dimensions — the multi-column layout
+    a single-key range cluster can't give (it bounds one dimension and
+    leaves the other's span at full width in every file)."""
+    (
+        df.withColumn("_z", zvalue(F.col(key_a), F.col(key_b)))
+        .repartitionByRange(buckets, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@query(
+    "layout_cluster_zorder",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey BETWEEN 200 AND 400
+      AND l_suppkey BETWEEN 20 AND 40
+    """,
+)
+def layout_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered rewrite of lineitem on
+    (l_partkey, l_suppkey), then a 2-D box query over the copy.
+
+    Same contract split as `layout_cluster_range`: the oracle runs the
+    identical box filter on the ORIGINAL table — layout rewrites never
+    change results — while the efficiency contract (each file's footer
+    bounds BOTH key dimensions, so a box query skips files on either
+    predicate) is pinned in tests/test_scale_suite.py by measuring
+    per-file spans: z-order keeps the area-sum of per-file rectangles
+    a small fraction of files × full-grid area, where partkey-only
+    range clustering leaves every file's suppkey span at full width.
+
+    Plan: the z-value is 2·_Z_BITS bitwise ops in whole-stage codegen
+    (no UDF); the write is one range exchange on _z; the read is a
+    plain scan with both predicates in PushedFilters. At 100 TB this
+    is the DELTA/Iceberg OPTIMIZE ZORDER recipe: pay one clustered
+    rewrite, make every multi-dimension selective scan footer-prunable."""
+    import hashlib
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_layout_{tag}", "lineitem_zorder"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cluster_by_zorder(li, path, "l_partkey", "l_suppkey")
+    return spark.read.parquet(path).where(
+        F.col("l_partkey").between(200, 400)
+        & F.col("l_suppkey").between(20, 40)
+    )
