@@ -355,3 +355,216 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.expr("percentile(value, 0.5)").over(w).alias("trailing_median"),
     )
+
+
+@query(
+    "table_diff",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment, 'U' AS op
+      FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+      UNION ALL
+      SELECT c_custkey, NULL, NULL, 'D' FROM customer WHERE c_custkey % 17 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 0.0, 'NEW', 'I'
+      FROM customer WHERE c_custkey % 50 = 0
+    ),
+    nxt AS (
+      SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM changes ch
+                        WHERE ch.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment
+      FROM changes WHERE op IN ('U', 'I')
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff_status,
+           o.c_acctbal AS bal_old, n.c_acctbal AS bal_new,
+           o.c_mktsegment AS seg_old, n.c_mktsegment AS seg_new
+    FROM customer o FULL OUTER JOIN nxt n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data GENERATION — the inverse of
+    `cdc_scd2_merge`: given two table versions, emit the change feed
+    (added / removed / changed rows with old+new values). The "next"
+    snapshot is derived deterministically from the same change recipe
+    the SCD2 merge uses (:func:`_synth_changes`), so the emitted feed
+    must round-trip it exactly.
+
+    Plan: ONE full-outer shuffle join on the primary key + a residual
+    filter for value equality (null-safe, so NULL→value transitions
+    surface). Unchanged rows — the overwhelming majority at 100 TB —
+    are dropped by the residual BEFORE any downstream fan-out; with
+    both snapshots bucketed on the key (the join_bucketed layout) the
+    diff plans with zero exchanges. This is how table formats compute
+    change feeds between versions when no CDC log was captured."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    changes = _synth_changes(c)
+    nxt = (
+        c.join(changes.select("c_custkey"), "c_custkey", "left_anti")
+        .unionByName(
+            changes.where(F.col("op").isin("U", "I")).drop("op")
+        )
+    )
+    o, n = c.alias("o"), nxt.alias("n")
+    joined = o.join(
+        n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer"
+    )
+    differs = (
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | ~F.col("o.c_acctbal").eqNullSafe(F.col("n.c_acctbal"))
+        | ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
+    )
+    return joined.where(differs).select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("n.c_custkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("diff_status"),
+        F.col("o.c_acctbal").alias("bal_old"),
+        F.col("n.c_acctbal").alias("bal_new"),
+        F.col("o.c_mktsegment").alias("seg_old"),
+        F.col("n.c_mktsegment").alias("seg_new"),
+    )
+
+
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT 'customer_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+             AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+             AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_shipdate_in_range',
+           CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                           OR l_shipdate >= TIMESTAMP '1999-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_totalprice_nonneg',
+           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/expectation
+    pattern): primary-key uniqueness, value ranges, null guards, and
+    foreign-key coverage, emitted as one (check_name, n_violations)
+    frame a pipeline gates on before publishing a snapshot.
+
+    Plan discipline — one scan per FACT table for ALL its checks: the
+    FK probe rides a LEFT join on the same scan that feeds the
+    aggregate (a miss is a NULL dim key, counted as one more
+    conditional sum beside uniqueness/range/positivity), and the 1-row
+    stats unpivot via stack() into (check_name, n_violations) rows.
+    At 100 TB: lineitem is read once, orders twice (own checks + the
+    one-column dim side of lineitem's FK), customer twice (own PK +
+    the broadcast dim of orders' FK) — vs the naive
+    one-query-per-check fan-out that re-reads the fact table seven
+    times."""
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    cust_pk = cust.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey"))).alias("v")
+    ).select(
+        F.lit("customer_pk_unique").alias("check_name"),
+        F.col("v").cast("long").alias("n_violations"),
+    )
+
+    li_stats = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("_fk")),
+            li.l_orderkey == F.col("_fk"),
+            "left",
+        )
+        .agg(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(
+                    F.col("l_orderkey") * 10 + F.col("l_linenumber")
+                )
+            ).alias("pk"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+                    | (
+                        F.col("l_shipdate")
+                        >= F.lit("1999-01-01").cast("timestamp_ntz")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("rng"),
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") <= 0) | F.col("l_quantity").isNull(), 1
+                ).otherwise(0)
+            ).alias("qty"),
+            F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0)).alias("fk"),
+        )
+    )
+    li_checks = li_stats.select(
+        F.expr(
+            "stack(4, 'lineitem_pk_unique', pk, "
+            "'lineitem_shipdate_in_range', rng, "
+            "'lineitem_qty_positive', qty, "
+            "'lineitem_orderkey_fk', fk) AS (check_name, n_violations)"
+        )
+    ).select("check_name", F.col("n_violations").cast("long"))
+
+    ord_stats = (
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("_fk"))),
+            orders.o_custkey == F.col("_fk"),
+            "left",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < 0) | F.col("o_totalprice").isNull(), 1
+                ).otherwise(0)
+            ).alias("nonneg"),
+            F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0)).alias("fk"),
+        )
+    )
+    ord_checks = ord_stats.select(
+        F.expr(
+            "stack(2, 'orders_totalprice_nonneg', nonneg, "
+            "'orders_custkey_fk', fk) AS (check_name, n_violations)"
+        )
+    ).select("check_name", F.col("n_violations").cast("long"))
+
+    return cust_pk.unionByName(li_checks).unionByName(ord_checks)
