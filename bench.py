@@ -58,6 +58,9 @@ BENCH_QUERIES = (
     "timeseries_gapfill",     # calendar densification + LOCF window
     "mmr_rerank",             # MMR diverse retrieval (Arrow greedy per query)
     "vector_quantize_pq",     # PQ train/encode/ADC contract (32x compression)
+    "graph_triangles",        # degree-oriented triangle count (wedge-bound)
+    "graph_pagerank",         # 3-step power method, cached edge frame
+    "basket_lift",            # grouped-basket inline pair expansion + metrics
 )
 
 
