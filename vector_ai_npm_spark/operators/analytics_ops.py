@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.functions.numeric import _DEC, _PREC, _SCALE
+from vector_ai_npm_spark.functions.numeric import _DEC, _PREC, _SCALE, o_dsum
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
 
@@ -1387,4 +1387,165 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n_events"),
         (num / den).alias("gini"),
+    )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {{s1}} AS s1, {{s2}} AS s2, {{s3}} AS s3,
+             {{s11}} AS s11, {{s22}} AS s22, {{s33}} AS s33,
+             {{s12}} AS s12, {{s13}} AS s13, {{s23}} AS s23
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           (s12 - s1 * s2 / n) /
+             (sqrt(s11 - s1 * s1 / n) * sqrt(s22 - s2 * s2 / n)) AS corr
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           (s13 - s1 * s3 / n) /
+             (sqrt(s11 - s1 * s1 / n) * sqrt(s33 - s3 * s3 / n))
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           (s23 - s2 * s3 / n) /
+             (sqrt(s22 - s2 * s2 / n) * sqrt(s33 - s3 * s3 / n))
+    FROM s
+    """.format(
+        s1=o_dsum("l_quantity"),
+        s2=o_dsum("l_extendedprice"),
+        s3=o_dsum("l_discount"),
+        s11=o_dsum("l_quantity * l_quantity"),
+        s22=o_dsum("l_extendedprice * l_extendedprice"),
+        s33=o_dsum("l_discount * l_discount"),
+        s12=o_dsum("l_quantity * l_extendedprice"),
+        s13=o_dsum("l_quantity * l_discount"),
+        s23=o_dsum("l_extendedprice * l_discount"),
+    ),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX over (quantity, price,
+    discount) — the feature-redundancy screen a training pipeline runs
+    before model-based filters — from ONE aggregate over one scan:
+    all 9 power sums in a single partial-agg pass (the agg_stats
+    recipe widened), then the 3 pair correlations unpivot via stack().
+    Wide-matrix note: p columns need p(p+3)/2 sums — still one pass,
+    state O(p²), the right trade until p ~ thousands. Sums are exact
+    decimal (order-independent), finishing arithmetic is IEEE double
+    with operation order mirrored in the oracle."""
+    from vector_ai_npm_spark.functions.numeric import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q, "s1"), dsum(p, "s2"), dsum(d, "s3"),
+        dsum(q * q, "s11"), dsum(p * p, "s22"), dsum(d * d, "s33"),
+        dsum(q * p, "s12"), dsum(q * d, "s13"), dsum(p * d, "s23"),
+    )
+    n = F.col("n").cast("double")
+
+    def _corr(si, sj, sii, sjj, sij):
+        return (F.col(sij) - F.col(si) * F.col(sj) / n) / (
+            F.sqrt(F.col(sii) - F.col(si) * F.col(si) / n)
+            * F.sqrt(F.col(sjj) - F.col(sj) * F.col(sj) / n)
+        )
+
+    corrs = s.select(
+        _corr("s1", "s2", "s11", "s22", "s12").alias("c12"),
+        _corr("s1", "s3", "s11", "s33", "s13").alias("c13"),
+        _corr("s2", "s3", "s22", "s33", "s23").alias("c23"),
+    )
+    return corrs.select(
+        F.expr(
+            "stack(3, 'l_quantity', 'l_extendedprice', c12, "
+            "'l_quantity', 'l_discount', c13, "
+            "'l_extendedprice', 'l_discount', c23) AS (col_a, col_b, corr)"
+        )
+    )
+
+
+@query(
+    "diagnose_skew",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS mx FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    ord AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS mx FROM orders
+      GROUP BY o_custkey
+    ),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS mx FROM events
+      GROUP BY user_id
+    )
+    SELECT 'lineitem.l_orderkey' AS join_key,
+           CAST(SUM(mx) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(mx) AS BIGINT) AS max_key_rows,
+           CAST(MAX(mx) AS DOUBLE) /
+             (CAST(SUM(mx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             AS skew_ratio,
+           CAST(MAX(mx) AS DOUBLE) / CAST(SUM(mx) AS DOUBLE) AS top1_share
+    FROM li
+    UNION ALL
+    SELECT 'orders.o_custkey', CAST(SUM(mx) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(mx) AS BIGINT),
+           CAST(MAX(mx) AS DOUBLE) /
+             (CAST(SUM(mx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+           CAST(MAX(mx) AS DOUBLE) / CAST(SUM(mx) AS DOUBLE)
+    FROM ord
+    UNION ALL
+    SELECT 'events.user_id', CAST(SUM(mx) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(mx) AS BIGINT),
+           CAST(MAX(mx) AS DOUBLE) /
+             (CAST(SUM(mx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+           CAST(MAX(mx) AS DOUBLE) / CAST(SUM(mx) AS DOUBLE)
+    FROM ev
+    """,
+)
+def diagnose_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that DECIDES the
+    skew playbook (TUNING §3: AQE skew join → salting → broadcast):
+    per candidate join key, the row count, key cardinality, heaviest
+    key, skew ratio (max/mean rows-per-key) and the top key's share.
+
+    Plan per key: one map-side-combined count aggregate keyed on the
+    join key (the identical shuffle the real join would do — so the
+    diagnostic costs one aggregate pass, not a join), reduced to a
+    1-row summary. No per-key output leaves the cluster: the heavy
+    lifting is (key → count) which stays distributed; only the 3
+    summary rows materialize."""
+    def _one(label: str, tbl: str, key: str) -> DataFrame:
+        per = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("mx"))
+        )
+        return per.agg(
+            F.sum("mx").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("mx").alias("mx"),
+        ).select(
+            F.lit(label).alias("join_key"),
+            F.col("n_rows").cast("long"),
+            F.col("n_keys").cast("long"),
+            F.col("mx").cast("long").alias("max_key_rows"),
+            (
+                F.col("mx").cast("double")
+                / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
+            ).alias("skew_ratio"),
+            (F.col("mx").cast("double") / F.col("n_rows").cast("double")).alias(
+                "top1_share"
+            ),
+        )
+
+    return (
+        _one("lineitem.l_orderkey", "lineitem", "l_orderkey")
+        .unionByName(_one("orders.o_custkey", "orders", "o_custkey"))
+        .unionByName(_one("events.user_id", "events", "user_id"))
     )
