@@ -83,3 +83,39 @@ def test_bpe_planted_corpus(spark):
     assert got == want
     # the stem 'lo'/'low' must appear among the first merges
     assert any(m in ("lo", "low") for _r, m, _f in got), got
+
+
+def test_encode_dictionary_equals_reference(spark, sf_smoke):
+    """Applying the trained merges via the distributed dictionary encode
+    must yield exactly the token sequences the pure-Python trainer's
+    final vocab holds (same merges, same greedy rule ⇒ same segments)."""
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.text.bpe import (
+        bpe_encode_dictionary,
+        train_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    wf = _word_freq(texts)
+
+    # reference: replay the reference merges over the reference vocab
+    vocab = {w: [c for c in w] for w in wf}
+    for _r, left, right, _m, _f in _reference_bpe(wf, 8):
+        for w, toks in vocab.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            vocab[w] = merged
+
+    merges = train_bpe_merges(docs, n_merges=8)
+    got = {
+        r.w: list(r.toks)
+        for r in bpe_encode_dictionary(docs, merges).collect()
+    }
+    assert got == vocab

@@ -121,3 +121,52 @@ def train_bpe_merges(
         "merge_round long, pair_left string, pair_right string, "
         "merged string, pair_freq long",
     )
+
+
+def _apply_merges_udf(merges: list[tuple[str, str]]):
+    """Arrow UDF applying a trained merge list to char-split words, in
+    rank order with the SAME greedy left-to-right non-overlapping rule
+    the trainer used — so a training-corpus word encodes to exactly the
+    token sequence the trainer's final dictionary holds."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _encode(toks: pd.Series) -> pd.Series:
+        def one(ts):
+            for left, right in merges:
+                out, i, n = [], 0, len(ts)
+                while i < n:
+                    if i + 1 < n and ts[i] == left and ts[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(ts[i])
+                        i += 1
+                ts = out
+            return ts
+
+        return toks.map(lambda ts: one(list(ts)))
+
+    return _encode
+
+
+def bpe_encode_dictionary(
+    docs: DataFrame, merges: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Encode the corpus DICTIONARY (distinct words), not the corpus:
+    returns (w, toks) with the trained merges applied.
+
+    This is the tokenizer-apply scale shape: the Arrow encode pass runs
+    over vocab-sized input (≤ a few million words at any corpus size);
+    per-document token streams come from joining token counts back to
+    the exploded words — the 100 TB text itself never enters Python.
+    The merge table (k rows) ships to workers inside the UDF closure,
+    exactly how production tokenizers distribute a merges file."""
+    ranked = [
+        (r.pair_left, r.pair_right)
+        for r in merges.orderBy("merge_round").collect()
+    ]
+    dictionary = word_vocab(docs, text_col).select("w", "toks")
+    return dictionary.withColumn(
+        "toks", _apply_merges_udf(ranked)(F.col("toks"))
+    )

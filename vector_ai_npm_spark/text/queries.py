@@ -463,3 +463,91 @@ def bpe_round1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe_merges(docs, n_merges=1).select(
         "merge_round", "pair_left", "pair_right", "pair_freq"
     )
+
+
+@query("tokenizer_bpe_encode")  # rows-only: encode applies the iterative merges
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19+: APPLY the trained tokenizer — per-document token counts
+    under the first 8 learned merges. The encode pass runs over the
+    distinct-word DICTIONARY (text.bpe.bpe_encode_dictionary), so the
+    corpus text never enters Python: documents explode to words, join
+    the encoded dictionary on the word, and aggregate token counts per
+    doc. Pinned against a pure-Python encoder in tests/test_bpe.py;
+    the SQL-checkable segmentation contract is `bpe_encode_contract`."""
+    from vector_ai_npm_spark.text.bpe import (
+        bpe_encode_dictionary,
+        train_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=8)
+    dic = bpe_encode_dictionary(docs, merges).select(
+        "w", F.size("toks").alias("n_toks")
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        words.join(dic, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "bpe_encode_contract",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           TRUE AS reconstruct_ok
+    FROM w WHERE w <> '' GROUP BY doc_id
+    """,
+)
+def bpe_encode_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode's SQL-checkable contract: BPE is a SEGMENTATION — for
+    every word, the encoded tokens concatenate back to the word, so
+    per document (a) the word count survives the dictionary join
+    (no OOV loss: the dictionary was built from the same corpus) and
+    (b) summed token characters equal summed word characters. The
+    oracle recomputes words/chars from raw text in SQL and pins
+    reconstruct_ok TRUE; a dropped word, a broken merge, or a
+    char-eating encode bug flips a column and fails the hash."""
+    from vector_ai_npm_spark.text.bpe import (
+        bpe_encode_dictionary,
+        train_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=8)
+    dic = bpe_encode_dictionary(docs, merges).select(
+        "w",
+        F.concat_ws("", F.col("toks")).alias("joined"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("tok_chars"),
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        words.join(dic, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("tok_chars").cast("long").alias("n_chars"),
+            F.expr("bool_and(joined = w)").alias("reconstruct_ok"),
+        )
+    )
