@@ -122,6 +122,48 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _degree_oriented_wedges(edges: DataFrame):
+    """(wedges, oriented): orient every canonical edge from its
+    (degree, id)-smaller endpoint to the larger, then self-join on the
+    shared low endpoint with the (deg, id) order on the two high ends.
+    Enumerates exactly the 2-paths whose CENTER is the orientation-low
+    vertex — sufficient for triangle closure (every 3-clique has a
+    unique lowest vertex), NOT for common-neighbor counting (a shared
+    neighbor may rank above either endpoint; see
+    graph_jaccard_neighbors). Fan-out per node is C(outdeg, 2) with
+    outdeg ≤ O(√m) (compact-forward invariant).
+    The edge list feeds four plan branches (degree, both wedge sides,
+    a consumer's closing probe) — all share the weight-aggregate
+    Exchange, which ReuseExchange dedupes inside the single plan; an
+    explicit persist here measured SLOWER (InMemoryRelation hides size
+    stats from the broadcast planner and each invocation re-caches)."""
+    deg = (
+        _symmetrized(edges.withColumn("w", F.lit(1)))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "ds")
+        .join(deg.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("d", "dd")
+    )
+    src_first = F.struct(F.col("ds"), F.col("src")) < F.struct(
+        F.col("dd"), F.col("dst")
+    )
+    oriented = e.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(src_first, F.col("dd")).otherwise(F.col("ds")).alias("dhi"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(b, F.col("a.lo") == F.col("b.lo")).where(
+        F.struct(F.col("a.dhi"), F.col("a.hi"))
+        < F.struct(F.col("b.dhi"), F.col("b.hi"))
+    )
+    return wedges, oriented
+
+
 @query(
     "graph_triangles",
     oracle=f"""
@@ -153,36 +195,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a power-law hub with degree 10⁶ contributes ~nothing instead of
     10¹² wedges. All three joins are equi-joins (no cross product);
     the closing probe keys on the full (lo, hi) edge pair."""
-    # The edge list feeds four plan branches (degree, both wedge sides,
-    # the closing probe) — all four share the weight-aggregate Exchange,
-    # which Spark's ReuseExchange dedupes inside the single plan; an
-    # explicit persist here measured SLOWER (InMemoryRelation hides size
-    # stats from the broadcast planner and each invocation re-caches).
     edges = copurchase_edges(spark, sf_dir).select("src", "dst")
-    deg = (
-        _symmetrized(edges.withColumn("w", F.lit(1)))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    e = (
-        edges.join(deg.withColumnRenamed("node", "src"), "src")
-        .withColumnRenamed("d", "ds")
-        .join(deg.withColumnRenamed("node", "dst"), "dst")
-        .withColumnRenamed("d", "dd")
-    )
-    src_first = F.struct(F.col("ds"), F.col("src")) < F.struct(
-        F.col("dd"), F.col("dst")
-    )
-    oriented = e.select(
-        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
-        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-        F.when(src_first, F.col("dd")).otherwise(F.col("ds")).alias("dhi"),
-    )
-    a, b = oriented.alias("a"), oriented.alias("b")
-    wedges = a.join(b, F.col("a.lo") == F.col("b.lo")).where(
-        F.struct(F.col("a.dhi"), F.col("a.hi"))
-        < F.struct(F.col("b.dhi"), F.col("b.hi"))
-    )
+    wedges, oriented = _degree_oriented_wedges(edges)
     closing = oriented.select(
         F.col("lo").alias("c_lo"), F.col("hi").alias("c_hi")
     )
@@ -365,3 +379,79 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
         )
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH {_O_EDGES},
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY node),
+    common AS (
+      SELECT s1.node AS node_a, s2.node AS node_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sym s1 JOIN sym s2
+        ON s1.nbr = s2.nbr AND s1.node < s2.node
+      GROUP BY s1.node, s2.node
+    )
+    SELECT c.node_a, c.node_b, c.n_common,
+           CAST(c.n_common AS DOUBLE) /
+             CAST(da.d + db.d - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN deg da ON da.node = c.node_a
+    JOIN deg db ON db.node = c.node_b
+    WHERE c.n_common >= 2
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: for every node pair with
+    ≥2 shared neighbors, |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    common-neighbors candidate scorer (recommend b to a's buyers).
+
+    Enumeration is the 2-path self-join of the symmetric adjacency on
+    the shared node — Σ C(deg(x), 2) paths, which is NOT reducible by
+    degree orientation (unlike triangles, where each 3-clique has a
+    unique lowest vertex, every 2-path here is a potential shared
+    neighbor regardless of rank order). That sum IS the output of the
+    enumeration, so the cost is inherent to exactness; the 100 TB
+    mitigations are upstream of this operator: the w≥{_MIN_W} edge
+    sparsifier (already applied), a hub degree cap (drop x with
+    deg > D before the self-join — bounded-loss, standard in
+    production similarity graphs), or MinHash over neighbor sets when
+    approximate Jaccard suffices (the dedup_minhash machinery).
+    Degrees join back keyed; union size is inclusion-exclusion (no
+    set materialization)."""
+    edges = copurchase_edges(spark, sf_dir).select("src", "dst")
+    sym = _symmetrized(edges.withColumn("w", F.lit(1))).select("node", "nbr")
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    common = (
+        s1.join(
+            s2,
+            (F.col("s1.nbr") == F.col("s2.nbr"))
+            & (F.col("s1.node") < F.col("s2.node")),
+        )
+        .groupBy(
+            F.col("s1.node").alias("node_a"), F.col("s2.node").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= 2)
+    )
+    deg = (
+        _symmetrized(edges.withColumn("w", F.lit(1)))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        common.join(deg.withColumnRenamed("node", "node_a"), "node_a")
+        .withColumnRenamed("d", "da")
+        .join(deg.withColumnRenamed("node", "node_b"), "node_b")
+        .withColumnRenamed("d", "db")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

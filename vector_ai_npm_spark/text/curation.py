@@ -713,3 +713,90 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.scope", "r.ok")
+
+
+_TEMP_BUDGET = 300  # total sampled docs across language domains
+
+
+def _o_sqrt_share_quota() -> str:
+    """DuckDB CTEs for the temperature-α=0.5 quota table (shared shape
+    with the Spark side; sqrt is IEEE-correctly-rounded in both engines
+    and the cross-domain sum uses the exact-decimal fold, so quotas are
+    bit-identical)."""
+    from vector_ai_npm_spark.functions.numeric import o_dsum
+
+    return f"""
+    c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ),
+    s AS (SELECT {o_dsum('sqrt(CAST(n AS DOUBLE))')} AS tot FROM c),
+    q AS (
+      SELECT lang, n,
+             CAST(ceil({_TEMP_BUDGET} * sqrt(CAST(n AS DOUBLE)) / s.tot)
+               AS BIGINT) AS quota
+      FROM c, s
+    )
+    """
+
+
+@query(
+    "curate_mix_temperature",
+    oracle=f"""
+    WITH {_o_sqrt_share_quota()},
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rn, q.quota
+    FROM r JOIN q ON q.lang = r.lang
+    WHERE r.rn <= q.quota
+    """,
+)
+def curate_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted domain mixing (the multilingual-LM
+    sampling rule: domain share ∝ n_d^α with α = 0.5, upweighting
+    small languages so the head domain can't drown the tail —
+    `curate_domain_mix`'s fixed-quota sibling with DATA-DERIVED
+    quotas).
+
+    α is fixed at 0.5 so the reweight is sqrt — IEEE-correctly-rounded
+    in both engines, unlike a general pow() whose libm low bits differ.
+    The cross-domain normalizer folds through exact decimal; quota
+    arithmetic is then per-row double.
+
+    Plan: one tiny per-domain count aggregate → quota table (O(langs)
+    rows, broadcast); docs rank inside their domain by md5(doc_id) —
+    the seedless engine-stable shuffle — and keep rank ≤ quota. One
+    hash shuffle on the domain key serves both the count and the rank
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    from vector_ai_npm_spark.functions.numeric import dsum
+
+    s = F.broadcast(c.agg(dsum(F.sqrt(F.col("n").cast("double")), "tot")))
+    q = c.crossJoin(s).select(
+        "lang",
+        F.ceil(
+            F.lit(_TEMP_BUDGET) * F.sqrt(F.col("n").cast("double")) / F.col("tot")
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    r = docs.select("doc_id", "lang", rn.alias("rn"))
+    return (
+        r.join(F.broadcast(q), "lang")
+        .where(F.col("rn") <= F.col("quota"))
+        .select(
+            "doc_id", "lang", F.col("rn").cast("bigint").alias("rn"), "quota"
+        )
+    )
