@@ -318,3 +318,40 @@ def test_mmr_composes_with_ann_candidates(spark, sf_smoke):
         cand.select("q_vec_id", "vec_id"), ["q_vec_id", "vec_id"], "left_anti"
     ).count()
     assert extra == 0
+
+
+def test_engine_graph_and_tokenizer_facade(spark, sf_smoke, tmp_path):
+    """The round-5 tiers are reachable through VectorEngine: graph ops
+    on a caller-supplied edge list, tokenizer encode on trained merges,
+    and the z-order store writer."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.engine import VectorEngine
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.operators.graph_ops import copurchase_edges
+
+    eng = VectorEngine(spark)
+    edges = copurchase_edges(spark, sf_smoke).select("src", "dst")
+
+    tri = eng.graph_triangles(edges)
+    assert tri.columns == ["node", "n_triangles"]
+    assert tri.count() >= 0
+
+    pr = eng.graph_pagerank(edges, n_iter=2)
+    total = pr.agg(F.sum("pagerank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-4
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    merges = eng.train_tokenizer(docs, n_merges=3)
+    dic = eng.encode_tokens(docs, merges)
+    row = dic.where(F.size("toks") >= 1).limit(1).collect()[0]
+    assert "".join(row.toks) == row.w
+
+    path = str(tmp_path / "zorder")
+    eng.zorder_store(
+        load_table(spark, sf_smoke, "lineitem").select(
+            "l_partkey", "l_suppkey"
+        ),
+        path, "l_partkey", "l_suppkey", buckets=4,
+    )
+    assert spark.read.parquet(path).count() > 0

@@ -137,6 +137,38 @@ class VectorEngine:
 
         return train_bpe_merges(docs, text_col=text_col, n_merges=n_merges)
 
+    def encode_tokens(self, docs: DataFrame, merges: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+        """Apply trained BPE merges: returns the encoded distinct-word
+        dictionary (w, toks) — join token counts back to exploded words
+        for per-document streams; corpus text never enters Python."""
+        from vector_ai_npm_spark.text.bpe import bpe_encode_dictionary
+
+        return bpe_encode_dictionary(docs, merges, text_col=text_col)
+
+    def zorder_store(self, df: DataFrame, path: str, key_a: str, key_b: str,
+                     buckets: int = 16) -> None:
+        """Persist ``df`` z-order-clustered on two keys so 2-D box
+        queries skip files via parquet min-max footers on EITHER
+        dimension (see operators.scale_suite.cluster_by_zorder)."""
+        from vector_ai_npm_spark.operators.scale_suite import cluster_by_zorder
+
+        cluster_by_zorder(df, path, key_a, key_b, buckets=buckets)
+
+    def graph_triangles(self, edges: DataFrame) -> DataFrame:
+        """Per-node triangle counts on a canonical (src < dst) edge
+        list — degree-oriented wedge enumeration (hub-proof)."""
+        from vector_ai_npm_spark.operators.graph_ops import triangle_counts
+
+        return triangle_counts(edges)
+
+    def graph_pagerank(self, edges: DataFrame, n_iter: int = 3) -> DataFrame:
+        """Fixed-iteration power-method PageRank on a canonical edge
+        list, treated undirected; exact-decimal neighbor folds."""
+        from vector_ai_npm_spark.operators.graph_ops import pagerank_edges
+
+        return pagerank_edges(edges, n_iter=n_iter)
+
     def dedup_clusters(self, docs: DataFrame, pairs: DataFrame,
                        doc_id: str = "doc_id") -> DataFrame:
         """Close a near-dup candidate-pair relation (from any of the

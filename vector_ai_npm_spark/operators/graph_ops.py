@@ -195,7 +195,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a power-law hub with degree 10⁶ contributes ~nothing instead of
     10¹² wedges. All three joins are equi-joins (no cross product);
     the closing probe keys on the full (lo, hi) edge pair."""
-    edges = copurchase_edges(spark, sf_dir).select("src", "dst")
+    return triangle_counts(copurchase_edges(spark, sf_dir).select("src", "dst"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts on any canonical (src < dst) edge list
+    (the engine-facade entry; graph_triangles wires in the fixture)."""
     wedges, oriented = _degree_oriented_wedges(edges)
     closing = oriented.select(
         F.col("lo").alias("c_lo"), F.col("hi").alias("c_hi")
@@ -212,6 +217,35 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return pernode.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_edges(edges: DataFrame, n_iter: int = _N_ITER) -> DataFrame:
+    """Power-method PageRank (damping 0.85) on any canonical edge list,
+    treated undirected — the engine-facade entry; graph_pagerank wires
+    in the fixture graph and a per-session cache."""
+    sym = _symmetrized(edges.withColumn("w", F.lit(1))).select("node", "nbr")
+    return _pagerank_over_sym(sym, n_iter)
+
+
+def _pagerank_over_sym(sym: DataFrame, n_iter: int = _N_ITER) -> DataFrame:
+    nodes = sym.select("node").distinct()
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    ranks = nodes.crossJoin(n).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(ranks, "node")
+            .join(deg, "node")
+            .groupBy(F.col("nbr").alias("node"))
+            .agg(dsum(F.col("r") / F.col("d"), "s"))
+        )
+        ranks = contrib.crossJoin(n).select(
+            "node",
+            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))
 
 
 @query(
@@ -360,25 +394,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated invocations (bench repeats, rotation re-checks) reuse the
     # same materialization instead of stacking a fresh cache entry each
     # call (the iterative-trainer discipline, TUNING §4)
-    sym = _pagerank_sym_cached(spark, sf_dir)
-    nodes = sym.select("node").distinct()
-    n = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    ranks = nodes.crossJoin(n).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
-    for _ in range(_N_ITER):
-        contrib = (
-            sym.join(ranks, "node")
-            .join(deg, "node")
-            .groupBy(F.col("nbr").alias("node"))
-            .agg(dsum(F.col("r") / F.col("d"), "s"))
-        )
-        ranks = contrib.crossJoin(n).select(
-            "node",
-            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
-        )
-    return ranks.select("node", F.col("r").alias("pagerank"))
+    return _pagerank_over_sym(_pagerank_sym_cached(spark, sf_dir), _N_ITER)
 
 
 @query(
