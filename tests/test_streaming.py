@@ -412,3 +412,30 @@ def test_stream_sessionize_state_spans_batches(spark):
     finally:
         q.stop()
     assert got == {10: 1, 11: 1, 12: 1, 13: 2}, got
+
+
+def test_topk_stream_equals_batch(spark, sf_smoke, events_stream_dir):
+    """Streaming top-k = rank applied over the streaming aggregation
+    state: run the 5-minute tumbling count under readStream (complete
+    mode), rank the memory-sink table, and require equality with the
+    batch-face top-k (which the DuckDB oracle hash-checks)."""
+    from vector_ai_npm_spark.streaming.windows import (
+        topk_event_types,
+        tumbling_counts,
+    )
+
+    def counts5(df):
+        return tumbling_counts(df, width="5 minutes").select(
+            "window_start", "event_type", "n_events"
+        )
+
+    batch_topk = topk_event_types(
+        counts5(load_table(spark, sf_smoke, "events")), k=3
+    ).collect()
+
+    _run_stream(spark, events_stream_dir, counts5, "t_topk_counts")
+    stream_topk_rows = topk_event_types(
+        spark.table("t_topk_counts"), k=3
+    ).collect()
+    assert _key_sorted(stream_topk_rows) == _key_sorted(batch_topk)
+    assert len(batch_topk) > 0

@@ -209,3 +209,39 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_upsert_stream(spark, input_dir, store_dir, ckpt)
     # final select matches the oracle's column set exactly
     return final_totals(spark, store_dir).select("user_id", "total_value", "n_events")
+
+
+@query(
+    "stream_topk",
+    oracle="""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_start, event_type, n_events,
+             row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type ASC
+             ) AS rnk
+      FROM c
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25+: top-3 event types per 5-minute tumbling window — the
+    trending-items dashboard shape. The windowed count is the
+    streaming-legal aggregation (readStream ≡ batch pinned in
+    tests/test_streaming.py); the rank is the documented
+    post-aggregation (windows.topk_event_types) over the bounded
+    (window, type) state, per-window frames ≤ #event types."""
+    from vector_ai_npm_spark.streaming.windows import topk_event_types
+
+    counts = tumbling_counts(
+        load_table(spark, sf_dir, "events"), width="5 minutes"
+    ).select("window_start", "event_type", "n_events")
+    return topk_event_types(counts, k=3)

@@ -92,3 +92,22 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
         .agg(F.min("event_id").alias("event_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("event_id", "user_id", "event_type", "minute", "n_dups")
     )
+
+
+def topk_event_types(counts: DataFrame, k: int = 3) -> DataFrame:
+    """B25+: top-k event types per window, applied OVER the windowed
+    counts. Ranking is not an incremental-streaming operator (window
+    functions are rejected under readStream), so production jobs rank
+    in the serving layer / foreachBatch over the aggregation state —
+    this function is that post-aggregation, shared by the batch oracle
+    face and the streaming test, which ranks the memory-sink state
+    after processAllAvailable. Partitioned by window ⇒ bounded frames
+    (≤ #event types per window), never a global sort."""
+    wr = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
