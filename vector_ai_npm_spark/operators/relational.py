@@ -2320,3 +2320,92 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_spend"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT scope, ok FROM (VALUES
+      ('columns_unioned', TRUE), ('rows_preserved', TRUE),
+      ('old_files_null_extended', TRUE), ('new_files_null_extended', TRUE),
+      ('overlap_values_preserved', TRUE)
+    ) t(scope, ok)
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+: schema-evolution read — a table whose older files lack a
+    column the newer files added (and vice versa), scanned as ONE
+    relation with ``mergeSchema``, as oracle-pinnable booleans.
+
+    The fixture writes two generations from a deterministic split of
+    orders: v1 carries (o_orderkey, o_custkey, o_totalprice), v2
+    swapped o_custkey for o_orderpriority. The merged scan must union
+    the schemas, null-extend each generation's missing column, keep
+    every row, and preserve the overlapping column's values bit-exactly
+    (xor-fold checksum vs the source split).
+
+    Scale note: mergeSchema=true makes the DRIVER read every file
+    footer at planning time — fine per partition-directory, pathological
+    across millions of files; production tables put the evolving schema
+    in a catalog (Delta/Iceberg) and Spark reads footers only for
+    pruned files. The null-extension semantics this pins are identical
+    either way."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    v1_src = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2_src = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v1_src.write.mode("overwrite").parquet(f"{base}/g=1")
+    v2_src.write.mode("overwrite").parquet(f"{base}/g=2")
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(f"{base}/g=1", f"{base}/g=2")
+    )
+    cols_ok = {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    } <= set(merged.columns)
+
+    def _sig(df: DataFrame):
+        row = df.select(
+            F.xxhash64("o_orderkey", "o_totalprice").alias("h")
+        ).agg(
+            F.expr("bit_xor(h)").alias("sig"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return row.sig, row.n
+
+    sig_src = _sig(v1_src.select("o_orderkey", "o_totalprice").unionByName(
+        v2_src.select("o_orderkey", "o_totalprice")
+    ))
+    sig_merged = _sig(merged)
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("o_orderkey") % 2 == 0)
+                & F.col("o_orderpriority").isNull(), 1
+            ).otherwise(0)
+        ).alias("old_nulls"),
+        F.sum(F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(
+            F.when(
+                (F.col("o_orderkey") % 2 == 1) & F.col("o_custkey").isNull(), 1
+            ).otherwise(0)
+        ).alias("new_nulls"),
+        F.sum(F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0)).alias("n_new"),
+    ).collect()[0]
+
+    rows = [
+        ("columns_unioned", bool(cols_ok)),
+        ("rows_preserved", sig_merged[1] == sig_src[1]),
+        ("old_files_null_extended", stats.old_nulls == stats.n_old),
+        ("new_files_null_extended", stats.new_nulls == stats.n_new),
+        ("overlap_values_preserved", sig_merged[0] == sig_src[0]),
+    ]
+    return spark.createDataFrame(rows, "scope string, ok boolean")
