@@ -79,3 +79,53 @@ def test_graph_plans_have_no_cross_product(spark, sf_smoke):
         # the only nested-loop join allowed is the broadcast of the
         # 1-row node-count aggregate (the teleport term)
         assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_jaccard_hub_cap_is_conservative_lower_bound(spark, sf_smoke):
+    """Capping the shared-neighbor center degree must (a) shrink the
+    pair set to a subset and (b) never raise n_common for a surviving
+    pair — the documented conservative-lower-bound contract."""
+    from vector_ai_npm_spark.operators.graph_ops import (
+        copurchase_edges,
+        jaccard_neighbor_pairs,
+    )
+
+    edges = copurchase_edges(spark, sf_smoke).select("src", "dst")
+    full = {
+        (r.node_a, r.node_b): r.n_common
+        for r in jaccard_neighbor_pairs(edges, min_common=1).collect()
+    }
+    capped = {
+        (r.node_a, r.node_b): r.n_common
+        for r in jaccard_neighbor_pairs(
+            edges, min_common=1, max_center_degree=20
+        ).collect()
+    }
+    assert capped, "cap of 20 should keep some centers on the smoke graph"
+    assert set(capped) <= set(full)
+    assert len(capped) < len(full), "smoke graph has deg>20 hubs; cap must bite"
+    for pair, n in capped.items():
+        assert n <= full[pair]
+
+
+def test_mix_temperature_flattens_the_head(spark, sf_oracle):
+    """alpha=0.5 sampling must upweight tail domains: every non-head
+    language's share of the SAMPLE exceeds its share of the corpus,
+    and the head language's share shrinks."""
+    from vector_ai_npm_spark import registry
+    from vector_ai_npm_spark.io.sources import load_table
+
+    corpus = {
+        r.lang: r.n
+        for r in load_table(spark, sf_oracle, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sample = {}
+    for r in registry.run("curate_mix_temperature", spark, sf_oracle).collect():
+        sample[r.lang] = sample.get(r.lang, 0) + 1
+    n_c, n_s = sum(corpus.values()), sum(sample.values())
+    head = max(corpus, key=corpus.get)
+    assert sample[head] / n_s < corpus[head] / n_c
+    for lang in corpus:
+        if lang != head:
+            assert sample[lang] / n_s > corpus[lang] / n_c, lang

@@ -326,10 +326,13 @@ _SYM_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _pagerank_sym_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric edge list, persisted once per (session, fixture dir)."""
+    """Symmetric edge list, persisted once per (application, fixture
+    dir). Keyed by applicationId, NOT id(spark): a Python id can be
+    reused after the old session is garbage-collected, which would hand
+    back a cached DataFrame bound to a dead JVM."""
     from pyspark.storagelevel import StorageLevel
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SYM_CACHE.get(key)
     if cached is None:
         cached = (
@@ -430,14 +433,46 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor regardless of rank order). That sum IS the output of the
     enumeration, so the cost is inherent to exactness; the 100 TB
     mitigations are upstream of this operator: the w≥{_MIN_W} edge
-    sparsifier (already applied), a hub degree cap (drop x with
-    deg > D before the self-join — bounded-loss, standard in
-    production similarity graphs), or MinHash over neighbor sets when
-    approximate Jaccard suffices (the dedup_minhash machinery).
+    sparsifier (already applied), the IMPLEMENTED hub degree cap
+    (:func:`jaccard_neighbor_pairs` ``max_center_degree`` — drop shared
+    nodes with deg > D before the self-join; a conservative
+    lower-bound, standard in production similarity graphs, pinned in
+    tests/test_graph.py), or MinHash over neighbor sets when
+    approximate Jaccard suffices (the dedup_minhash machinery). The
+    fixture query runs UNCAPPED so the DuckDB oracle is exact.
     Degrees join back keyed; union size is inclusion-exclusion (no
     set materialization)."""
     edges = copurchase_edges(spark, sf_dir).select("src", "dst")
+    return jaccard_neighbor_pairs(edges, min_common=2)
+
+
+def jaccard_neighbor_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor Jaccard over any canonical edge list.
+
+    ``max_center_degree`` is the hub cap: shared-neighbor enumeration
+    fans out C(deg(x), 2) per center x, so a single degree-10⁶ hub
+    contributes 5·10¹¹ pairs — capping drops centers with deg > D
+    before the self-join, bounding per-center fan-out at C(D, 2). The
+    capped result is a CONSERVATIVE lower bound: the pair set shrinks
+    to pairs discoverable via non-hub centers, and each surviving
+    pair's n_common/jaccard counts only its non-hub shared neighbors
+    (degrees in the denominator stay true). Subset + lower-bound both
+    pinned in tests/test_graph.py."""
+    deg = (
+        _symmetrized(edges.withColumn("w", F.lit(1)))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
     sym = _symmetrized(edges.withColumn("w", F.lit(1))).select("node", "nbr")
+    if max_center_degree is not None:
+        ok_centers = deg.where(F.col("d") <= max_center_degree).select(
+            F.col("node").alias("nbr")
+        )
+        sym = sym.join(ok_centers, "nbr", "left_semi")
     s1, s2 = sym.alias("s1"), sym.alias("s2")
     common = (
         s1.join(
@@ -449,12 +484,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s1.node").alias("node_a"), F.col("s2.node").alias("node_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .where(F.col("n_common") >= 2)
-    )
-    deg = (
-        _symmetrized(edges.withColumn("w", F.lit(1)))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("n_common") >= min_common)
     )
     return (
         common.join(deg.withColumnRenamed("node", "node_a"), "node_a")
