@@ -296,3 +296,65 @@ def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame
             )
 
     return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def synth_pcm_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the AUDIO decode path: a deterministic 96-byte
+    8-bit PCM clip per document — the bytes are the first 96 chars of
+    the same sha2 hex chain the PPM synth uses, so ASCII (1 byte/char)
+    and bit-reproducible in DuckDB (sha256 + unicode), which is what
+    lets the frame-energy query carry a value oracle."""
+    chain = F.concat(
+        F.sha2(F.col("text"), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        F.encode(F.substring(chain, 1, 96), "utf-8").alias("payload"),
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("meta_json"),
+    )
+
+
+def audio_frame_energy(media: DataFrame, frame_len: int = 16) -> DataFrame:
+    """Per-frame RMS energy over 8-bit PCM payloads — the audio
+    feature-extraction shape (VAD / silence trimming / loudness
+    normalization all start here).
+
+    The decode is a REAL byte decode (numpy frombuffer on the Arrow
+    batch — at scale this is where a codec like libsndfile would sit),
+    run via mapInPandas exactly like the image path: Arrow moves whole
+    partitions through Python in batches, never a per-row UDF. Frame
+    math stays in numpy (vectorized across every frame of the batch);
+    the final 6-decimal rounding is applied JVM-side so both engines
+    round identically (HALF_UP)."""
+    import numpy as np
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_frame, out_n, out_rms = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                v = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.float64
+                )
+                n_frames = len(v) // frame_len
+                frames = v[: n_frames * frame_len].reshape(n_frames, frame_len)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                out_id.extend([aid] * n_frames)
+                out_frame.extend(range(n_frames))
+                out_n.extend([frame_len] * n_frames)
+                out_rms.extend(rms.tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out_id, dtype="int64"),
+                    "frame_id": pd.Series(out_frame, dtype="int64"),
+                    "n_samples": pd.Series(out_n, dtype="int64"),
+                    "rms": pd.Series(out_rms, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _energy,
+        schema="asset_id long, frame_id long, n_samples long, rms double",
+    )

@@ -172,3 +172,45 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "out_w", "out_h",
         F.round("mean_resized", 6).alias("mean_resized"),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             substr(sha256(text) || sha256(text || 'a') || sha256(text || 'b'),
+                    1, 96) AS wave
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_id,
+             list_transform(range(0, 16), j ->
+               unicode(substr(wave,
+                 CAST(i * 16 + j AS INTEGER) + 1, 1))) AS vs
+      FROM m, UNNEST(range(0, 6)) AS t(i)
+    )
+    SELECT doc_id AS asset_id, frame_id,
+           CAST(16 AS BIGINT) AS n_samples,
+           ROUND(sqrt(list_aggregate(
+             list_transform(vs, v -> CAST(v * v AS DOUBLE)), 'avg')), 6)
+             AS rms
+    FROM f
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30+ audio branch: per-frame RMS energy over deterministic 8-bit
+    PCM clips (96 samples, 6 frames of 16) through the REAL byte decode
+    (numpy frombuffer in mapInPandas — the libsndfile seam). The oracle
+    reconstructs the identical waveform in DuckDB (sha256 hex chain +
+    unicode) and recomputes every frame's RMS — a VALUE oracle for the
+    audio path, like the image decode/resize ones."""
+    from vector_ai_npm_spark.multimodal.binary import (
+        audio_frame_energy,
+        synth_pcm_media,
+    )
+
+    media = synth_pcm_media(load_table(spark, sf_dir, "documents"))
+    return audio_frame_energy(media, frame_len=16).withColumn(
+        "rms", F.round(F.col("rms"), 6)
+    )
