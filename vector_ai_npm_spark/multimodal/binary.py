@@ -358,3 +358,69 @@ def audio_frame_energy(media: DataFrame, frame_len: int = 16) -> DataFrame:
         _energy,
         schema="asset_id long, frame_id long, n_samples long, rms double",
     )
+
+
+def synth_video_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the VIDEO path: 8 consecutive 12-byte
+    "frames" per document from the sha2 hex chain (96 ASCII bytes
+    total) — the N-frames-in-one-payload layout real video shards use,
+    reproducible in DuckDB for value oracles."""
+    chain = F.concat(
+        F.sha2(F.col("text"), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.encode(F.substring(chain, 1, 96), "utf-8").alias("payload"),
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("meta_json"),
+    )
+
+
+def scene_changes(media: DataFrame, frame_bytes: int = 12,
+                  threshold: float = 20.0) -> DataFrame:
+    """Scene-change detection: mean absolute byte difference between
+    consecutive frames, flagged when it exceeds ``threshold`` — the
+    shot-boundary primitive every video-curation pipeline runs before
+    frame sampling (sample per SCENE, not per second).
+
+    Same execution shape as the audio path: numpy decodes the Arrow
+    batch's payload bytes (the ffmpeg seam), the frame-pair deltas are
+    vectorized across the whole batch, and only (asset, frame, score,
+    flag) rows leave Python — payload bytes never shuffle."""
+    import numpy as np
+
+    def _scenes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_frame, out_delta = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                v = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.float64
+                )
+                n_frames = len(v) // frame_bytes
+                frames = v[: n_frames * frame_bytes].reshape(
+                    n_frames, frame_bytes
+                )
+                deltas = np.abs(frames[1:] - frames[:-1]).mean(axis=1)
+                out_id.extend([aid] * (n_frames - 1))
+                out_frame.extend(range(1, n_frames))
+                out_delta.extend(deltas.tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out_id, dtype="int64"),
+                    "frame_id": pd.Series(out_frame, dtype="int64"),
+                    "mean_abs_delta": pd.Series(out_delta, dtype="float64"),
+                }
+            )
+
+    scored = media.mapInPandas(
+        _scenes,
+        schema="asset_id long, frame_id long, mean_abs_delta double",
+    )
+    return scored.select(
+        "asset_id",
+        "frame_id",
+        F.round(F.col("mean_abs_delta"), 6).alias("mean_abs_delta"),
+        (F.col("mean_abs_delta") > threshold).alias("is_scene_change"),
+    )

@@ -214,3 +214,47 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(media, frame_len=16).withColumn(
         "rms", F.round(F.col("rms"), 6)
     )
+
+
+@query(
+    "multimodal_scene_detect",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             substr(sha256(text) || sha256(text || 'a') || sha256(text || 'b'),
+                    1, 96) AS clip
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_id,
+             list_aggregate(
+               list_transform(range(0, 12), j ->
+                 CAST(abs(
+                   unicode(substr(clip,
+                     CAST(i * 12 + j AS INTEGER) + 1, 1))
+                   - unicode(substr(clip,
+                     CAST((i - 1) * 12 + j AS INTEGER) + 1, 1))
+                 ) AS DOUBLE)),
+               'avg') AS mean_abs_delta
+      FROM m, UNNEST(range(1, 8)) AS t(i)
+    )
+    SELECT doc_id AS asset_id, frame_id,
+           ROUND(mean_abs_delta, 6) AS mean_abs_delta,
+           mean_abs_delta > 20.0 AS is_scene_change
+    FROM d
+    """,
+)
+def multimodal_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30+ video branch: shot-boundary detection — mean absolute byte
+    delta between consecutive 12-byte frames of an 8-frame clip,
+    flagged above threshold 20. Decode + frame-pair math run in numpy
+    over Arrow batches (the ffmpeg seam, same shape as the audio RMS
+    path); the oracle reconstructs the clip in DuckDB and recomputes
+    every consecutive-frame delta — a VALUE oracle for the video path."""
+    from vector_ai_npm_spark.multimodal.binary import (
+        scene_changes,
+        synth_video_media,
+    )
+
+    media = synth_video_media(load_table(spark, sf_dir, "documents"))
+    return scene_changes(media, frame_bytes=12, threshold=20.0)
