@@ -142,6 +142,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs with no shared shingle have jaccard 0 and can't pass the 0.8
     threshold, so the result set equals the naive blocked cross join's.
     """
+    overlapped = _shingle_pair_overlap(spark, sf_dir)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return overlapped.select(
+        "doc_id_a", "doc_id_b", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= 0.8)
+
+
+def _shingle_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_common, n_a, n_b) for every blocked doc
+    pair sharing ≥1 shingle — the shared core of the exact set-overlap
+    dedups (Jaccard and containment score it differently)."""
     docs = scale_partitions(load_table(spark, sf_dir, "documents"), spark)
     # Plan-shape note: the ONLY projection above the Generate is attribute
     # passthrough — putting e.g. size(shingles) next to the explode would
@@ -173,15 +186,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return pair_counts.join(F.broadcast(sa), "doc_id_a").join(
+        F.broadcast(sb), "doc_id_b"
     )
-    return (
-        pair_counts.join(F.broadcast(sa), "doc_id_a")
-        .join(F.broadcast(sb), "doc_id_b")
-        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.8)
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source, {_DUCK_SHINGLES} AS shingles
+      FROM documents
     )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+           least(len(a.shingles), len(b.shingles)) AS containment
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          least(len(a.shingles), len(b.shingles)) >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18a': exact 3-gram CONTAINMENT pairs — |A∩B| / min(|A|, |B|),
+    the asymmetric overlap that catches near-SUPERSETS (a short doc
+    quoted whole inside a longer one, boilerplate wrapping real
+    content) which Jaccard misses: a 50-shingle doc inside a
+    500-shingle doc scores containment 1.0 but jaccard 0.1.
+
+    Same inverted-index bucket-emit core as `dedup_ngram_jaccard`
+    (:func:`_shingle_pair_overlap` — one shingle shuffle, cost tracks
+    pairs that actually share a shingle); only the scoring changes."""
+    overlapped = _shingle_pair_overlap(spark, sf_dir)
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return overlapped.select(
+        "doc_id_a", "doc_id_b", cont.alias("containment")
+    ).where(F.col("containment") >= 0.9)
 
 
 # --------------------------------------------------------------------------
