@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.functions.numeric import _DEC, _PREC, _SCALE, o_dsum
+from vector_ai_npm_spark.functions.numeric import _DEC, _PREC, _SCALE, dsum, o_dsum
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
 
@@ -1548,4 +1548,175 @@ def diagnose_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         _one("lineitem.l_orderkey", "lineitem", "l_orderkey")
         .unionByName(_one("orders.o_custkey", "orders", "o_custkey"))
         .unionByName(_one("events.user_id", "events", "user_id"))
+    )
+
+
+@query(
+    "orders_pareto_abc",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL({_PREC},{_SCALE})))
+               AS DECIMAL(38,{_SCALE})) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (
+      SELECT CAST(CAST(CAST(SUM(rev) AS DECIMAL(38,{_SCALE})) AS VARCHAR)
+               AS DOUBLE) AS total
+      FROM r
+    ),
+    c AS (
+      SELECT l_partkey,
+             CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+             CAST(CAST(CAST(SUM(rev) OVER (
+                 ORDER BY rev DESC, l_partkey ASC
+               ) AS DECIMAL(38,{_SCALE})) AS VARCHAR) AS DOUBLE) AS cum
+      FROM r
+    )
+    SELECT l_partkey, revenue,
+           cum / t.total AS cum_share,
+           CASE WHEN cum / t.total <= 0.5 THEN 'A'
+                WHEN cum / t.total <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, t
+    """,
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue classification: parts ranked by revenue,
+    classed A while cumulative share ≤ 50%, B to 80%, C after — the
+    inventory-analytics workhorse.
+
+    The oracle's global `SUM() OVER (ORDER BY …)` would be a
+    single-partition sort at scale; the Spark side runs the two-level
+    prefix decomposition on the EXACT-DECIMAL revenue (value-binned
+    buckets from a broadcast stats row → windowed decimal cumsum per
+    bucket → O(bins) decimal carry). Decimal addition is associative,
+    so carry + local ≡ the oracle's sequential fold BIT-EXACTLY —
+    which is precisely why the fold is decimal: the same two-level
+    trick on doubles would drift in the low bits and fail the hash.
+    The share division happens once per row in double on identical
+    operands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast(f"decimal(38,{_SCALE})")
+        .alias("rev")
+    )
+    stats = F.broadcast(
+        r.agg(
+            F.min(F.col("rev").cast("double")).alias("_lo"),
+            F.max(F.col("rev").cast("double")).alias("_hi"),
+            F.sum("rev").cast(f"decimal(38,{_SCALE})").cast("double")
+            .alias("total"),
+        )
+    )
+    n_bins = 1024
+    f = r.crossJoin(stats)
+    width = F.greatest(
+        (F.col("_hi") - F.col("_lo")) / F.lit(n_bins), F.lit(1e-12)
+    )
+    f = f.withColumn(
+        "_bucket",
+        F.least(
+            F.floor((F.col("_hi") - F.col("rev").cast("double")) / width),
+            F.lit(n_bins - 1),
+        ).cast("long"),
+    )
+    wloc = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = f.withColumn(
+        "_lcum", F.sum("rev").over(wloc).cast(f"decimal(38,{_SCALE})")
+    )
+    per = f.groupBy("_bucket").agg(
+        F.sum("rev").cast(f"decimal(38,{_SCALE})").alias("_bsum")
+    )
+    wcarry = Window.orderBy(F.col("_bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = per.select(
+        "_bucket",
+        F.coalesce(
+            F.sum("_bsum").over(wcarry).cast(f"decimal(38,{_SCALE})"),
+            F.lit(0).cast(f"decimal(38,{_SCALE})"),
+        ).alias("_carry"),
+    )
+    cum = (
+        loc.join(F.broadcast(carry), "_bucket")
+        .withColumn(
+            "cum",
+            (F.col("_carry") + F.col("_lcum"))
+            .cast(f"decimal(38,{_SCALE})")
+            .cast("double"),
+        )
+    )
+    share = F.col("cum") / F.col("total")
+    return cum.select(
+        "l_partkey",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.5, "A")
+        .when(share <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "events_anomaly_seasonal",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             {o_dsum('value')} AS total
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, hour, total,
+           lag(total) OVER (
+             PARTITION BY event_type, hour ORDER BY day
+           ) AS prev_total,
+           total - lag(total) OVER (
+             PARTITION BY event_type, hour ORDER BY day
+           ) AS residual,
+           CASE WHEN lag(total) OVER (
+                  PARTITION BY event_type, hour ORDER BY day
+                ) IS NULL THEN FALSE
+                ELSE abs(total - lag(total) OVER (
+                       PARTITION BY event_type, hour ORDER BY day
+                     )) > 0.5 * abs(lag(total) OVER (
+                       PARTITION BY event_type, hour ORDER BY day
+                     ))
+           END AS is_anomaly
+    FROM h
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection: each (event_type, hour-of-day)
+    series is compared against ITSELF one day earlier — the baseline
+    that respects daily seasonality, where a plain trailing z-score
+    (window_anomaly_zscore) flags every rush hour as anomalous.
+
+    Plan: one corpus-scale aggregate reduces events to the
+    (type × day × hour) frame (exact-decimal totals), then the lag
+    window runs per (type, hour) key — at most types × 24 partitions
+    of #days rows each, bounded at any event volume. Residual
+    arithmetic is per-row double on identical engine inputs; the flag
+    fires when |today − yesterday| > 50% of |yesterday|."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(dsum("value", "total"))
+    w = Window.partitionBy("event_type", "hour").orderBy(F.col("day").asc())
+    prev = F.lag("total").over(w)
+    return h.select(
+        "event_type", "day", "hour", "total",
+        prev.alias("prev_total"),
+        (F.col("total") - prev).alias("residual"),
+        F.when(prev.isNull(), F.lit(False))
+        .otherwise(F.abs(F.col("total") - prev) > 0.5 * F.abs(prev))
+        .alias("is_anomaly"),
     )
