@@ -568,3 +568,81 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("check_name", F.col("n_violations").cast("long"))
 
     return cust_pk.unionByName(li_checks).unionByName(ord_checks)
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.first_view,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts > s1.first_view THEN e.ts END)
+               AS first_purchase
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id, s1.first_view
+    ), lat AS (
+      SELECT CAST(date_diff('second', first_view, first_purchase)
+               AS BIGINT) AS latency_s
+      FROM s2
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(latency_s, 0.5) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(latency_s, 0.9) AS BIGINT) AS p90_s,
+           CAST(MIN(latency_s) AS BIGINT) AS min_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s
+    FROM lat
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency distribution: first view → first
+    purchase-AFTER-that-view per user, summarized as count + discrete
+    p50/p90/min/max seconds — the business face of `funnel_steps`
+    (how long does converting take, not just who converts).
+
+    Plan: the same one-shuffle chained window-minima funnel reduces
+    events to one (first_view, first_purchase) row per user; latencies
+    are a user-sized frame and the summary is a single aggregate with
+    exact discrete percentiles (group state = the user frame, bounded
+    by user count — use agg_approx_percentile's sketch for billions of
+    users). Integer seconds via timestamp diff: no float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    ).withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    lat = (
+        staged.groupBy("user_id")
+        .agg(
+            F.first("first_view").alias("fv"),
+            F.first("first_purchase").alias("fp"),
+        )
+        .where(F.col("fv").isNotNull() & F.col("fp").isNotNull())
+        .select(
+            (F.unix_timestamp("fp") - F.unix_timestamp("fv"))
+            .cast("long")
+            .alias("latency_s")
+        )
+    )
+    wg = "WITHIN GROUP (ORDER BY latency_s)"
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr(f"percentile_disc(0.5) {wg}").cast("long").alias("p50_s"),
+        F.expr(f"percentile_disc(0.9) {wg}").cast("long").alias("p90_s"),
+        F.min("latency_s").alias("min_s"),
+        F.max("latency_s").alias("max_s"),
+    )
