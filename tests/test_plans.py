@@ -404,3 +404,44 @@ def test_skyline_equals_bruteforce(spark, sf_smoke):
         for r in registry.run("agg_skyline", spark, sf_smoke).collect()
     )
     assert got == want
+
+
+def test_two_level_ntile_plans_bucket_the_sort(spark, sf_smoke):
+    """events_rfm / agg_histogram_equidepth / orders_pareto_abc promise
+    the two-level rank decomposition: the big frame shuffles by the
+    derived _bucket key (bounded partitions), never through one global
+    range/single partition. A regression to a plain global ntile /
+    ORDER BY window would drop the bucket exchange from the plan."""
+    for name in ("events_rfm", "agg_histogram_equidepth", "orders_pareto_abc"):
+        plan = _plan(spark, name, sf_smoke)
+        assert "hashpartitioning(_bucket" in plan, (
+            f"{name}: bucket exchange missing — did the two-level "
+            f"decomposition regress to a global window?\n{plan[:2000]}"
+        )
+        assert "rangepartitioning" not in plan, (
+            f"{name}: global sort appeared\n{plan[:2000]}"
+        )
+        assert "CartesianProduct" not in plan
+
+
+def test_dq_checks_scans_each_fact_once(spark, sf_smoke):
+    """The DQ suite's contract is one scan per fact table for ALL its
+    checks (FK probes ride the same scan): customer×2 + lineitem×1 +
+    orders×2 = exactly 5 parquet scans."""
+    plan = _plan(spark, "dq_checks", sf_smoke)
+    assert plan.count("Scan parquet") == 5, plan[:3000]
+
+
+def test_stream_topk_rank_is_window_partitioned(spark, sf_smoke):
+    """The top-k rank must run per window_start (bounded frames), not as
+    a global unpartitioned window."""
+    plan = _plan(spark, "stream_topk", sf_smoke)
+    assert "hashpartitioning(window_start" in plan, plan[:2000]
+
+
+def test_basket_and_graph_builds_have_no_cross_product(spark, sf_smoke):
+    for name in ("basket_lift", "graph_degree", "graph_jaccard_neighbors"):
+        plan = _plan(spark, name, sf_smoke)
+        assert "CartesianProduct" not in plan, name
+        # only the broadcast of 1-row aggregates (lift's basket count)
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, name
