@@ -47,8 +47,16 @@ PLAN_QUERIES = (
     ("join_partition_pruned", "runtime DPP partition filter from dim side"),
     ("agg_histogram", "1-row stats broadcast into the binning pass"),
     ("concurrency_sweep", "two-level prefix sum, one tiny SinglePartition"),
-    ("events_rfm", "corpus agg → user frame → quintile windows"),
+    ("events_rfm", "corpus agg → user frame → two-level exact ntiles"),
     ("attribution_first_touch", "touch top-1 per user ⋈ purchases"),
+    ("graph_triangles", "oriented wedge join + closing-edge probe"),
+    ("graph_pagerank", "per-iteration ranks ⋈ edges on one node key"),
+    ("basket_lift", "grouped-basket inline pair expansion, keyed joins"),
+    ("agg_histogram_equidepth", "two-level ntile: bucket exchange + tiny carry"),
+    ("orders_pareto_abc", "exact-decimal two-level cumulative share"),
+    ("dq_checks", "one scan per fact; FK rides the stats scan"),
+    ("table_diff", "full-outer PK join + null-safe residual"),
+    ("stream_topk", "windowed count + per-window rank"),
 )
 
 
