@@ -1720,3 +1720,63 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(F.col("total") - prev) > 0.5 * F.abs(prev))
         .alias("is_anomaly"),
     )
+
+
+@query(
+    "window_ewma",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+             ) AS xs
+      FROM events
+    )
+    SELECT user_id, event_id, ts, value,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(xs, (x, i) ->
+                 x / CAST(1 << (len(xs) - CAST(i AS INTEGER)) AS DOUBLE))),
+             (a, p) -> a + p)
+           / (2.0 - 1.0 / CAST(1 << (len(xs) - 1) AS DOUBLE)) AS ewma
+    FROM o
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average per user
+    (α = 1/2, 10-row frame) — the smoother behind rate limiters and
+    trend baselines.
+
+    Cross-engine exactness is the point of this formulation: the decay
+    base is 2, so every weight is a power of two and each x·2⁻ᵈ
+    product is EXACT in IEEE double (pure exponent shift, no libm pow
+    whose low bits differ per platform); the weighted sum is a LEFT
+    FOLD over the frame array in identical order in both engines
+    (Spark ``aggregate``, DuckDB ``list_reduce`` with a prepended 0
+    seed) — same adds, same order, bit-identical result without any
+    decimal round-trip (double→decimal conversion of arbitrary doubles
+    is the one place the engines' rounding can drift); the normalizer
+    2 − 2^(1−k) is computed closed-form in exact doubles. Frame state
+    is bounded (10 values); one user-keyed shuffle serves the
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, Window.currentRow)
+    )
+    xs = F.collect_list("value").over(w)
+    num = F.expr(
+        "aggregate(transform(xs, (x, i) -> "
+        "x / cast(shiftleft(1L, size(xs) - 1 - i) as double)), "
+        "0.0D, (a, p) -> a + p)"
+    )
+    den = F.expr(
+        "2.0D - 1.0D / cast(shiftleft(1L, size(xs) - 1) as double)"
+    )
+    return (
+        ev.withColumn("xs", xs)
+        .withColumn("ewma", num / den)
+        .select("user_id", "event_id", "ts", "value", "ewma")
+    )
