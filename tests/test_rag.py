@@ -355,3 +355,27 @@ def test_engine_graph_and_tokenizer_facade(spark, sf_smoke, tmp_path):
         path, "l_partkey", "l_suppkey", buckets=4,
     )
     assert spark.read.parquet(path).count() > 0
+
+
+def test_engine_diff_snapshots_facade(spark):
+    """Generic snapshot diff: added / removed / changed classification
+    with per-column old/new pairs and NULL-transition sensitivity."""
+    from vector_ai_npm_spark.engine import VectorEngine
+
+    eng = VectorEngine(spark)
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    rows = {
+        r.id: r
+        for r in eng.diff_snapshots(old, new, "id", ["s", "v"]).collect()
+    }
+    assert set(rows) == {2, 3, 4}          # id 1 unchanged → dropped
+    assert rows[2].diff_status == "changed" and rows[2].v_new == 25.0
+    assert rows[3].diff_status == "changed"  # NULL → 30.0 surfaces
+    assert rows[4].diff_status == "added" and rows[4].s_old is None

@@ -169,6 +169,15 @@ class VectorEngine:
 
         return pagerank_edges(edges, n_iter=n_iter)
 
+    def diff_snapshots(self, old: DataFrame, new: DataFrame, key: str,
+                       compare_cols: list[str]) -> DataFrame:
+        """Change feed between two snapshots of a keyed table: one
+        full-outer join + null-safe residual; unchanged rows never fan
+        out (see operators.pipeline_ops.diff_snapshots)."""
+        from vector_ai_npm_spark.operators.pipeline_ops import diff_snapshots
+
+        return diff_snapshots(old, new, key, compare_cols)
+
     def dedup_clusters(self, docs: DataFrame, pairs: DataFrame,
                        doc_id: str = "doc_id") -> DataFrame:
         """Close a near-dup candidate-pair relation (from any of the

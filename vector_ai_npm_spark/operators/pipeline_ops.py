@@ -414,27 +414,45 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             changes.where(F.col("op").isin("U", "I")).drop("op")
         )
     )
-    o, n = c.alias("o"), nxt.alias("n")
-    joined = o.join(
-        n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer"
+    return diff_snapshots(
+        c, nxt, key="c_custkey", compare_cols=["c_acctbal", "c_mktsegment"]
+    ).select(
+        "c_custkey",
+        "diff_status",
+        F.col("c_acctbal_old").alias("bal_old"),
+        F.col("c_acctbal_new").alias("bal_new"),
+        F.col("c_mktsegment_old").alias("seg_old"),
+        F.col("c_mktsegment_new").alias("seg_new"),
     )
-    differs = (
-        F.col("o.c_custkey").isNull()
-        | F.col("n.c_custkey").isNull()
-        | ~F.col("o.c_acctbal").eqNullSafe(F.col("n.c_acctbal"))
-        | ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
-    )
-    return joined.where(differs).select(
-        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
-        F.when(F.col("o.c_custkey").isNull(), "added")
-        .when(F.col("n.c_custkey").isNull(), "removed")
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Generic change-feed generation between two snapshots of a keyed
+    table (the engine-facade entry; `table_diff` wires in the fixture):
+    one full-outer join on ``key``, a null-safe residual that drops
+    unchanged rows before anything fans out, and per-column old/new
+    value pairs (``<col>_old`` / ``<col>_new``) for the survivors."""
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    differs = F.col(f"o.{key}").isNull() | F.col(f"n.{key}").isNull()
+    for c in compare_cols:
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    out = [
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        F.when(F.col(f"o.{key}").isNull(), "added")
+        .when(F.col(f"n.{key}").isNull(), "removed")
         .otherwise("changed")
         .alias("diff_status"),
-        F.col("o.c_acctbal").alias("bal_old"),
-        F.col("n.c_acctbal").alias("bal_new"),
-        F.col("o.c_mktsegment").alias("seg_old"),
-        F.col("n.c_mktsegment").alias("seg_new"),
-    )
+    ]
+    for c in compare_cols:
+        out.append(F.col(f"o.{c}").alias(f"{c}_old"))
+        out.append(F.col(f"n.{c}").alias(f"{c}_new"))
+    return joined.where(differs).select(*out)
 
 
 @query(
