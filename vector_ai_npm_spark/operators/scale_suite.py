@@ -330,3 +330,76 @@ def layout_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").between(200, 400)
         & F.col("l_suppkey").between(20, 40)
     )
+
+
+@query(
+    "agg_sketch_setops",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS exact_click,
+           CAST(SUM(p) AS BIGINT) AS exact_purchase,
+           CAST(SUM(c * p) AS BIGINT) AS exact_both,
+           CAST(SUM(c * (1 - p)) AS BIGINT) AS exact_click_only,
+           CAST(SUM(CASE WHEN c + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_either,
+           TRUE AS inter_ok, TRUE AS diff_ok, TRUE AS union_ok
+    FROM pu
+    """,
+)
+def agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA — audience overlap without a join: theta
+    sketches support intersection and difference (HLL does only union),
+    so "users who clicked AND purchased / clicked but never purchased /
+    did either" come from combining two per-segment sketches instead of
+    shuffling user sets. This is the 100 TB audience-overlap shape:
+    each segment keeps one constant-size sketch per partition, the
+    set ops run on merged sketch state, and NO user-id ever crosses
+    the wire for the overlap question.
+
+    Driver face follows agg_sketch_distinct's contract shape: exact
+    per-user-flag counts (hash-matchable in SQL) beside one boolean
+    per set op pinning |est − exact| ≤ 5%·exact (theta intersections
+    lose precision vs unions; at fixture scale the sketches are in
+    exact mode so the bound is loose)."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    agg = pu.agg(
+        F.sum("c").alias("exact_click"),
+        F.sum("p").alias("exact_purchase"),
+        F.sum(F.col("c") * F.col("p")).alias("exact_both"),
+        F.sum(F.col("c") * (1 - F.col("p"))).alias("exact_click_only"),
+        F.sum(F.when(F.col("c") + F.col("p") > 0, 1).otherwise(0)).alias(
+            "exact_either"
+        ),
+        F.theta_sketch_agg(F.when(F.col("c") == 1, F.col("user_id"))).alias("skc"),
+        F.theta_sketch_agg(F.when(F.col("p") == 1, F.col("user_id"))).alias("skp"),
+    )
+    est_inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("skc"), F.col("skp"))
+    )
+    est_diff = F.theta_sketch_estimate(
+        F.theta_difference(F.col("skc"), F.col("skp"))
+    )
+    est_union = F.theta_sketch_estimate(F.theta_union(F.col("skc"), F.col("skp")))
+
+    def _ok(est, exact):
+        return F.abs(est - F.col(exact)) <= F.lit(0.05) * F.col(exact)
+
+    return agg.select(
+        F.col("exact_click").cast("long"),
+        F.col("exact_purchase").cast("long"),
+        F.col("exact_both").cast("long"),
+        F.col("exact_click_only").cast("long"),
+        F.col("exact_either").cast("long"),
+        _ok(est_inter, "exact_both").alias("inter_ok"),
+        _ok(est_diff, "exact_click_only").alias("diff_ok"),
+        _ok(est_union, "exact_either").alias("union_ok"),
+    )
