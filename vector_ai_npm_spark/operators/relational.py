@@ -2409,3 +2409,103 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("overlap_values_preserved", sig_merged[0] == sig_src[0]),
     ]
     return spark.createDataFrame(rows, "scope string, ok boolean")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT * FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT * FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT p.event_id AS pid, p.user_id, p.ts AS pts,
+             c.event_id AS bid, c.ts AS bts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+      SELECT p.event_id AS pid, c.event_id AS fid, c.ts AS fts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts < c.ts
+    )
+    SELECT b.pid AS purchase_event_id, b.user_id,
+           CASE WHEN b.bid IS NULL THEN f.fid
+                WHEN f.fid IS NULL THEN b.bid
+                WHEN epoch_us(b.pts) - epoch_us(b.bts)
+                     <= epoch_us(f.fts) - epoch_us(b.pts) THEN b.bid
+                ELSE f.fid END AS nearest_click_event_id,
+           CASE WHEN b.bid IS NULL AND f.fid IS NULL THEN NULL
+                WHEN b.bid IS NULL THEN 'forward'
+                WHEN f.fid IS NULL THEN 'backward'
+                WHEN epoch_us(b.pts) - epoch_us(b.bts)
+                     <= epoch_us(f.fts) - epoch_us(b.pts) THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM b JOIN f ON f.pid = b.pid
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8': NEAREST-direction as-of — for each purchase, the click
+    closest in time in EITHER direction (ties to the backward match),
+    the sensor-alignment variant of the backward-only `join_asof`.
+
+    Same single-shuffle union-and-carry shape, twice: the tagged union
+    sorts once per user and TWO frames over that one sort produce the
+    backward candidate (last click at-or-before, unbounded-preceding
+    frame) and the forward candidate (first click strictly-after,
+    current-to-following frame) — Catalyst plans both window functions
+    over the SAME Sort+Exchange, so nearest costs exactly what
+    backward-only costs: one shuffle, no range-join explosion. The
+    oracle mirrors it as two DuckDB ASOF joins (>= and <) merged on
+    the purchase key; distances compare in integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+        .alias("click"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("struct<cts:timestamp,cid:bigint>").alias("click"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    unioned = clicks.unionByName(purchases)
+    order = [F.col("ts"), F.col("side"), F.col("click.cid")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "back", F.last("click", ignorenulls=True).over(wb)
+    ).withColumn("fwd", F.first("click", ignorenulls=True).over(wf))
+    p = carried.where(F.col("side") == 1)
+    # ntz − ntz yields a day-time interval; interval comparison is exact
+    # microsecond arithmetic (unix_micros would require a tz cast)
+    dback = F.col("ts") - F.col("back.cts")
+    dfwd = F.col("fwd.cts") - F.col("ts")
+    back_wins = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (dback <= dfwd)
+    )
+    return p.select(
+        F.col("purchase_id").alias("purchase_event_id"),
+        "user_id",
+        F.when(back_wins, F.col("back.cid"))
+        .otherwise(F.col("fwd.cid"))
+        .alias("nearest_click_event_id"),
+        F.when(F.col("back").isNull() & F.col("fwd").isNull(), F.lit(None))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
