@@ -665,3 +665,82 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_SPAN_W = 64   # span length (chars) — the memorization-risk unit
+_SPAN_S = 16   # stride between window starts
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             md5(substr(text, CAST(i * {_SPAN_S} AS INTEGER) + 1, {_SPAN_W}))
+               AS h
+      FROM documents,
+           UNNEST(range(0, (length(text) - {_SPAN_W}) // {_SPAN_S} + 1))
+             AS t(i)
+      WHERE length(text) >= {_SPAN_W}
+    ),
+    dup AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS shared_ratio
+    FROM w GROUP BY doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18a'': cross-document repeated-SPAN detection — the exact-
+    substring-dedup screen (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a fixed-length character
+    window repeated verbatim across documents marks memorization-risk
+    boilerplate that token-level Jaccard dilutes away. Per document:
+    window count, windows shared with ANY other document, and the
+    shared ratio a curation pipeline thresholds on.
+
+    Spark shape: {_SPAN_W}-char windows at stride {_SPAN_S} are
+    generated INLINE (sequence + transform + md5 in whole-stage
+    codegen — only 16-byte hashes leave the row, never substrings),
+    one hash shuffle finds spans with ≥2 distinct docs, a left-semi
+    mark joins the duplicate set back to the window stream, and one
+    doc-keyed aggregate emits the scores. A true suffix-array pass
+    finds ARBITRARY-length repeats; the strided fixed window is the
+    linear, shuffle-friendly approximation (detects any repeat ≥
+    W + S − 1 chars with ≥1 aligned window) that is the standard
+    trade at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SPAN_W
+    )
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST((length(text) - {_SPAN_W}) "
+                f"DIV {_SPAN_S} AS INT)), "
+                f"i -> md5(substring(text, i * {_SPAN_S} + 1, {_SPAN_W})))"
+            )
+        ).alias("h"),
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = w.join(
+        dup.withColumn("is_dup", F.lit(1)), "h", "left"
+    ).select("doc_id", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("is_dup").cast("long").alias("n_shared"),
+        (
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("shared_ratio"),
+    )
