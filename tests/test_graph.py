@@ -129,3 +129,45 @@ def test_mix_temperature_flattens_the_head(spark, sf_oracle):
     for lang in corpus:
         if lang != head:
             assert sample[lang] / n_s > corpus[lang] / n_c, lang
+
+
+def test_two_level_ntile_equals_builtin_on_random_frames(spark):
+    """Property pin for the two-level exact ntile: on randomized frames
+    (duplicates, skew, negative values, n < n_tiles, all-equal) the
+    decomposition must equal F.ntile over a global window, row for row.
+    Spark-roundtrip-per-example is slow, so a handful of seeded shapes
+    stand in for a full hypothesis sweep."""
+    import random
+
+    from pyspark.sql import Window
+
+    from vector_ai_npm_spark.operators.analytics_ops import _ntile_two_level
+
+    rng = random.Random(42)
+    shapes = [
+        [(i, float(i)) for i in range(7)],                       # n < bins
+        [(i, 1.0) for i in range(25)],                           # all equal
+        [(i, float(rng.randint(-50, 50))) for i in range(200)],  # dup-heavy
+        [(i, rng.gauss(0, 1e6)) for i in range(300)],            # wide spread
+        [(i, float(i % 3)) for i in range(4)],                   # n < n_tiles? 4<5
+    ]
+    for rows in shapes:
+        df = spark.createDataFrame(rows, "id long, m double")
+        for descending in (False, True):
+            got = {
+                r.id: r.q
+                for r in _ntile_two_level(
+                    df, "q", "m", descending, tiebreak="id"
+                ).collect()
+            }
+            order = [
+                F.col("m").desc() if descending else F.col("m").asc(),
+                F.col("id").asc(),
+            ]
+            want = {
+                r.id: r.q
+                for r in df.withColumn(
+                    "q", F.ntile(5).over(Window.orderBy(*order)).cast("long")
+                ).collect()
+            }
+            assert got == want, (descending, len(rows))

@@ -1780,3 +1780,53 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ewma", num / den)
         .select("user_id", "event_id", "ts", "value", "ewma")
     )
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS d
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ), mad AS (
+      SELECT event_type, quantile_disc(d, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type, dev.value, dev.med, mad.mad,
+           dev.d > 3 * 1.4826 * mad.mad AS is_outlier
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flags per event_type — the
+    ROBUST global baseline: unlike the z-score faces (whose mean and
+    stddev are dragged by the very outliers being hunted), median and
+    MAD have a 50% breakdown point; 1.4826·MAD estimates σ under
+    normality, so the 3σ-equivalent gate is d > 3·1.4826·MAD.
+
+    Plan: two grouped percentile_disc passes (median of values, then
+    median of deviations — group state is bounded by rows-per-type;
+    swap in the KLL sketch for corpus-sized groups, agg_kll_quantiles)
+    with the tiny per-type statistics broadcast back into each scan.
+    percentile_disc picks an actual data value, so both engines agree
+    bit-for-bit with no interpolation arithmetic; the threshold
+    expression evaluates left-associatively to identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id", "event_type", "value", "med", "mad",
+        (F.col("d") > F.lit(3) * F.lit(1.4826) * F.col("mad")).alias("is_outlier"),
+    )
