@@ -321,3 +321,56 @@ def vector_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.scope", "r.ok")
+
+
+@query(
+    "sink_training_shards",
+    oracle="""
+    SELECT scope, ok FROM (VALUES
+      ('all_shards_bounded', TRUE), ('multiple_shards', TRUE),
+      ('rows_preserved', TRUE), ('content_preserved', TRUE),
+      ('manifest_matches_fs', TRUE)
+    ) t(scope, ok)
+    """,
+)
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export contract (io.compaction
+    export_training_shards): the embeddings table written as ≤200-row
+    shards with a manifest, pinned as booleans —
+
+      * all_shards_bounded / multiple_shards — maxRecordsPerFile really
+        split the output (every manifest row ≤ bound, >1 shard)
+      * rows_preserved / content_preserved — the shard set holds
+        exactly the input rows (count + xor-fold content hash match)
+      * manifest_matches_fs — manifest row count equals the number of
+        parquet data files on disk (the loader can trust the manifest
+        instead of listing)."""
+    import glob as _glob
+    import tempfile
+
+    from vector_ai_npm_spark.io.compaction import export_training_shards
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="shards_") + "/v0"
+    manifest = export_training_shards(emb, path, max_rows_per_shard=200)
+    m = manifest.collect()
+
+    def _sig(df):
+        row = df.select(
+            F.xxhash64("vec_id", F.col("embedding").cast("array<double>"),
+                       "label").alias("h")
+        ).agg(F.expr("bit_xor(h)").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return row.s, row.n
+
+    src_sig, src_n = _sig(emb)
+    out_sig, out_n = _sig(spark.read.parquet(path))
+    n_files = len(_glob.glob(f"{path}/part-*.parquet"))
+    rows = [
+        ("all_shards_bounded", all(r.n_rows <= 200 for r in m)),
+        ("multiple_shards", len(m) > 1),
+        ("rows_preserved", out_n == src_n and sum(r.n_rows for r in m) == src_n),
+        ("content_preserved", out_sig == src_sig),
+        ("manifest_matches_fs", len(m) == n_files),
+    ]
+    return spark.createDataFrame(rows, "scope string, ok boolean")

@@ -59,3 +59,43 @@ def compact_parquet(
     df = df.repartition(n) if shuffle else df.coalesce(n)
     df.write.mode("overwrite").parquet(dst)
     return n
+
+
+def export_training_shards(
+    df, path: str, max_rows_per_shard: int = 1000
+) -> "DataFrame":
+    """Write ``df`` as fixed-size training shards + return the MANIFEST.
+
+    The training-loader handoff (WebDataset/Mosaic-style): downstream
+    data loaders want uniformly-sized shards they can shuffle, assign
+    to workers, and resume by — not whatever file sizes the last
+    shuffle happened to produce. ``maxRecordsPerFile`` bounds rows per
+    file on the write side (each task splits its output at the bound),
+    and the manifest — one row per shard file with row count and an
+    order-insensitive content hash — is what the loader (and the
+    resume logic) consumes instead of listing the filesystem.
+
+    Scale shape: the write adds NO shuffle (the bound splits within
+    each task's stream); the manifest is one scan of the written
+    shards grouped by input_file_name — a metadata-sized result."""
+    from pyspark.sql import functions as F
+
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_rows_per_shard)
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    cols = [c for c in written.columns]
+    return (
+        written.withColumn(
+            "_shard", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .groupBy("_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("content_sig"),
+        )
+        .select(F.col("_shard").alias("shard_file"), "n_rows", "content_sig")
+    )
