@@ -171,3 +171,32 @@ def test_two_level_ntile_equals_builtin_on_random_frames(spark):
                 ).collect()
             }
             assert got == want, (descending, len(rows))
+
+
+def test_edge_build_equals_naive_self_join(spark, sf_smoke):
+    """The grouped-basket inline pair expansion must produce exactly the
+    distinct + self-join-on-order formulation's edges and weights (the
+    rewrite traded a shuffle, not semantics)."""
+    from vector_ai_npm_spark.io.sources import load_table
+
+    got = {
+        (r.src, r.dst): r.w
+        for r in copurchase_edges(spark, sf_smoke).collect()
+    }
+    items = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    want = {
+        (r.src, r.dst): r.w
+        for r in a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .collect()
+    }
+    assert got == want
