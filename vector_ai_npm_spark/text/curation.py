@@ -800,3 +800,68 @@ def curate_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.col("rn").cast("bigint").alias("rn"), "quota"
         )
     )
+
+
+@query(
+    "curate_compression_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           TRUE AS ratio_in_bounds,
+           TRUE AS repetition_compresses_better
+    FROM documents
+    """,
+)
+def curate_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality screen (the CCNet/RefinedWeb-family
+    heuristic): templated/repetitive text compresses far better than
+    natural prose, so zlib ratio (compressed/raw bytes) is a cheap
+    model-free repetition detector — pipelines drop or down-weight
+    documents below a ratio floor.
+
+    zlib is deterministic for a fixed input and level, but no SQL
+    engine can mirror it, so the driver face is a CONTRACT: beside the
+    hash-matchable length, (a) the ratio lies in (0, 1.1] — small
+    inputs can expand slightly, never explode — and (b) the same
+    document repeated 4× compresses to a strictly LOWER ratio than the
+    original, the monotone property the screen relies on. Both run in
+    ONE Arrow batch pass (zlib over the batch's byte payloads — the
+    same mapInPandas shape as the multimodal decoders); at corpus
+    scale this is a map-only stage, no shuffle at all."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _ratios(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            def ratio(s: str) -> float:
+                raw = s.encode("utf-8")
+                return len(zlib.compress(raw, 6)) / max(1, len(raw))
+
+            r1 = pdf["text"].map(ratio)
+            r4 = pdf["text"].map(lambda s: ratio(s * 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": pdf["text"].map(len).astype("int64"),
+                    "ratio": r1.astype("float64"),
+                    "ratio_rep4": r4.astype("float64"),
+                }
+            )
+
+    scored = docs.mapInPandas(
+        _ratios,
+        schema="doc_id long, n_chars long, ratio double, ratio_rep4 double",
+    )
+    return scored.select(
+        "doc_id",
+        "n_chars",
+        ((F.col("ratio") > 0) & (F.col("ratio") <= 1.1)).alias("ratio_in_bounds"),
+        (F.col("ratio_rep4") < F.col("ratio")).alias(
+            "repetition_compresses_better"
+        ),
+    )
