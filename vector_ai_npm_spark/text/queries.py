@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_ai_npm_spark.functions.numeric import dsum
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
 
@@ -550,4 +551,88 @@ def bpe_encode_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok_chars").cast("long").alias("n_chars"),
             F.expr("bool_and(joined = w)").alias("reconstruct_ok"),
         )
+    )
+
+
+@query(
+    "drift_token_chisq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({{duck_toks}}) AS tok FROM documents
+      WHERE lang IN ('en', 'de')
+    ),
+    c AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS na,
+             CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS nb
+      FROM toks GROUP BY tok
+    ),
+    t AS (
+      SELECT CAST(CAST(CAST(SUM(CAST(na AS DECIMAL(30,8)))
+               AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS ta,
+             CAST(CAST(CAST(SUM(CAST(nb AS DECIMAL(30,8)))
+               AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS tb
+      FROM c
+    ),
+    p AS (
+      SELECT c.tok, c.na / t.ta AS pa, c.nb / t.tb AS pb FROM c, t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {{o_term}} AS chi_square
+    FROM p
+    """.format(
+        duck_toks="list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')",
+        o_term=(
+            "CAST(CAST(CAST(SUM(CAST((pa - pb) * (pa - pb) / (pa + pb) "
+            "AS DECIMAL(30,8))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)"
+        ),
+    ),
+)
+def drift_token_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift metric: chi-square distance between the unigram
+    distributions of two corpus slices (en vs de here; in production,
+    yesterday's crawl vs today's) — the monitoring signal that catches
+    a feed going templated/spammy before it pollutes training data.
+
+    Chi-square, not KL/JS: the divergence family needs ln(), whose
+    low bits differ between engine libms (the text_tfidf_scored
+    lesson), while Σ (pa−pb)²/(pa+pb) is plain arithmetic — per-token
+    terms are deterministic doubles and the one order-sensitive
+    reduction folds through exact decimal. Tokens absent from one side
+    contribute p=0 terms exactly.
+
+    Plan: one tokenize Generate over both slices, one token-keyed
+    conditional-count aggregate, a broadcast 1-row total, and a second
+    exact-decimal fold over the O(vocab) term frame. At 100 TB the
+    vocab frame is the only state — millions of rows, not corpus
+    rows."""
+    toks_expr = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de")
+    )
+    toks = docs.select(
+        "lang", F.explode(F.expr(toks_expr)).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+    )
+    t = F.broadcast(c.agg(dsum("na", "ta"), dsum("nb", "tb")))
+    p = c.crossJoin(t).select(
+        "tok",
+        (F.col("na") / F.col("ta")).alias("pa"),
+        (F.col("nb") / F.col("tb")).alias("pb"),
+    )
+    term = (F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb")) / (
+        F.col("pa") + F.col("pb")
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        dsum(term, "chi_square"),
     )
