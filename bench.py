@@ -61,6 +61,9 @@ BENCH_QUERIES = (
     "graph_triangles",        # degree-oriented triangle count (wedge-bound)
     "graph_pagerank",         # 3-step power method, cached edge frame
     "basket_lift",            # grouped-basket inline pair expansion + metrics
+    "events_rfm",             # two-level exact ntiles over the user frame
+    "dq_checks",              # one-scan-per-fact constraint suite
+    "orders_pareto_abc",      # exact-decimal two-level cumulative share
 )
 
 
