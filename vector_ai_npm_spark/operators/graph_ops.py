@@ -501,3 +501,46 @@ def jaccard_neighbor_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_O_EDGES},
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY node),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS DOUBLE) / n.n AS node_share
+    FROM deg, n GROUP BY degree, n.n
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph — the measurement that
+    SIZES the other graph knobs: a heavy tail here is what makes
+    degree-ordered triangle counting necessary and what picks
+    `jaccard_neighbor_pairs`' ``max_center_degree`` (cap where the
+    tail's share of Σ C(deg,2) stops being worth the lost pairs).
+
+    Plan: the degree aggregate (one keyed shuffle) reduced again to
+    O(distinct degrees) rows, with the node count broadcast as a 1-row
+    aggregate for the share — output is histogram-sized at any graph
+    size."""
+    sym = _symmetrized(
+        copurchase_edges(spark, sf_dir).select("src", "dst").withColumn(
+            "w", F.lit(1)
+        )
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    n = F.broadcast(deg.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(n)
+        .select(
+            "degree",
+            "n_nodes",
+            (F.col("n_nodes").cast("double") / F.col("n")).alias("node_share"),
+        )
+    )
