@@ -6,6 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
+The stdout line is kept under the driver's 2000-char tail-capture budget
+(compact separators, 2-decimal values, no regressions dup); the
+full-precision record — timings, vs_target, regressions, pinned targets —
+is written to bench_last.json next to this script on every run.
+
 Each query is fully materialized via a count-ish action that forces every
 operator (collect would skew toward driver transfer; count() alone could
 let Spark skip projections — we aggregate a checksum over all output
@@ -141,19 +146,53 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "vs_target": vs_target,
-                "regressions": regressions,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "vs_target": vs_target,
+        "regressions": regressions,
+        "targets": {n: targets[n] for n in timings if n in targets},
+        "sf": sf_val,
+    }
+    # full-precision record for the repo (committed as bench_last.json)
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_last.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+
+    # stdout contract: ONE parseable JSON line.  The driver keeps only
+    # the last 2000 chars of stdout (BENCH_r05 proved it: a 2170-char
+    # line came back with parsed:null), so the in-band line is a compact
+    # 2-decimal rendering without the regressions dup, and if it would
+    # still exceed the budget the vs_target entries nearest 1.0 are
+    # dropped first (full detail always lives in bench_last.json).
+    line_obj = {
+        "metric": detail["metric"],
+        "value": round(detail["value"], 2),
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "vs_target": dict(vs_target),
+        "sf": sf_val,
+    }
+    # the driver keeps the last 2000 chars of stdout; 1950 leaves room
+    # for the newline while fitting all vs_target entries in-band
+    budget = 1950
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > budget:
+        keep = sorted(vs_target, key=lambda n: abs(vs_target[n] - 1.0),
+                      reverse=True)
+        while len(line) > budget and keep:
+            line_obj["vs_target"] = {n: vs_target[n] for n in keep}
+            line = json.dumps(line_obj, separators=(",", ":"))
+            keep.pop()
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -93,7 +93,9 @@ def test_jaccard_hub_cap_is_conservative_lower_bound(spark, sf_smoke):
     edges = copurchase_edges(spark, sf_smoke).select("src", "dst")
     full = {
         (r.node_a, r.node_b): r.n_common
-        for r in jaccard_neighbor_pairs(edges, min_common=1).collect()
+        for r in jaccard_neighbor_pairs(
+            edges, min_common=1, max_center_degree=None
+        ).collect()
     }
     capped = {
         (r.node_a, r.node_b): r.n_common

@@ -90,6 +90,24 @@ def test_window_prioritizes_unverified():
         assert name in window
 
 
+def test_next_window_contains_every_never_attempted_query():
+    """Round-6 debt pin (round-5 verdict item 1): every registered query
+    that has NEVER held a driver window slot must be inside the upcoming
+    first-50 window, so the driver-verification debt provably clears.
+    Guards against new registrations displacing the backlog: adding more
+    than (50 - backlog) new queries in one round would push some of the
+    never-attempted names out again."""
+    qs = list(registry.all_queries())
+    _verified, attempted, _ = registry._driver_history()
+    never = [n for n in qs if n not in attempted]
+    window = set(qs[:50])
+    outside = [n for n in never if n not in window]
+    assert not outside, (
+        f"{len(never)} never-attempted queries but {len(outside)} fell "
+        f"outside the 50-slot window: {outside}"
+    )
+
+
 def test_rotation_is_deterministic():
     assert list(registry.all_queries()) == list(registry.all_queries())
 

@@ -341,7 +341,8 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       * all_shards_bounded / multiple_shards — maxRecordsPerFile really
         split the output (every manifest row ≤ bound, >1 shard)
       * rows_preserved / content_preserved — the shard set holds
-        exactly the input rows (count + xor-fold content hash match)
+        exactly the input rows (count + multiplicity-sensitive
+        wraparound-sum content hash match)
       * manifest_matches_fs — manifest row count equals the number of
         parquet data files on disk (the loader can trust the manifest
         instead of listing)."""
@@ -355,11 +356,14 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = export_training_shards(emb, path, max_rows_per_shard=200)
     m = manifest.collect()
 
+    from vector_ai_npm_spark.io.compaction import wraparound_sum_sig
+
     def _sig(df):
         row = df.select(
             F.xxhash64("vec_id", F.col("embedding").cast("array<double>"),
                        "label").alias("h")
-        ).agg(F.expr("bit_xor(h)").alias("s"), F.count(F.lit(1)).alias("n")
+        ).agg(F.expr(wraparound_sum_sig("h")).alias("s"),
+              F.count(F.lit(1)).alias("n")
         ).collect()[0]
         return row.s, row.n
 

@@ -95,7 +95,28 @@ def export_training_shards(
         .groupBy("_shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("content_sig"),
+            F.expr(wraparound_sum_sig(f"xxhash64({', '.join(cols)})"))
+            .alias("content_sig"),
         )
         .select(F.col("_shard").alias("shard_file"), "n_rows", "content_sig")
+    )
+
+
+def wraparound_sum_sig(hash_expr: str) -> str:
+    """Order-insensitive content signature: SUM of 64-bit row hashes with
+    mod-2^64 wraparound, returned as BIGINT.
+
+    A bit_xor fold cancels any row with even multiplicity (a shard that
+    duplicates one row and drops another identical pair hashes the
+    same); a sum fold makes multiplicity count.  ANSI mode (Spark 4
+    default) makes sum(BIGINT) throw on overflow, so the fold sums in
+    DECIMAL(38,0) — |sum| <= 2^63 * n_rows stays well under 10^38 for
+    any shard a loader would accept — then maps back into the signed
+    64-bit range with an explicit wraparound."""
+    two64 = "18446744073709551616"
+    two63 = "9223372036854775808"
+    s = f"sum(CAST(({hash_expr}) AS DECIMAL(38,0)))"
+    return (
+        f"CAST((((({s}) % {two64}) + {two64} + {two63}) % {two64})"
+        f" - {two63} AS BIGINT)"
     )

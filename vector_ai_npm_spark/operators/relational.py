@@ -2471,7 +2471,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts",
-        F.lit(None).cast("struct<cts:timestamp,cid:bigint>").alias("click"),
+        F.lit(None).cast("struct<cts:timestamp_ntz,cid:bigint>").alias("click"),
         F.lit(1).alias("side"),
         F.col("event_id").alias("purchase_id"),
     )

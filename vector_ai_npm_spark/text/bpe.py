@@ -30,21 +30,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _merge_pair_udf(left: str, right: str):
+def _merge_batch_udf(batch: list[tuple[str, str]]):
+    """Apply a RANK-ORDERED batch of merges in one Arrow pass: each word
+    loops the merges sequentially in Python (greedy left-to-right
+    non-overlapping per merge) — bit-identical to applying them as
+    separate rounds, at one Spark job instead of len(batch)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def _merge(toks: pd.Series) -> pd.Series:
         def one(ts):
-            out, i, n = [], 0, len(ts)
-            while i < n:
-                if i + 1 < n and ts[i] == left and ts[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(ts[i])
-                    i += 1
-            return out
+            for left, right in batch:
+                out, i, n = [], 0, len(ts)
+                while i < n:
+                    if i + 1 < n and ts[i] == left and ts[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(ts[i])
+                        i += 1
+                ts = out
+            return ts
 
         return toks.map(lambda ts: one(list(ts)))
 
@@ -84,38 +90,164 @@ def pair_frequencies(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _admit_batch_disjoint(
+    top: list[tuple[str, str, int]], limit: int
+) -> list[tuple[str, str, int]]:
+    """The standard distributed-BPE batch: greedily admit up to `limit`
+    pairwise SYMBOL-DISJOINT pairs from the sorted top-K, skipping (not
+    stopping at) overlaps and merged-name collisions.
+
+    NOT guaranteed sequential-equivalent: a pair created by an earlier
+    merge in the batch may outrank a later admitted pair, so the merge
+    LIST can differ from the textbook trainer's by local reorderings —
+    the accepted trade in production distributed trainers, where a 30k
+    vocab at one Spark job per merge would mean 30k sequential jobs.
+    Tokenizer quality is empirically insensitive to these reorderings;
+    use exact=True (default) when bit-parity with a sequential trainer
+    matters more than round count."""
+    admitted: list[tuple[str, str, int]] = []
+    dirty: set[str] = set()
+    symbols = {s for l, r, _f in top for s in (l, r)}
+    for l, r, f in top:
+        if len(admitted) >= limit:
+            break
+        if l in dirty or r in dirty:
+            continue
+        if (l + r) in symbols or (l + r) in dirty:
+            if admitted:  # lone argmax is always sound, collision or not
+                continue
+        admitted.append((l, r, f))
+        dirty.update((l, r, l + r))
+    return admitted
+
+
+def _admit_batch(
+    top: list[tuple[str, str, int]], limit: int
+) -> list[tuple[str, str, int]]:
+    """Select a SEQUENTIAL-EQUIVALENT merge batch from a sorted top-K
+    pair-count prefix (freq desc, pair asc — the trainer's tiebreak).
+
+    Soundness argument (why the batch equals `len(batch)` sequential
+    argmax rounds, bit-for-bit):
+
+      * Merging (a,b)->ab leaves the count of every pair that shares no
+        symbol with {a,b,ab} unchanged — adjacency elsewhere is
+        untouched.  So symbol-disjoint admitted pairs keep their table
+        counts when sequential reaches them.
+      * Every pair whose count a merge CAN change or create is bounded
+        by the OLD count of some pair overlapping the merge's symbols:
+        a decreased pair (x,a) is bounded by itself; a created pair
+        (x,ab) consumes an occurrence of old (x,a).  Scanning in sorted
+        order and STOPPING at the first candidate that overlaps an
+        admitted symbol makes that candidate's count M the max such old
+        count; trimming the batch to counts STRICTLY > M guarantees no
+        changed/created pair can outrank (or tie) any admitted one.
+      * The one exception is a merged NAME colliding with a pre-existing
+        token (merge (a,b) while token "ab" already exists): counts of
+        pairs involving "ab" can then INCREASE past the M bound.  Such a
+        candidate ends the batch unadmitted (next round's lone argmax is
+        always sound).
+
+    The global argmax (first candidate) is admitted unconditionally."""
+    admitted: list[tuple[str, str, int]] = []
+    dirty: set[str] = set()
+    symbols = {s for l, r, _f in top for s in (l, r)}
+    m_bound = top[-1][2] if top else 0  # K exhausted without overlap
+    for l, r, f in top:
+        if l in dirty or r in dirty:
+            m_bound = f
+            break
+        if admitted and (l + r) in symbols:
+            m_bound = f
+            break
+        admitted.append((l, r, f))
+        dirty.update((l, r, l + r))
+        if (l + r) in symbols or len(admitted) >= limit:
+            # collision as FIRST pick is fine (argmax is unconditional)
+            # but nothing after it may be batched; bound with the next
+            # candidate's count via the trim below
+            idx = top.index((l, r, f))
+            m_bound = top[idx + 1][2] if idx + 1 < len(top) else 0
+            break
+    keep = [admitted[0]] if admitted else []
+    for cand in admitted[1:]:
+        if cand[2] > m_bound:
+            keep.append(cand)
+        else:
+            break
+    return keep
+
+
 def train_bpe_merges(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    batch_size: int = 128,
+    stats: dict | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Learn the first `n_merges` BPE merges; returns a k-row DataFrame
-    (merge_round, pair_left, pair_right, merged, pair_freq)."""
+    (merge_round, pair_left, pair_right, merged, pair_freq).
+
+    The merge loop is BATCHED (round-5 verdict item 4): each Spark round
+    takes the distributed top-K pair counts (TakeOrdered — K rows to the
+    driver, not the table), admits a provably sequential-equivalent
+    batch of up to `batch_size` symbol-disjoint merges (see
+    :func:`_admit_batch`), and applies the whole batch in ONE Arrow pass
+    over the vocab.  Training a real 30k-merge vocab therefore costs
+    rounds ≪ merges Spark jobs instead of one job per merge, while
+    remaining bit-identical to the textbook sequential trainer
+    (pinned in tests/test_bpe.py).  `stats`, if given, records
+    {"rounds": r, "merges": k} for scale studies.
+
+    ``exact=False`` switches the batch rule to
+    :func:`_admit_batch_disjoint` — full top-B disjoint admission with
+    no equivalence trim — which bounds rounds near merges/batch_size
+    even on tie-heavy vocabs; the resulting merge list may locally
+    reorder vs the sequential trainer (documented there).  Exactness
+    only affects BATCH SELECTION; the applied merge semantics (greedy
+    left-to-right, rank order) are identical in both modes."""
     spark = docs.sparkSession
     cur = word_vocab(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     merges: list[tuple[int, str, str, str, int]] = []
+    rounds = 0
     try:
-        for r in range(1, n_merges + 1):
-            best = (
-                pair_frequencies(cur)
+        while len(merges) < n_merges:
+            remaining = n_merges - len(merges)
+            k = max(64, 4 * min(batch_size, remaining))
+            top = [
+                (r.pair_left, r.pair_right, int(r.pair_freq))
+                for r in pair_frequencies(cur)
                 .orderBy(
                     F.col("pair_freq").desc(),
                     F.col("pair_left").asc(),
                     F.col("pair_right").asc(),
                 )
-                .limit(1)
+                .limit(k)
                 .collect()
-            )
-            if not best:
+            ]
+            if not top:
                 break
-            left, right, pf = best[0]
-            merges.append((r, left, right, left + right, int(pf)))
+            rounds += 1
+            admit = _admit_batch if exact else _admit_batch_disjoint
+            batch = admit(top, min(batch_size, remaining))
+            base = len(merges)
+            merges.extend(
+                (base + i + 1, l, r, l + r, f)
+                for i, (l, r, f) in enumerate(batch)
+            )
             nxt = cur.withColumn(
-                "toks", _merge_pair_udf(left, right)(F.col("toks"))
+                "toks",
+                _merge_batch_udf([(l, r) for l, r, _f in batch])(F.col("toks")),
             ).persist(StorageLevel.MEMORY_AND_DISK)
             nxt.count()  # materialize before dropping the parent
             cur.unpersist()
             cur = nxt
     finally:
         cur.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["merges"] = len(merges)
     return spark.createDataFrame(
         merges,
         "merge_round long, pair_left string, pair_right string, "
