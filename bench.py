@@ -108,10 +108,11 @@ def main() -> None:
                 _force(queries[n](spark, sf_dir))
 
     # best-of-R per query: a single pass is hostage to GC pauses from the
-    # preceding query's allocations (observed 1.4s -> 8.7s swings); 3
-    # repeats keep the best-of stable against co-tenant noise (six
-    # queries swung >30% between r3 and r4 on zero code change at 2)
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # preceding query's allocations (observed 1.4s -> 8.7s swings); r5
+    # showed best-of-3 still let co-tenant noise fake a 1.76x regression
+    # on tpch_q5 (best-of-5 reproduced 0.91x on the identical plan —
+    # TUNING.md round-6 entry), so the default is now 5
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     for n in names:
         best = float("inf")

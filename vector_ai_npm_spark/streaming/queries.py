@@ -212,6 +212,86 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tws_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(38,8))
+                AS VARCHAR) AS DOUBLE) AS total_value,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28+/custom-stateful, driver-checkable END-TO-END: events tailed
+    one file per trigger through the CAPABILITY-ROUTED stateful face —
+    transformWithStateInPandas where the protobuf wheel is installed,
+    applyInPandasWithState otherwise (streaming.stateful.
+    user_totals_stream_exact; the round-5 verdict's documented gate with
+    a driver-checkable fallback) — then the last emission per user
+    hash-matched against the one-shot SQL aggregate.
+
+    What makes a multi-micro-batch stream hash-match SQL: state is
+    EXACT integers (count, 1e-8 value units quantized per row exactly
+    like both engines' double→DECIMAL(30,8) cast, max event-time
+    micros), so accumulation order across batches cannot move a bit;
+    the final select renders units to a decimal string and casts to
+    double — the same varchar route the oracle takes."""
+    import tempfile
+
+    from vector_ai_npm_spark.streaming.stateful import user_totals_stream_exact
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    base = tempfile.mkdtemp(prefix="tws_totals_")
+    ev.repartition(4).write.parquet(f"{base}/in")
+    schema = spark.read.parquet(f"{base}/in").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    qname = f"tws_totals_{abs(hash(base)) % 10**9}"
+    q = (
+        user_totals_stream_exact(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    final = (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_units", "n_events").alias("total_units"),
+            F.max("last_us").alias("last_us"),
+        )
+    )
+    # exact units -> decimal string -> double: bit-identical to the
+    # oracle's DECIMAL(38,8) -> VARCHAR -> DOUBLE rendering
+    return final.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "CAST(concat(CASE WHEN total_units < 0 THEN '-' ELSE '' END, "
+            "CAST(abs(total_units) DIV 100000000 AS STRING), '.', "
+            "lpad(CAST(abs(total_units) % 100000000 AS STRING), 8, '0')) "
+            "AS DOUBLE)"
+        ).alias("total_value"),
+        "last_us",
+    )
+
+
+@query(
     "stream_topk",
     oracle="""
     WITH c AS (

@@ -87,6 +87,21 @@ def _update_user_state(
     )
 
 
+def has_tws_support() -> bool:
+    """Capability gate for the transformWithStateInPandas face: the TWS
+    Python client speaks protobuf to the JVM state server, so the
+    google.protobuf wheel is a hard runtime dependency (the
+    applyInPandasWithState face has no such dependency — Arrow only).
+    Callers route to :func:`user_totals_stateful` when this is False;
+    tests assert the gate raises rather than skipping."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 
@@ -129,7 +144,17 @@ class UserTotalsProcessor(StatefulProcessor):
 def user_totals_tws(stream: DataFrame) -> DataFrame:
     """Streaming face on the transformWithState API (requires the
     RocksDB state-store provider — caller sets the conf — and the
-    google.protobuf wheel for the Python↔state-server protocol)."""
+    google.protobuf wheel for the Python↔state-server protocol).
+    Raises a documented RuntimeError where the wheel is absent instead
+    of failing opaquely at stream start."""
+    if not has_tws_support():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf wheel "
+            "(the TWS Python client's state-server protocol); it is not "
+            "installed. Use user_totals_stateful — the "
+            "applyInPandasWithState face of the same fold, with the same "
+            "batch-convergence contract."
+        )
     proc = UserTotalsProcessor()
     return (
         stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -157,6 +182,125 @@ def user_totals_stateful(stream: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-decimal stateful totals: the driver-checkable face
+# --------------------------------------------------------------------------
+
+EXACT_OUT_SCHEMA = "user_id long, n_events long, total_units long, last_us long"
+EXACT_STATE_SCHEMA = "n_events long, total_units long, last_us long"
+
+_UNIT = 8  # value quantized to 1e-8 — mirrors CAST(value AS DECIMAL(30,8))
+
+
+def _value_units(values) -> int:
+    """Σ round_half_up(value, 8 dp) in integer 1e-8 units — the exact
+    per-row quantization both Spark's and DuckDB's double→DECIMAL(30,8)
+    casts apply (via the shortest-repr decimal rendering, which is what
+    repr() also produces), so cross-micro-batch accumulation in int
+    units is bit-identical to a one-shot SQL decimal sum."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-_UNIT)
+    total = 0
+    for v in values:
+        total += int(
+            Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP).scaleb(_UNIT)
+        )
+    return total
+
+
+def _update_user_state_exact(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """GroupState fold with EXACT integer state (count, 1e-8 value
+    units, max event-time micros) — every emission is reproducible
+    regardless of micro-batch boundaries or float addition order."""
+    n, units, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        units += _value_units(pdf["value"])
+        if len(pdf):
+            last_us = max(
+                last_us, int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+            )
+    state.update((n, units, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_units": [units],
+            "last_us": [last_us],
+        }
+    )
+
+
+class UserTotalsExactProcessor(StatefulProcessor):
+    """transformWithState face of the exact-integer fold (same emission
+    contract as :func:`_update_user_state_exact`)."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import _parse_datatype_string
+
+        self._state = handle.getValueState(
+            "totals_exact", _parse_datatype_string(EXACT_STATE_SCHEMA)
+        )
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        n, units, last_us = (
+            self._state.get() if self._state.exists() else (0, 0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            units += _value_units(pdf["value"])
+            if len(pdf):
+                last_us = max(
+                    last_us, int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+                )
+        self._state.update((n, units, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_units": [units],
+                "last_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_totals_stream_exact(stream: DataFrame) -> DataFrame:
+    """The capability-routed stateful-totals stream: transformWithState
+    where the protobuf wheel is present, applyInPandasWithState
+    otherwise — SAME fold, SAME exact-integer state, SAME emissions, so
+    downstream consumers (and the stream_tws_totals driver oracle) see
+    one contract regardless of which state API the deployment has."""
+    keyed = stream.withColumn("ts", F.col("ts").cast("timestamp")).groupBy(
+        "user_id"
+    )
+    if has_tws_support():
+        from pyspark.sql.types import _parse_datatype_string
+
+        return keyed.transformWithStateInPandas(
+            UserTotalsExactProcessor(),
+            outputStructType=_parse_datatype_string(EXACT_OUT_SCHEMA),
+            outputMode="update",
+            timeMode="none",
+        )
+    return keyed.applyInPandasWithState(
+        _update_user_state_exact,
+        outputStructType=EXACT_OUT_SCHEMA,
+        stateStructType=EXACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
