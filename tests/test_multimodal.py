@@ -164,3 +164,61 @@ def test_resize_output_recomposes_with_decoder(spark, sf_smoke):
     )
     rows = joined.collect()
     assert rows and all(r.width == 2 and r.height == 2 and r.ok for r in rows)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-Python PNG codec: encode→decode must be identity for RGB and
+    grayscale across sizes that exercise every scanline filter (the
+    writer cycles filter r % 5), including stride edge cases (w=1) and
+    adversarial pixel patterns; unsupported variants raise the
+    documented NotImplementedError, and corrupt filter bytes raise."""
+    import random
+    import struct
+    import zlib
+
+    import pytest
+
+    from vector_ai_npm_spark.multimodal.binary import (
+        _PNG_SIG,
+        decode_pixels,
+        encode_png,
+    )
+
+    rng = random.Random(7)
+    for color_type, nch in ((2, 3), (0, 1)):
+        for w, h in ((1, 7), (5, 5), (8, 6), (3, 11), (16, 2)):
+            for pattern in ("random", "ramp", "const"):
+                if pattern == "random":
+                    pix = bytes(rng.randrange(256) for _ in range(w * h * nch))
+                elif pattern == "ramp":
+                    pix = bytes((i * 7) % 256 for i in range(w * h * nch))
+                else:
+                    pix = bytes([200]) * (w * h * nch)
+                png = encode_png(w, h, pix, color_type=color_type)
+                assert png[:8] == _PNG_SIG
+                dw, dh, dec = decode_pixels(png)
+                assert (dw, dh, dec) == (w, h, pix), (color_type, w, h, pattern)
+
+    # 16-bit depth must refuse, not silently garble
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_pixels(bad)
+
+    # corrupt filter byte must raise, not produce junk pixels
+    good = encode_png(3, 3, bytes(27))
+    raw = bytearray(zlib.decompress(
+        good[8 + 8 + 13 + 4 + 8:-(4 + 12)]  # IDAT data slice
+    ))
+    raw[0] = 9
+    idat = zlib.compress(bytes(raw), 6)
+    corrupt = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_pixels(corrupt)

@@ -9,14 +9,16 @@ are mapInPandas stages: one Arrow batch of payloads in, one batch of
 features out — the shape that keeps 100 TB of media off the driver and
 amortizes codec startup per batch rather than per row.
 
-This container has no image codec LIBRARIES, but uncompressed formats
-need none: `decode_image` natively decodes PPM (P6) / PGM (P5) and
-uncompressed 24/32-bit BMP in pure Python — header parse + pixel-array
-slice, no dependencies — so the decode face is semantically real, not a
-stub. Compressed codecs (JPEG/PNG/WebP) remain the documented
-NotImplementedError seam: swap `decode_image`'s fallback branch for a
-PIL/opencv call in production. `fake_decoder=True` keeps the old
-deterministic stand-in for payloads that aren't images at all.
+This container has no image codec LIBRARIES, but that gates less than
+it sounds: `decode_image` natively decodes PPM (P6) / PGM (P5),
+uncompressed 24/32-bit BMP, AND 8-bit gray/RGB PNG in pure Python —
+PNG's IDAT stream is zlib DEFLATE, which the stdlib decompresses, so
+even the compressed common case is a real decode (all five scanline
+filters reconstructed; see _decode_png / encode_png). JPEG/WebP and
+exotic PNG variants (palette, alpha, 16-bit, Adam7) remain the
+documented NotImplementedError seam: swap `decode_pixels`' fallback
+branch for a PIL/opencv call in production. `fake_decoder=True` keeps
+the old deterministic stand-in for payloads that aren't images at all.
 """
 
 from __future__ import annotations
@@ -133,19 +135,164 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, b"".join(rows)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b − c, ties left → up → up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python PNG decode — PNG's IDAT stream is zlib DEFLATE, which
+    the stdlib decompresses, so 'compressed codec' here needs no library
+    at all: chunk walk (IHDR/IDAT+/IEND), zlib.decompress, then per-
+    scanline reconstruction of all five filter types (None/Sub/Up/
+    Average/Paeth). Supports the training-data common case of 8-bit
+    truecolor (type 2) and grayscale (type 0), non-interlaced; palette/
+    alpha/16-bit/Adam7 raise NotImplementedError (documented seam)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    i = 8
+    w = h = nch = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, i)
+        data = payload[i + 8 : i + 8 + ln]
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, bitd, colort, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bitd != 8 or colort not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG bit_depth={bitd} color_type={colort} "
+                    f"interlace={interlace}: only 8-bit gray/RGB "
+                    "non-interlaced supported"
+                )
+            nch = 3 if colort == 2 else 1
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _r in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                c = prev[x - nch] if x >= nch else 0
+                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prev = line
+    return w, h, bytes(out)
+
+
+def encode_png(
+    w: int, h: int, pixels: bytes, color_type: int = 2
+) -> bytes:
+    """Pure-Python PNG writer (the fixture's compressed-payload
+    generator): per-scanline filter type cycles r % 5, so any image with
+    h ≥ 5 exercises ALL five filters on the decode side; IDAT is
+    stdlib zlib at level 6 with standard CRC-32 chunk framing."""
+    import struct
+    import zlib
+
+    nch = 3 if color_type == 2 else 1
+    stride = w * nch
+    if len(pixels) != stride * h:
+        raise ValueError(f"want {stride * h} pixel bytes, got {len(pixels)}")
+    raw = bytearray()
+    prev = bytearray(stride)
+    for r in range(h):
+        line = bytearray(pixels[r * stride : (r + 1) * stride])
+        ftype = r % 5
+        enc = bytearray(stride)
+        if ftype == 0:
+            enc = line
+        elif ftype == 1:
+            for x in range(stride):
+                left = line[x - nch] if x >= nch else 0
+                enc[x] = (line[x] - left) & 0xFF
+        elif ftype == 2:
+            for x in range(stride):
+                enc[x] = (line[x] - prev[x]) & 0xFF
+        elif ftype == 3:
+            for x in range(stride):
+                left = line[x - nch] if x >= nch else 0
+                enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
+        else:
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                c = prev[x - nch] if x >= nch else 0
+                enc[x] = (line[x] - _paeth(a, prev[x], c)) & 0xFF
+        raw.append(ftype)
+        raw += enc
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, RGB-or-gray pixel bytes) for the formats decodable
-    without a codec library: PPM/PGM and uncompressed BMP. Compressed
-    codecs (JPEG/PNG/...) are the documented production seam — swap this
-    fallback for PIL/opencv there."""
+    without a codec library: PPM/PGM, uncompressed BMP, and 8-bit
+    gray/RGB PNG (IDAT is stdlib zlib — see _decode_png). JPEG/WebP &
+    exotic PNG variants remain the documented production seam — swap
+    this fallback for PIL/opencv there."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG/...) require a codec library "
-        "not present in this environment; PPM/PGM/BMP decode natively, "
-        "or use fake_decoder=True for the deterministic stand-in"
+        "image codecs beyond PPM/PGM/BMP/PNG(8-bit gray/RGB) require a "
+        "codec library not present in this environment; or use "
+        "fake_decoder=True for the deterministic stand-in"
     )
 
 
