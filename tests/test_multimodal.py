@@ -80,8 +80,10 @@ def test_pixel_stats_invariant():
 def test_truncated_and_unsupported_payloads():
     with pytest.raises(ValueError):
         decode_pixels(b"P6\n4 4\n255\nshort")
+    with pytest.raises(ValueError):
+        decode_pixels(b"\x89PNG\r\n\x1a\n....")  # PNG decodes now; garbage raises
     with pytest.raises(NotImplementedError):
-        decode_pixels(b"\x89PNG\r\n\x1a\n....")  # compressed codec seam
+        decode_pixels(b"\xff\xd8\xff\xe0JFIF....")  # JPEG: the remaining seam
 
 
 def test_spark_decode_matches_local(spark, sf_smoke):

@@ -57,6 +57,7 @@ PLAN_QUERIES = (
     ("dq_checks", "one scan per fact; FK rides the stats scan"),
     ("table_diff", "full-outer PK join + null-safe residual"),
     ("stream_topk", "windowed count + per-window rank"),
+    ("graph_jaccard_neighbors", "capped 2-path self-join (deg<=64 centers)"),
 )
 
 

@@ -165,9 +165,11 @@ def _admit_batch(
         if (l + r) in symbols or len(admitted) >= limit:
             # collision as FIRST pick is fine (argmax is unconditional)
             # but nothing after it may be batched; bound with the next
-            # candidate's count via the trim below
+            # candidate's count via the trim below — and when the limit
+            # lands on top-K's LAST element, unseen pairs beyond K can
+            # still tie f, so f itself is the only sound bound there
             idx = top.index((l, r, f))
-            m_bound = top[idx + 1][2] if idx + 1 < len(top) else 0
+            m_bound = top[idx + 1][2] if idx + 1 < len(top) else f
             break
     keep = [admitted[0]] if admitted else []
     for cand in admitted[1:]:
@@ -236,11 +238,16 @@ def train_bpe_merges(
                 (base + i + 1, l, r, l + r, f)
                 for i, (l, r, f) in enumerate(batch)
             )
+            # localCheckpoint (eager) both materializes the round AND
+            # truncates lineage/plan depth — without it, round k's plan
+            # nests k UDF applications and a 200-round training OOMs the
+            # driver on plan analysis alone (observed at 256 merges);
+            # the superseded checkpoint RDD is freed by the
+            # ContextCleaner once `cur` drops its reference
             nxt = cur.withColumn(
                 "toks",
                 _merge_batch_udf([(l, r) for l, r, _f in batch])(F.col("toks")),
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()  # materialize before dropping the parent
+            ).localCheckpoint(eager=True)
             cur.unpersist()
             cur = nxt
     finally:
