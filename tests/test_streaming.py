@@ -79,6 +79,27 @@ def test_session_stream_equals_batch(spark, sf_smoke, events_stream_dir):
     assert _key_sorted(stream) == _key_sorted(batch)
 
 
+def test_stream_static_enrich_equals_batch(spark, sf_smoke, events_stream_dir):
+    """Stream-static join convergence: events (stream) ⋈ customer
+    (static broadcast, stateless per micro-batch) + windowed totals
+    must equal the batch face — including the exact-decimal value sum
+    (string-compared, so the fold really is bit-stable)."""
+    from vector_ai_npm_spark.streaming.windows import segment_windowed_totals
+
+    cust = load_table(spark, sf_smoke, "customer")
+    batch = segment_windowed_totals(
+        load_table(spark, sf_smoke, "events"), cust
+    ).collect()
+    stream = _run_stream(
+        spark,
+        events_stream_dir,
+        lambda ev: segment_windowed_totals(ev, cust),
+        "t_enrich",
+    )
+    assert _key_sorted(stream) == _key_sorted(batch)
+    assert len(batch) > 0
+
+
 def test_watermarked_tumbling_with_late_drop(spark, events_stream_dir, sf_smoke):
     """Watermark smoke: windowed agg with a 10-minute watermark runs in
     append mode and emits only finalized windows (a strict subset of the

@@ -11,6 +11,7 @@ from vector_ai_npm_spark.registry import query
 from vector_ai_npm_spark.streaming.windows import (
     dedup_within_watermark,
     late_events,
+    segment_windowed_totals,
     session_windows,
     sliding_counts,
     tumbling_counts,
@@ -209,6 +210,34 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_upsert_stream(spark, input_dir, store_dir, ckpt)
     # final select matches the oracle's column set exactly
     return final_totals(spark, store_dir).select("user_id", "total_value", "n_events")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 MINUTE, e.ts) AS window_start,
+           time_bucket(INTERVAL 1 MINUTE, e.ts) + INTERVAL 1 MINUTE
+             AS window_end,
+           c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(CAST(SUM(CAST(e.value AS DECIMAL(30,8)))
+                AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26+: stream-static enrichment join — events attached to the
+    static customer dimension (market segment), then 1-minute tumbling
+    totals per segment. The stream-static inner join is STATELESS in
+    Structured Streaming (static side broadcast per micro-batch, no
+    watermark, no join state) — the canonical reference-data-attach
+    shape; batch face here for the oracle, readStream convergence in
+    tests/test_streaming.py."""
+    return segment_windowed_totals(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
 
 
 @query(

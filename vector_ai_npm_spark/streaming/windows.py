@@ -111,3 +111,41 @@ def topk_event_types(counts: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("window_start", "event_type", "n_events", "rnk")
     )
+
+
+def segment_windowed_totals(events: DataFrame, customer: DataFrame,
+                            width: str = "1 minute") -> DataFrame:
+    """B26+: STREAM-STATIC enrichment — events joined to the static
+    customer dimension (market segment) before the windowed aggregate.
+    Structured Streaming runs stream-static inner joins stateless: the
+    static side is broadcast to every micro-batch, no join state at
+    all, so this is the canonical shape for attaching slowly-changing
+    reference data to a live stream. Defined once, run in batch for the
+    DuckDB oracle and under readStream in tests/test_streaming.py.
+
+    The value sum goes through the exact-decimal fold so the streaming
+    result is bit-identical to the one-shot SQL aggregate."""
+    seg = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.join(seg, "user_id")
+        .groupBy(F.window("ts", width).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)"))
+            .cast("decimal(38,8)")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

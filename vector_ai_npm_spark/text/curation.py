@@ -865,3 +865,171 @@ def curate_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repetition_compresses_better"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al., NeurIPS 2023)
+# --------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets (the paper uses hashed n-grams)
+
+# md5 is the cross-engine hash (same discipline as dedup/queries.py):
+# first 8 hex chars -> non-negative 32-bit int -> bucket
+_DSIR_SPARK_BUCKET = (
+    f"pmod(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT), {_DSIR_B})"
+)
+_DSIR_DUCK_BUCKET = (
+    f"(CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % {_DSIR_B})"
+)
+
+
+def _dsir_doc_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket, n) hashed-unigram counts per document —
+    ONE tokenize + one keyed aggregate; every downstream DSIR quantity
+    (bucket marginals, per-doc masses, weights) derives from this frame
+    without touching the corpus text again."""
+    return (
+        docs.select(
+            "doc_id", "lang", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
+        )
+        .select("doc_id", "lang", F.expr(_DSIR_SPARK_BUCKET).alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "curate_dsir_masses",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), db AS (
+      SELECT doc_id, lang, {_DSIR_DUCK_BUCKET} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3
+    ), tm AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS c_t
+      FROM db WHERE lang = 'en' GROUP BY bucket
+    ), rm AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS c_r FROM db GROUP BY bucket
+    )
+    SELECT db.doc_id,
+           CAST(SUM(db.n) AS BIGINT) AS n_toks,
+           CAST(SUM(db.n * COALESCE(tm.c_t, 0)) AS BIGINT) AS target_mass,
+           CAST(SUM(db.n * rm.c_r) AS BIGINT) AS raw_mass
+    FROM db
+    LEFT JOIN tm ON tm.bucket = db.bucket
+    JOIN rm ON rm.bucket = db.bucket
+    GROUP BY db.doc_id
+    """,
+)
+def curate_dsir_masses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling — Xie et al.,
+    NeurIPS 2023), the integer-exact face: hashed-unigram bucket counts
+    per document, bucket marginals under the TARGET distribution (the
+    'en' slice — DSIR's trusted corpus) and under the RAW corpus, and
+    each document's count-weighted masses against both. This pins the
+    whole distributed 90% of DSIR — tokenizer, md5 bucket hash, both
+    marginals, the per-doc aggregation — in exact BIGINTs the oracle
+    recomputes; only the final ln() of the smoothed likelihood ratio is
+    excluded (ln is engine-divergent by 1 ulp — the same boundary
+    text_tfidf draws, measured at text/queries.py:271), and that lives
+    in `curate_dsir_select` with a planted-skew pytest.
+
+    Scale shape: one tokenize pass; the bucket marginals are
+    {_DSIR_B}-row frames (broadcast joins back to the doc-bucket frame
+    — the fact table never reshuffles); per-doc masses are one keyed
+    aggregate. At 100 TB the only corpus-scale operations are the
+    tokenize and two hash aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    db = _dsir_doc_buckets(docs)
+    tm = (
+        db.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("c_t"))
+    )
+    rm = db.groupBy("bucket").agg(F.sum("n").alias("c_r"))
+    return (
+        db.join(F.broadcast(tm), "bucket", "left")
+        .join(F.broadcast(rm), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_toks"),
+            F.sum(F.col("n") * F.coalesce(F.col("c_t"), F.lit(0)))
+            .alias("target_mass"),
+            F.sum(F.col("n") * F.col("c_r")).alias("raw_mass"),
+        )
+    )
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """Per-document DSIR log importance weight:
+    Σ_b count_b · ( ln p̂_T(b) − ln p̂_R(b) ), add-1-smoothed bucket
+    unigram models for the target slice T and the raw corpus R. The
+    weight is the log likelihood ratio of the doc's hashed features
+    under target vs raw — DSIR resamples with probability ∝ exp(w)."""
+    db = _dsir_doc_buckets(docs)
+    tm = (
+        db.where(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("c_t"))
+    )
+    rm = db.groupBy("bucket").agg(F.sum("n").alias("c_r"))
+    tot_t = tm.agg(F.sum("c_t").alias("n_t"))
+    tot_r = rm.agg(F.sum("c_r").alias("n_r"))
+    scored = (
+        db.join(F.broadcast(tm), "bucket", "left")
+        .join(F.broadcast(rm), "bucket")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "doc_id",
+            (
+                F.col("n")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                        / (F.col("n_t") + _DSIR_B).cast("double")
+                    )
+                    - F.log(
+                        (F.col("c_r") + 1).cast("double")
+                        / (F.col("n_r") + _DSIR_B).cast("double")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.sum("contrib").alias("dsir_weight"))
+
+
+@query("curate_dsir_select")  # rows-only: ln() is engine-divergent (1 ulp)
+def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection face: top-10% of documents by log importance
+    weight (deterministic rank — the argmax-k limit of the paper's
+    Gumbel resampling), with the weight attached. The integer-exact
+    sibling `curate_dsir_masses` carries the hash gate; the planted-
+    skew selection property (target-vocabulary docs outrank background
+    docs, selected set enriches the target slice) is pinned in
+    tests/test_dsir.py.
+
+    Selection shape at scale: the top-k itself is a distributed
+    TakeOrderedAndProject (per-partition heaps, no global sort — the
+    topk_orders discipline); the rank column is a window over the
+    ALREADY-REDUCED k rows only. At a real 10%-of-corpus k one would
+    instead threshold-filter on the k-th weight from a quantile sketch
+    (map-only second pass) — documented here, not needed at contract
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    k = max(1, n_docs // 10)
+    top = (
+        dsir_weights(docs)
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        F.round("dsir_weight", 6).alias("dsir_weight"),
+        F.col("rank").cast("long").alias("rank"),
+    )
