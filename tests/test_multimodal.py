@@ -82,8 +82,12 @@ def test_truncated_and_unsupported_payloads():
         decode_pixels(b"P6\n4 4\n255\nshort")
     with pytest.raises(ValueError):
         decode_pixels(b"\x89PNG\r\n\x1a\n....")  # PNG decodes now; garbage raises
+    with pytest.raises(ValueError):
+        decode_pixels(b"\xff\xd8\xff\xe0JFIF....")  # JPEG decodes now; garbage raises
     with pytest.raises(NotImplementedError):
-        decode_pixels(b"\xff\xd8\xff\xe0JFIF....")  # JPEG: the remaining seam
+        decode_pixels(b"RIFF\x00\x00\x00\x00WEBP")  # WebP: the remaining seam
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"GIF89a......")  # GIF: also the seam
 
 
 def test_spark_decode_matches_local(spark, sf_smoke):
@@ -224,3 +228,68 @@ def test_png_codec_roundtrip_all_filters():
                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_pixels(corrupt)
+
+
+def test_jpeg_codec_roundtrip_bounded_error():
+    """Baseline JPEG codec: dims exact, reconstruction error bounded
+    (lossy, so no byte equality), grayscale + RGB, sizes exercising
+    edge padding; unsupported variants refuse loudly."""
+    import random
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from vector_ai_npm_spark.multimodal.binary import decode_pixels
+    from vector_ai_npm_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(11)
+
+    def mae(a, b):
+        x = np.frombuffer(a, dtype=np.uint8).astype(int)
+        y = np.frombuffer(b, dtype=np.uint8).astype(int)
+        return float(np.abs(x - y).mean())
+
+    # smooth gradients: near-transparent at q90
+    for w, h in ((16, 16), (13, 9), (5, 7), (32, 24)):
+        pix = bytes(
+            (x * 255) // max(1, w - 1) if c == 0
+            else (y * 255) // max(1, h - 1) if c == 1 else 128
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+        dw, dh, dec = decode_pixels(encode_jpeg(w, h, pix, quality=90))
+        assert (dw, dh) == (w, h)
+        assert mae(pix, dec) < 4.0, (w, h)
+
+    # random noise (worst case) still bounded at q95
+    pix = bytes(rng.randrange(256) for _ in range(16 * 16 * 3))
+    dw, dh, dec = decode_jpeg(encode_jpeg(16, 16, pix, quality=95))
+    assert (dw, dh) == (16, 16) and mae(pix, dec) < 8.0
+
+    # grayscale
+    gpix = bytes((x * 7 + y * 3) % 256 for y in range(20) for x in range(15))
+    dw, dh, dec = decode_jpeg(encode_jpeg(15, 20, gpix, color=False))
+    assert (dw, dh) == (15, 20) and len(dec) == 300 and mae(gpix, dec) < 2.0
+
+    # quality monotonicity: lower quality -> no better error, fewer bytes
+    pix = bytes(rng.randrange(256) for _ in range(24 * 16 * 3))
+    hi = encode_jpeg(24, 16, pix, quality=95)
+    lo = encode_jpeg(24, 16, pix, quality=30)
+    assert len(lo) < len(hi)
+    assert mae(pix, decode_jpeg(lo)[2]) > mae(pix, decode_jpeg(hi)[2])
+
+    # progressive SOF2 must refuse
+    sof2 = bytearray(encode_jpeg(8, 8, bytes(192)))
+    idx = bytes(sof2).find(b"\xff\xc0")
+    sof2[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sof2))
+
+    # truncated entropy stream must raise, not loop
+    full = encode_jpeg(16, 16, bytes(768))
+    with pytest.raises(Exception):
+        decode_jpeg(full[: len(full) // 2])
+
+    # decode_pixels routes JPEG by SOI magic
+    dw, dh, _ = decode_pixels(encode_jpeg(6, 5, bytes(90), quality=90))
+    assert (dw, dh) == (6, 5)

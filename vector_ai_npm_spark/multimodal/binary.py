@@ -289,10 +289,15 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from vector_ai_npm_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image codecs beyond PPM/PGM/BMP/PNG(8-bit gray/RGB) require a "
-        "codec library not present in this environment; or use "
-        "fake_decoder=True for the deterministic stand-in"
+        "image codecs beyond PPM/PGM/BMP, PNG (8-bit gray/RGB), and "
+        "baseline JPEG (SOF0 4:4:4) require a codec library not present "
+        "in this environment; or use fake_decoder=True for the "
+        "deterministic stand-in"
     )
 
 

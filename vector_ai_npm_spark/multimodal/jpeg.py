@@ -1,0 +1,519 @@
+"""Baseline JPEG codec in pure Python + numpy (ITU-T T.81 "baseline
+sequential DCT": SOI/DQT/SOF0/DHT/SOS/EOI, standard Annex K quantization
+and Huffman tables, 8-bit samples).
+
+Why this exists: the multimodal decode face treats compressed codecs as
+a library seam — but baseline JPEG, like PNG (see binary._decode_png),
+needs nothing this container lacks: the entropy layer is canonical
+Huffman (pure Python), the transform is an 8×8 DCT-II (one numpy
+einsum), and the color transform is three affine maps. So the common
+case of real-world training images decodes natively; only the exotic
+rungs (progressive SOF2, arithmetic coding, restart markers, 12-bit,
+chroma subsampling other than the 4:4:4 this encoder emits) raise the
+documented NotImplementedError.
+
+Encoder and decoder share the standard tables, so the pair is
+self-consistent by construction and the roundtrip contract (dims exact,
+bounded reconstruction error — JPEG is lossy) is what the registry
+query `multimodal_decode_jpeg` pins cross-engine as booleans.
+
+Scale shape: both directions run inside the same Arrow-batched
+mapInPandas stages as every other codec here — payload bytes never
+shuffle, and block math is vectorized across each image's blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Standard tables (T.81 Annex K) and derived structures
+# ---------------------------------------------------------------------------
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        idx = range(s + 1)
+        for i in (reversed(idx) if s % 2 == 0 else idx):
+            r, c = i, s - i
+            if r < 8 and c < 8:
+                order.append((r, c))
+    return order
+
+
+_ZZ = _zigzag()
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+_QT_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_QT_CHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """val -> (code, length), canonical assignment per T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> val, for the bit-at-a-time decoder."""
+    return {
+        (length, code): val
+        for val, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+# orthonormal 8-point DCT-II matrix
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables."""
+    q = max(1, min(100, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    out = []
+    for t in (_QT_LUM, _QT_CHROM):
+        s = np.floor((t * scale + 50) / 100)
+        out.append(np.clip(s, 1, 255))
+    return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# bit I/O with 0xFF byte stuffing
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bytes = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.bytes.append(b)
+            if b == 0xFF:
+                self.bytes.append(0x00)  # stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self._pos >= len(self._data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self._data[self._pos]
+            self._pos += 1
+            if b == 0xFF:
+                if self._pos >= len(self._data):
+                    raise ValueError("truncated JPEG stuffing")
+                m = self._data[self._pos]
+                self._pos += 1
+                if m != 0x00:
+                    raise NotImplementedError(
+                        f"marker 0xFF{m:02X} inside scan (restart intervals "
+                        "unsupported)"
+                    )
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, code-bits) for DC-diff/AC coefficient v."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    code = v if v > 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _encode_block(
+    writer: _BitWriter,
+    coefs: np.ndarray,
+    pred: int,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    zz = coefs[_ZZ_ROWS, _ZZ_COLS].astype(int)
+    s, code = _magnitude(int(zz[0]) - pred)
+    c, ln = dc_tab[s]
+    writer.write(c, ln)
+    if s:
+        writer.write(code, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tab[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        s, code = _magnitude(v)
+        c, ln = ac_tab[(run << 4) | s]
+        writer.write(c, ln)
+        writer.write(code, s)
+        run = 0
+    if last_nz != 63:
+        c, ln = ac_tab[0x00]  # EOB
+        writer.write(c, ln)
+    return int(zz[0])
+
+
+def _component_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Pad to 8-multiples (edge replicate), DCT + quantize every block.
+    Returns (n_by, n_bx, 8, 8) int32 quantized coefficients."""
+    h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    H, W = p.shape
+    blocks = p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    dct = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
+    return np.round(dct / qt).astype(np.int32)
+
+
+def encode_jpeg(
+    w: int, h: int, pixels: bytes, color: bool = True, quality: int = 90
+) -> bytes:
+    """Encode RGB (color=True, len = w*h*3) or grayscale (len = w*h)
+    pixels as a baseline JFIF JPEG: 4:4:4, standard tables, quality per
+    the IJG scaling."""
+    nch = 3 if color else 1
+    if len(pixels) != w * h * nch:
+        raise ValueError(f"want {w * h * nch} pixel bytes, got {len(pixels)}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, nch).astype(
+        np.float64
+    )
+    qlum, qchrom = _quality_tables(quality)
+    if color:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [arr[..., 0]]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )  # APP0, density 1:1, no thumbnail
+    for tid, qt in ((0, qlum), (1, qchrom))[: (2 if color else 1)]:
+        zz = qt[_ZZ_ROWS, _ZZ_COLS].astype(int)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(zz.tolist())
+    ncomp = 3 if color else 1
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    huffs = [
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+    ] + (
+        [
+            (0x01, _DC_CHROM_BITS, _DC_CHROM_VALS),
+            (0x11, _AC_CHROM_BITS, _AC_CHROM_VALS),
+        ]
+        if color
+        else []
+    )
+    for tc, bits, vals in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack("BB", cid, 0x00 if cid == 1 else 0x11)
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+
+    dc_lum = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_chrom = _huff_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac_chrom = _huff_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
+
+    comp_blocks = [
+        _component_blocks(p, qlum if i == 0 else qchrom)
+        for i, p in enumerate(planes)
+    ]
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    n_by, n_bx = comp_blocks[0].shape[:2]
+    for by in range(n_by):
+        for bx in range(n_bx):
+            for ci in range(ncomp):
+                dc_t = dc_lum if ci == 0 else dc_chrom
+                ac_t = ac_lum if ci == 0 else ac_chrom
+                preds[ci] = _encode_block(
+                    writer, comp_blocks[ci][by, bx], preds[ci], dc_t, ac_t
+                )
+    writer.flush()
+    out += writer.bytes
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGB-or-gray pixel bytes) for baseline sequential
+    JPEG with 4:4:4 sampling (what encode_jpeg emits, and the common
+    full-resolution case). Progressive (SOF2), arithmetic coding,
+    subsampled chroma, 12-bit, and restart intervals raise
+    NotImplementedError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    i = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int]] = []  # (cid, sampling, tq)
+    scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
+    data_start = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                t = np.zeros((8, 8))
+                t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                    seg[j + 1 : j + 65], dtype=np.uint8
+                )
+                qts[tq] = t
+                j += 65
+        elif marker == 0xC0:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if _prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled chroma (not 4:4:4)")
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (only baseline SOF0 supported)"
+            )
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                tab = _huff_decode_map(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                j += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:
+            ns = seg[0]
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0x0F))
+            data_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if w is None or data_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    end = payload.rfind(b"\xff\xd9")
+    reader = _BitReader(payload[data_start : end if end > 0 else len(payload)])
+
+    ncomp = len(comps)
+    n_bx, n_by = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((n_by * 8, n_bx * 8)) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    tq_of = {cid: tq for cid, _s, tq in comps}
+    td_of = {cid: (td, ta) for cid, td, ta in scan}
+    order = [cid for cid, _s, _t in comps]
+    for by in range(n_by):
+        for bx in range(n_bx):
+            for ci, cid in enumerate(order):
+                td, ta = td_of[cid]
+                s = reader.read_huff(dc_tabs[td])
+                diff = reader.receive_extend(s)
+                preds[ci] += diff
+                zz = np.zeros(64)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.read_huff(ac_tabs[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = reader.receive_extend(s)
+                    k += 1
+                coefs = np.zeros((8, 8))
+                coefs[_ZZ_ROWS, _ZZ_COLS] = zz
+                block = _C.T @ (coefs * qts[tq_of[cid]]) @ _C + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, out.tobytes()
+    if ncomp != 3:
+        raise NotImplementedError(f"JPEG with {ncomp} components")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()

@@ -214,6 +214,103 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_jpeg",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INTEGER) AS w,
+             5 + CAST(doc_id % 3 AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           TRUE AS mae_ok,
+           TRUE AS lossy_not_identity
+    FROM m
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY-codec decode face: the same sha2-chain pixels as the
+    PNG query, written as a REAL baseline JFIF JPEG (multimodal.jpeg.
+    encode_jpeg — standard Annex K quant + Huffman tables, 4:4:4, q=92)
+    and decoded back through the shared decode_pixels route
+    (jpeg.decode_jpeg: marker walk, canonical Huffman, dequant, IDCT,
+    YCbCr→RGB). JPEG is lossy, so the contract is dims-exact plus a
+    reconstruction-error bound instead of byte equality:
+
+      * mae_ok — mean absolute pixel error ≤ 12 (measured ~5 on the
+        hex-alphabet chain pixels at q=92; the bound is the quality
+        floor a decoder regression would crash through)
+      * lossy_not_identity — decoded bytes ≠ source bytes for at least
+        the DC-quantized majority (guards against the decode silently
+        short-circuiting to the input, which would fake a perfect MAE)
+
+    The oracle recomputes dims from doc_id and pins both booleans.
+    Same Arrow-batched mapInPandas shape as the PNG face."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vector_ai_npm_spark.multimodal.binary import decode_pixels
+    from vector_ai_npm_spark.multimodal.jpeg import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(5) + F.col("doc_id") % 3).cast("int")
+    chain = F.concat(
+        F.sha2(F.col("text"), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
+    )
+    src = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        w.alias("w"),
+        h.alias("h"),
+        F.encode(F.substring(chain, F.lit(1), w * h * 3), "utf-8").alias(
+            "pixels"
+        ),
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, ww, hh, pix in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["pixels"]
+            ):
+                pix = bytes(pix)
+                jp = encode_jpeg(int(ww), int(hh), pix, quality=92)
+                dw, dh, dec = decode_pixels(jp)
+                a = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+                b = np.frombuffer(dec, dtype=np.uint8).astype(np.int64)
+                mae = float(np.abs(a - b).mean())
+                rows.append(
+                    (
+                        int(aid),
+                        dw,
+                        dh,
+                        (dw, dh) == (int(ww), int(hh)) and mae <= 12.0,
+                        dec != pix,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "mae_ok",
+                    "lossy_not_identity",
+                ],
+            )
+
+    return src.mapInPandas(
+        _roundtrip,
+        schema="asset_id long, width long, height long, "
+        "mae_ok boolean, lossy_not_identity boolean",
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS asset_id,
