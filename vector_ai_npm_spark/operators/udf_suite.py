@@ -164,3 +164,66 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL udtf_sentences_split(d.text) s
         """
     )
+
+
+@query(
+    "udf_mapinarrow",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29+: the Arrow-NATIVE UDF face — `mapInArrow` hands each
+    partition to Python as raw pyarrow RecordBatches with NO pandas
+    materialization at all, the fastest Python extension point Spark
+    has (the step past pandas_udf when even Series overhead matters,
+    e.g. fixed-point math over billions of rows).
+
+    The batch transform runs entirely in pyarrow.compute kernels
+    (C++): revenue_cents = floor(price · (1 − discount) · 100) as
+    int64 — floor instead of round so no tie-break semantics enter the
+    cross-engine contract, and the double multiply chain is pinned in
+    the same association order the oracle uses (IEEE-deterministic in
+    both engines). The per-order aggregate then happens JVM-side, so
+    this query hash-checks the Arrow path end-to-end against DuckDB —
+    unlike the other UDF faces, which are rows-only by semantics.
+
+    Scale shape: map stage fuses with the scan (no shuffle added);
+    one keyed aggregate after. Python cost is one C++ kernel chain per
+    Arrow batch."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def cents(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            price = b.column(b.schema.get_field_index("l_extendedprice"))
+            disc = b.column(b.schema.get_field_index("l_discount"))
+            rev = pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                pa.scalar(100.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("l_orderkey")),
+                    pc.cast(pc.floor(rev), pa.int64()),
+                ],
+                names=["l_orderkey", "cents"],
+            )
+
+    mapped = li.mapInArrow(cents, schema="l_orderkey long, cents long")
+    return mapped.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("revenue_cents"),
+    )
