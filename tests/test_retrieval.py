@@ -247,3 +247,21 @@ def test_pq_encoding_deterministic(spark, sf_oracle):
     c1 = {r.vec_id: r.codes for r in pq_encode(emb, b1).collect()}
     c2 = {r.vec_id: r.codes for r in pq_encode(emb, b2).collect()}
     assert c1 == c2
+
+
+def test_hard_negatives_exclude_anchor_label(spark, sf_oracle):
+    """Hard-negative mining: every mined row crosses labels, ranks are
+    dense 1..3 per anchor, and similarity is non-increasing in rank."""
+    from vector_ai_npm_spark import registry
+
+    rows = registry.run("mine_hard_negatives", spark, sf_oracle).collect()
+    by_q = {}
+    for r in rows:
+        assert r.neg_label != r.q_label
+        by_q.setdefault(r.q_vec_id, []).append(r)
+    assert len(by_q) == 3
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        sims = [r.similarity for r in rs]
+        assert sims == sorted(sims, reverse=True)

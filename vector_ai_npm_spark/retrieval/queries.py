@@ -598,3 +598,66 @@ def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.scope", "r.ok")
+
+
+@query(
+    "mine_hard_negatives",
+    oracle=f"""
+    SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+           e.vec_id AS neg_vec_id, e.label AS neg_label,
+           {o_cosine('e.embedding', 'q.embedding')} AS similarity,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {o_cosine('e.embedding', 'q.embedding')} DESC,
+                      e.vec_id ASC) AS BIGINT) AS rank
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, label, embedding FROM embeddings
+                WHERE vec_id IN (0, 7, 42)) q
+    WHERE e.label <> q.label
+    QUALIFY rank <= 3
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9+: HARD-NEGATIVE MINING — for each anchor vector, the top-3
+    most-similar vectors with a DIFFERENT label. The contrastive-
+    training data op (triplet/InfoNCE fine-tuning wants negatives that
+    are hard — near the anchor in embedding space — not random): rank
+    by cosine among cross-label candidates only.
+
+    Plan: same broadcast-NLJ + per-anchor window shape as
+    `join_similarity`, with the label-exclusion predicate applied
+    BEFORE the window so same-label rows never hold a rank slot. At
+    corpus scale the anchor side is a batch of training queries
+    (broadcast by contract) and the store side routes through the same
+    IVF/LSH ANN machinery as `similarity_search_ann` — mine against
+    the candidate shortlist, exactly like production hard-negative
+    pipelines; the brute-force face here is the oracle-checkable
+    ground truth the ANN route's recall is measured against."""
+    from pyspark.sql import Window
+
+    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("similarity").desc(), F.col("neg_vec_id").asc()
+    )
+    return (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_vec_id",
+            "q_label",
+            F.col("vec_id").alias("neg_vec_id"),
+            F.col("label").alias("neg_label"),
+            cosine_similarity(F.col("embedding"), F.col("q_embedding")).alias(
+                "similarity"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
