@@ -445,3 +445,44 @@ def test_basket_and_graph_builds_have_no_cross_product(spark, sf_smoke):
         assert "CartesianProduct" not in plan, name
         # only the broadcast of 1-row aggregates (lift's basket count)
         assert plan.count("BroadcastNestedLoopJoin") <= 1, name
+
+
+def test_round6_new_query_plans(spark, sf_smoke):
+    """Plan gates for the round-6 additions.
+
+    * jaccard_cap_recall / graph_jaccard_neighbors: the capped 2-path
+      self-join must stay an equi-join on the shared-neighbor key —
+      no CartesianProduct even with the center filter in the plan.
+    * stream_static_enrich: the static dim attaches via broadcast hash
+      join (the stateless stream-static shape), never a shuffle join.
+    * curate_dsir_masses: both 256-row bucket marginals broadcast back
+      to the doc-bucket frame — the corpus-side never reshuffles for
+      the join.
+    * mine_hard_negatives: broadcast NLJ by contract (anchor batch is
+      small), and the label-exclusion predicate sits in the join/filter
+      stage, not after the window.
+    * udf_mapinarrow: the Python stage is Arrow-native (ArrowEvalPython
+      / MapInArrow, no pandas FlatMapGroups), fused before one keyed
+      aggregate.
+    """
+    plan = _plan(spark, "jaccard_cap_recall", sf_smoke)
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "graph_jaccard_neighbors", sf_smoke)
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "stream_static_enrich", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(spark, "curate_dsir_masses", sf_smoke)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(spark, "mine_hard_negatives", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "udf_mapinarrow", sf_smoke)
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInPandas" not in plan
