@@ -505,3 +505,34 @@ def test_topk_stream_equals_batch(spark, sf_smoke, events_stream_dir):
     ).collect()
     assert _key_sorted(stream_topk_rows) == _key_sorted(batch_topk)
     assert len(batch_topk) > 0
+
+
+def test_crawl_dedup_demotes_on_late_smaller_id(spark):
+    """Order-independence of the crawl-dedup loop: when the LARGER member
+    of a near-dup pair arrives first (accepted at that point), the later
+    batch carrying the smaller id must DEMOTE it — final decisions match
+    the one-shot first-id-canonical rule regardless of arrival order."""
+    import tempfile
+
+    from vector_ai_npm_spark.streaming.crawl_dedup import (
+        dedup_merge_batch,
+        final_decisions,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [
+        (10, text_a),                      # dup pair, larger id
+        (11, "totally different content about rocks and rivers " * 6),
+        (2, text_a),                       # dup pair, smaller id — arrives LATER
+        (3, "another unrelated document mentioning ships and stars " * 6),
+    ]
+    base = tempfile.mkdtemp(prefix="crawl_demote_")
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    dedup_merge_batch(mk(rows[:2]), 0, f"{base}/bands", f"{base}/dec")
+    first = {r.doc_id: r.accepted for r in
+             final_decisions(spark, f"{base}/dec").collect()}
+    assert first == {10: True, 11: True}
+    dedup_merge_batch(mk(rows[2:]), 1, f"{base}/bands", f"{base}/dec")
+    final = {r.doc_id: r.accepted for r in
+             final_decisions(spark, f"{base}/dec").collect()}
+    assert final == {2: True, 3: True, 10: False, 11: True}, final

@@ -320,6 +320,65 @@ def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_dedup_oracle() -> str:
+    from vector_ai_npm_spark.dedup.queries import (
+        _BAND_KEYS_DUCK,
+        _DUCK_SHINGLES,
+        _duck_minhash,
+        N_MINHASH,
+    )
+
+    return (
+        "WITH sh AS (SELECT doc_id, " + _DUCK_SHINGLES + """ AS shingles
+      FROM documents),
+    sig AS (SELECT doc_id, """
+        + ", ".join(f"{_duck_minhash(i)} AS mh{i}" for i in range(N_MINHASH))
+        + """ FROM sh),
+    bands AS (
+      SELECT doc_id, unnest(["""
+        + ", ".join(_BAND_KEYS_DUCK)
+        + """]) AS band_key FROM sig),
+    rej AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id,
+           d.doc_id NOT IN (SELECT doc_id FROM rej) AS accepted
+    FROM documents d
+    """
+    )
+
+
+@query("stream_dedup_incremental", oracle=_crawl_dedup_oracle())
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18+B28 flagship composite: the STREAMING crawl-ingest dedup
+    loop, end-to-end and driver-checked. Documents tail in one file per
+    trigger; each foreachBatch merge LSH-checks the batch against the
+    versioned band store built so far and publishes accept/reject
+    decisions (streaming.crawl_dedup — first-id-canonical rule, with
+    late-arriving smaller ids DEMOTING previously-accepted docs, so the
+    final store is identical for any micro-batch arrival order). The
+    oracle recomputes the same rule in one shot: a doc is accepted iff
+    no smaller-doc_id document shares an LSH band — same shingles, same
+    minhash folds, same band keys as the whole batch dedup family."""
+    import tempfile
+
+    from vector_ai_npm_spark.streaming.crawl_dedup import (
+        final_decisions,
+        run_crawl_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="crawl_dedup_")
+    docs.repartition(4).write.parquet(f"{base}/in")
+    run_crawl_dedup_stream(
+        spark, f"{base}/in", f"{base}/bands", f"{base}/decisions",
+        f"{base}/ckpt",
+    )
+    return final_decisions(spark, f"{base}/decisions")
+
+
 @query(
     "stream_topk",
     oracle="""
