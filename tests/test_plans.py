@@ -486,3 +486,33 @@ def test_round6_new_query_plans(spark, sf_smoke):
     plan = _plan(spark, "udf_mapinarrow", sf_smoke)
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_semantic_dedup_and_lm_plans(spark, sf_smoke):
+    """Plan gates for the round-6 third-wave queries.
+
+    * dedup_semantic: the pair join is an equi-join keyed on
+      cluster_id — never a corpus-wide cross product; assignment is
+      map-only (no join against a centroid table).
+    * lm_bigram_score: count frames join on bigram keys (equi), V
+      attaches as a broadcast scalar; no cartesian anywhere.
+    * retrieval_eval_ndcg: the 3-row query batch broadcasts (NLJ by
+      contract, like join_similarity); ranking is one window.
+    * tokenizer_fertility: map-only + single hash aggregate — no
+      joins, no window, and the scan reads only the needed columns.
+    """
+    plan = _plan(spark, "dedup_semantic", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(spark, "lm_bigram_score", sf_smoke)
+    assert "CartesianProduct" not in plan
+    # V is a 1-row scalar: broadcast NLJ is the sanctioned scalar shape
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    plan = _plan(spark, "retrieval_eval_ndcg", sf_smoke)
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "tokenizer_fertility", sf_smoke)
+    assert "Join" not in plan
+    assert "ReadSchema" in plan and "text" in plan and "lang" in plan

@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.retrieval.queries  # noqa: F401
     import vector_ai_npm_spark.rag.queries  # noqa: F401
     import vector_ai_npm_spark.dedup.queries  # noqa: F401
+    import vector_ai_npm_spark.clustering.queries  # noqa: F401
     # graph suite imports inside the flagship zone: its queries are the
     # round-5 new family, so among equally-unverified queries they win
     # window slots ahead of the long-tail function suites

@@ -661,3 +661,140 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# North-star: retrieval-quality evaluation (recall@k / MRR / nDCG)
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_EVAL_K = 10
+# log2 discounts embedded as identical full-precision literals in BOTH
+# engines: in-engine log() is correctly rounded differently per libm
+# (the text_tfidf 1-ulp lesson), a Python-computed literal is one bit
+# pattern everywhere. _EVAL_IDCG[m] = sum of the first m discounts,
+# folded left in Python — the same order the engines fold dcg.
+_EVAL_DISCOUNTS = [1.0 / _math.log2(i + 1) for i in range(1, _EVAL_K + 1)]
+_EVAL_IDCG = []
+_acc = 0.0
+for _d in _EVAL_DISCOUNTS:
+    _acc = _acc + _d
+    _EVAL_IDCG.append(_acc)
+
+_O_DISC = ", ".join(f"CAST({d!r} AS DOUBLE)" for d in _EVAL_DISCOUNTS)
+_O_IDCG = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in _EVAL_IDCG)
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_vec_id, label AS q_label, emb AS q_emb
+          FROM e WHERE vec_id IN (0, 7, 42)),
+    s AS (SELECT q.q_vec_id,
+                 CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.q_vec_id
+                   ORDER BY {o_cosine('e.emb', 'q.q_emb')} DESC,
+                            e.vec_id) AS rank
+          FROM e CROSS JOIN q
+          WHERE e.vec_id <> q.q_vec_id),
+    g AS (SELECT q_vec_id,
+                 CAST(SUM(rel) AS BIGINT) AS n_rel,
+                 CAST(SUM(CASE WHEN rank <= {_EVAL_K} THEN rel ELSE 0 END)
+                      AS BIGINT) AS hits_at_k,
+                 MIN(CASE WHEN rank <= {_EVAL_K} AND rel = 1
+                          THEN rank END) AS first_rel,
+                 list(CASE WHEN rel = 1 THEN ([{_O_DISC}])[rank]
+                           ELSE CAST(0.0 AS DOUBLE) END ORDER BY rank)
+                   FILTER (WHERE rank <= {_EVAL_K}) AS terms
+          FROM s GROUP BY q_vec_id)
+    SELECT q_vec_id, n_rel, hits_at_k,
+           CAST(hits_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE) AS recall_at_k,
+           COALESCE(CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE),
+                    CAST(0.0 AS DOUBLE)) AS rr,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+                       (acc, v) -> acc + v)
+             / ([{_O_IDCG}])[LEAST(n_rel, {_EVAL_K})] AS ndcg_at_k
+    FROM g
+    """,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star retrieval evaluation: recall@10, reciprocal rank, and
+    nDCG@10 per query against label-match relevance — the offline
+    metrics harness every RAG/embedding deployment runs before swapping
+    retrievers (the reference exposes retrieval but no eval surface;
+    this closes that loop over its own similarity ranking).
+
+    dcg folds the rank-ordered top-k terms left-to-right (array_sort +
+    aggregate == DuckDB list ORDER BY rank + list_reduce), and the
+    discount table is a Python-computed literal so no in-engine log()
+    enters the hash. Scale: the query batch broadcasts (3 rows here,
+    thousands in production), candidates rank per-query via one window
+    — per-query state is top-k only.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = emb.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_vec_id"))
+        .withColumn("sim", cosine_similarity(F.col("emb"), F.col("q_emb")))
+        .withColumn(
+            "rel", (F.col("label") == F.col("q_label")).cast("int")
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w))
+    disc = F.array(*[F.lit(d) for d in _EVAL_DISCOUNTS])
+    idcg = F.array(*[F.lit(c) for c in _EVAL_IDCG])
+    term = F.when(F.col("rel") == 1, F.element_at(disc, F.col("rank"))).otherwise(
+        F.lit(0.0)
+    )
+    g = ranked.groupBy("q_vec_id").agg(
+        F.sum("rel").alias("n_rel"),
+        F.sum(F.when(F.col("rank") <= _EVAL_K, F.col("rel")).otherwise(0))
+        .alias("hits_at_k"),
+        F.min(
+            F.when((F.col("rank") <= _EVAL_K) & (F.col("rel") == 1),
+                   F.col("rank"))
+        ).alias("first_rel"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("rank") <= _EVAL_K,
+                    F.struct(F.col("rank").alias("rank"), term.alias("term")),
+                )
+            )
+        ).alias("terms"),
+    )
+    dcg = F.aggregate(
+        F.transform(F.col("terms"), lambda s: s["term"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return g.select(
+        "q_vec_id",
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("hits_at_k").cast("long").alias("hits_at_k"),
+        (F.col("hits_at_k").cast("double") / F.col("n_rel").cast("double"))
+        .alias("recall_at_k"),
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+        (dcg / F.element_at(idcg, F.least(F.col("n_rel"), F.lit(_EVAL_K))
+                            .cast("int"))).alias("ndcg_at_k"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.functions.numeric import dsum
+from vector_ai_npm_spark.functions.numeric import dsum, o_dsum
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
 
@@ -635,4 +635,150 @@ def drift_token_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.agg(
         F.count(F.lit(1)).alias("n_tokens"),
         dsum(term, "chi_square"),
+    )
+
+
+# --------------------------------------------------------------------------
+# North-star: bigram-LM fluency scoring (CCNet-style quality filter)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lm_bigram_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, toks[r.i] AS w1, toks[r.i + 1] AS w2
+           FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)),
+    dbt AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY ALL),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY ALL),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY ALL),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    sc AS (SELECT dbt.doc_id, dbt.m,
+                  CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)
+                    AS p
+           FROM dbt JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+           CROSS JOIN v),
+    pd AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+                  {o_dsum('CAST(m AS DOUBLE) * p')}
+                    / CAST(SUM(m) AS DOUBLE) AS avg_bigram_p
+           FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+           pd.avg_bigram_p
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star LM-fluency filter: add-one-smoothed corpus bigram model,
+    each doc scored by its mean transition probability
+    p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) — the CCNet-style statistical
+    quality gate (Wenzek et al. 2020 score with an n-gram LM; the mean
+    probability face avoids ln(), which is engine-divergent by 1 ulp —
+    same decision as text_tfidf vs text_tfidf_scored).
+
+    Shuffle budget: bigrams aggregate to per-doc TYPE counts before any
+    join (the per-position frame never shuffles); two count shuffles
+    keyed on (w1,w2)/(w1) — vocabulary-sized, sublinear in corpus — a
+    broadcast scalar V, and one final doc-keyed aggregate. Exact-decimal
+    mean keeps the driver hash stable across partition orders.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bgm"),
+    ).select("doc_id", "bgm.w1", "bgm.w2")
+    dbt = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = F.broadcast(
+        t.select(F.explode("toks").alias("tok")).agg(
+            F.countDistinct("tok").alias("v")
+        )
+    )
+    sc = (
+        dbt.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(v)
+        .select(
+            "doc_id",
+            "m",
+            (
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    pd = sc.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        (
+            dsum(F.col("m").cast("double") * F.col("p"))
+            / F.sum("m").cast("double")
+        ).alias("avg_bigram_p"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(pd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_bigram_p",
+        )
+    )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, length(text) AS n_chars, len({_DUCK_TOKS}) AS ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE)
+             AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star tokenizer eval: per-language fertility (subword
+    tokens per whitespace word) and chars-per-token — the standard
+    multilingual-tokenizer efficiency report (fertility per language
+    decides vocab allocation before a big pretraining run). Uses the
+    same BPE-ish segmentation as text_token_count so the two faces
+    reconcile. Map-only scoring + one 5-row lang aggregate; integer
+    sums are exact so no decimal path is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.expr(_SPARK_TOKS)).alias("ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("bpe"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("n_ws_tokens"),
+        F.sum("bpe").alias("n_bpe_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        (F.sum("bpe").cast("double") / F.sum("ws").cast("double"))
+        .alias("fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("bpe").cast("double"))
+        .alias("chars_per_token"),
     )
