@@ -90,22 +90,60 @@ def test_window_prioritizes_unverified():
         assert name in window
 
 
-def test_next_window_contains_every_never_attempted_query():
-    """Round-6 debt pin (round-5 verdict item 1): every registered query
-    that has NEVER held a driver window slot must be inside the upcoming
+# The 50 names that had no driver CORRECTNESS row after round 5 (the 34
+# round-5 backlog + the 16 round-6 additions).  Pinned BY NAME so later
+# registrations provably cannot displace them from the round-6 window.
+ROUND6_DEBT = frozenset({
+    "mine_hard_negatives", "retrieval_eval_ndcg", "cluster_kmeans_assign",
+    "dedup_semantic", "semdedup_recall", "jaccard_cap_recall",
+    "lm_bigram_score", "tokenizer_fertility", "curate_dsir_masses",
+    "curate_dsir_select", "stream_static_enrich", "stream_tws_totals",
+    "stream_dedup_incremental", "multimodal_decode_png",
+    "multimodal_decode_jpeg", "window_moving_median", "table_diff",
+    "dq_checks", "funnel_time_to_convert", "cohort_retention",
+    "events_path_ngrams", "agg_mode_per_key", "window_anomaly_zscore",
+    "timeseries_gapfill", "join_bloom_filtered", "concurrency_sweep",
+    "join_partition_pruned", "profile_table", "agg_histogram",
+    "agg_histogram_equidepth", "recursive_cte_closure", "events_rfm",
+    "attribution_first_touch", "rolling_active_users", "join_fuzzy_string",
+    "agg_skyline", "agg_gini", "agg_corr_matrix", "diagnose_skew",
+    "orders_pareto_abc", "events_anomaly_seasonal", "window_ewma",
+    "anomaly_mad", "udtf_sentences", "udf_mapinarrow", "json_variant",
+    "layout_cluster_zorder", "agg_sketch_setops", "scan_schema_evolution",
+    "join_asof_nearest",
+})
+
+
+def test_round6_debt_window_pin():
+    """Round-6 debt pin (round-5 verdict item 1): every ROUND6_DEBT name
+    that still has no driver row must hold a slot in the upcoming
     first-50 window, so the driver-verification debt provably clears.
-    Guards against new registrations displacing the backlog: adding more
-    than (50 - backlog) new queries in one round would push some of the
-    never-attempted names out again."""
+    Round-7 registrations land AFTER all of these in registration order
+    (registry._load_all_modules import order), so the tier-1 FIFO sort
+    keeps the debt fronted until its rows land."""
     qs = list(registry.all_queries())
     _verified, attempted, _ = registry._driver_history()
-    never = [n for n in qs if n not in attempted]
+    debt = [n for n in ROUND6_DEBT if n not in attempted]
     window = set(qs[:50])
-    outside = [n for n in never if n not in window]
+    outside = [n for n in debt if n not in window]
     assert not outside, (
-        f"{len(never)} never-attempted queries but {len(outside)} fell "
-        f"outside the 50-slot window: {outside}"
+        f"{len(debt)} round-6 debt queries unverified but {len(outside)} "
+        f"fell outside the 50-slot window: {outside}"
     )
+
+
+def test_never_attempted_tier_is_fifo():
+    """Within the never-attempted tier the window must fill oldest-
+    registration-first: no never-attempted query may sit outside the
+    window while a LATER-registered never-attempted one holds a slot.
+    This is what lets new waves register without displacing old debt."""
+    qs = list(registry.all_queries())
+    _verified, attempted, _ = registry._driver_history()
+    reg_order = {n: i for i, n in enumerate(registry._QUERIES)}
+    never = [n for n in qs if n not in attempted]
+    in_window = [reg_order[n] for n in never if n in set(qs[:50])]
+    outside = [reg_order[n] for n in never if n not in set(qs[:50])]
+    assert not in_window or not outside or max(in_window) < min(outside)
 
 
 def test_rotation_is_deterministic():
