@@ -1,0 +1,243 @@
+"""Invariant + plan gates for the round-7 wave (temporal_ops,
+curation_dq, collocations, graph_kcore).  Cross-engine value equality is
+covered by test_oracle_parity; these pin the semantic properties the
+oracle can't see (tolerance bounds, fixpoints, planted pathologies) and
+the physical plans the docstrings promise."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark import registry
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = registry.run(name, spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------------------
+# temporal_ops
+# --------------------------------------------------------------------------
+
+
+def test_asof_tolerance_bound_and_coverage(spark, sf_oracle):
+    """Every surviving match is genuinely within tolerance (re-derived
+    against the raw events), and the bound bites both ways."""
+    from vector_ai_npm_spark.io.sources import load_table
+
+    out = registry.run("join_asof_tolerance", spark, sf_oracle)
+    ev = load_table(spark, sf_oracle, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    joined = (
+        out.join(purchases, out["purchase_event_id"] == purchases["p_id"])
+        .join(clicks, out["fresh_click_event_id"] == clicks["c_id"])
+    )
+    bad = joined.where(
+        (F.col("c_user") != F.col("user_id"))
+        | (F.col("c_ts") > F.col("p_ts"))
+        | ((F.col("p_ts") - F.col("c_ts")) > F.expr("INTERVAL 1 DAY"))
+    ).count()
+    assert bad == 0
+    n, matched = out.agg(
+        F.count("*"), F.count("fresh_click_event_id")
+    ).first()
+    assert 0 < matched < n  # the bound bites in both directions
+
+
+def test_asof_tolerance_single_shuffle(spark, sf_smoke):
+    """One user_id exchange, no join operator at all (union-and-carry)."""
+    plan = _plan(spark, "join_asof_tolerance", sf_smoke)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for bad in ("SortMergeJoin", "BroadcastNestedLoop", "Cartesian"):
+        assert bad not in plan, plan
+
+
+def test_dedup_time_window_rule(spark, sf_oracle):
+    """Survivors are unique per (user, type, hour) and are each group's
+    minimum — re-derived independently with a groupBy."""
+    out = registry.run("dedup_time_window", spark, sf_oracle)
+    dupes = (
+        out.groupBy(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+    from vector_ai_npm_spark.io.sources import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    n_groups = (
+        ev.groupBy("user_id", "event_type", F.date_trunc("hour", "ts"))
+        .count()
+        .count()
+    )
+    assert out.count() == n_groups  # exactly one survivor per group
+
+
+def test_dedup_time_window_plans_group_limit(spark, sf_smoke):
+    plan = _plan(spark, "dedup_time_window", sf_smoke)
+    assert "WindowGroupLimit" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# curation_dq
+# --------------------------------------------------------------------------
+
+
+def test_k_anonymity_flags_both_ways(spark, sf_oracle):
+    out = registry.run("dq_k_anonymity", spark, sf_oracle).collect()
+    flags = {r["at_risk"] for r in out}
+    assert flags == {True, False}  # threshold bites without flagging all
+    from vector_ai_npm_spark.operators.curation_dq import _K_ANON
+
+    for r in out:
+        assert r["at_risk"] == (r["group_n"] < _K_ANON)
+
+
+def test_benford_partition_of_orders(spark, sf_oracle):
+    out = registry.run("dq_benford", spark, sf_oracle).collect()
+    assert {r["digit"] for r in out} <= {str(d) for d in range(1, 10)}
+    from vector_ai_npm_spark.io.sources import load_table
+
+    n_orders = load_table(spark, sf_oracle, "orders").count()
+    assert sum(r["obs"] for r in out) == n_orders
+    for r in out:
+        assert r["chi2_term"] >= 0.0
+        assert r["expected_n"] > 0.0
+    # expectations are a probability distribution over observed digits
+    from vector_ai_npm_spark.operators.curation_dq import _BENFORD_P
+
+    assert math.isclose(sum(_BENFORD_P.values()), 1.0, rel_tol=1e-12)
+
+
+def test_embedding_hygiene_planted_pathologies(spark):
+    """The fixture is clean; plant NaN / Inf / zero / short vectors and
+    check each is caught."""
+    from vector_ai_npm_spark.operators.curation_dq import hygiene_frame
+
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, [float("nan"), 1.0]),
+        (3, [float("inf"), 1.0]),
+        (4, [0.0, 0.0]),
+        (5, [1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in hygiene_frame(df).collect()}
+    assert got[1]["l2_norm"] == 5.0 and got[1]["n_nonfinite"] == 0
+    assert got[2]["n_nonfinite"] == 1
+    assert got[3]["n_nonfinite"] == 1
+    assert got[4]["is_zero"] and got[4]["l2_norm"] == 0.0
+    assert got[5]["dim"] == 1
+
+
+def test_embedding_hygiene_is_map_only(spark, sf_smoke):
+    plan = _plan(spark, "embedding_hygiene", sf_smoke)
+    assert "Exchange" not in plan, plan
+
+
+def test_delete_cascade_contract(spark, sf_oracle):
+    out = {r["table_name"]: r for r in
+           registry.run("delete_cascade", spark, sf_oracle).collect()}
+    for t in ("documents", "embeddings"):
+        r = out[t]
+        assert r["rows_before"] - r["rows_deleted"] == r["rows_after"]
+        assert r["orphans_after"] == 0
+        assert r["rows_deleted"] > 0  # the request set is non-empty
+
+
+def test_majority_vote_properties(spark, sf_oracle):
+    from vector_ai_npm_spark.io.sources import load_table
+
+    out = registry.run("label_majority_vote", spark, sf_oracle)
+    n_vecs = load_table(spark, sf_oracle, "embeddings").count()
+    rows = out.collect()
+    assert len(rows) == n_vecs  # exactly one decision per example
+    assert len({r["vec_id"] for r in rows}) == n_vecs
+    for r in rows:
+        assert 0 <= r["voted_label"] <= 9
+        assert 1 <= r["n_votes"] <= 3
+    # with 20% corruption per annotator most votes should be unanimous
+    unanimous = sum(r["unanimous"] for r in rows)
+    assert unanimous > len(rows) // 2
+
+
+# --------------------------------------------------------------------------
+# collocations
+# --------------------------------------------------------------------------
+
+
+def test_pmi_topk_shape_and_ordering(spark, sf_oracle):
+    rows = registry.run("text_pmi_cooccur", spark, sf_oracle).collect()
+    assert len(rows) == 20
+    assert len({(r["w1"], r["w2"]) for r in rows}) == 20
+    lifts = [r["lift_ppm"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["c12"] >= 5
+        assert r["c1"] >= r["c12"] and r["c2"] >= r["c12"]
+        assert r["lift_ppm"] > 0
+
+
+def test_pmi_no_cartesian(spark, sf_smoke):
+    plan = _plan(spark, "text_pmi_cooccur", sf_smoke)
+    # the only nested-loop is the broadcast 1-row total frame
+    assert "CartesianProduct" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# graph_kcore
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_kcore_fixpoint_reached(spark, sf):
+    """The unrolled round count exceeds the peel depth: one extra round
+    changes nothing, so the fixed unroll IS the exact k-core."""
+    from vector_ai_npm_spark.operators.graph_kcore import _ROUNDS, kcore
+
+    a = {(r["node"], r["core_deg"])
+         for r in kcore(spark, sf, rounds=_ROUNDS).collect()}
+    b = {(r["node"], r["core_deg"])
+         for r in kcore(spark, sf, rounds=_ROUNDS + 1).collect()}
+    assert a == b
+    assert a  # non-trivial core at fixture scale
+
+
+def test_kcore_is_subgraph_with_min_degree(spark, sf_oracle):
+    """Every member's degree within the member-induced subgraph is ≥ k
+    (re-derived from the raw symmetric edges, not the operator)."""
+    from vector_ai_npm_spark.operators.graph_kcore import _K
+    from vector_ai_npm_spark.operators.graph_ops import (
+        _pagerank_sym_cached,
+    )
+
+    core = registry.run("graph_kcore", spark, sf_oracle)
+    nodes = core.select("node")
+    sym = _pagerank_sym_cached(spark, sf_oracle)
+    induced_deg = (
+        sym.join(nodes, "node", "left_semi")
+        .join(nodes.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+        .groupBy("node")
+        .count()
+    )
+    assert induced_deg.where(F.col("count") < _K).count() == 0
+    # and the reported core_deg equals the induced degree
+    mismatch = (
+        core.join(induced_deg, "node")
+        .where(F.col("core_deg") != F.col("count"))
+        .count()
+    )
+    assert mismatch == 0

@@ -79,6 +79,13 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.tpch_extra  # noqa: F401
     import vector_ai_npm_spark.operators.scale_suite  # noqa: F401
     import vector_ai_npm_spark.operators.relational  # noqa: F401
+    # --- round-7 wave: registered LAST so the tier-1 FIFO sort keeps
+    # the round-6 debt window (tests/test_registry_rotation.py
+    # ROUND6_DEBT) intact until its driver rows land ---
+    import vector_ai_npm_spark.operators.temporal_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.curation_dq  # noqa: F401
+    import vector_ai_npm_spark.text.collocations  # noqa: F401
+    import vector_ai_npm_spark.operators.graph_kcore  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
