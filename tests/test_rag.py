@@ -379,3 +379,43 @@ def test_engine_diff_snapshots_facade(spark):
     assert rows[2].diff_status == "changed" and rows[2].v_new == 25.0
     assert rows[3].diff_status == "changed"  # NULL → 30.0 surfaces
     assert rows[4].diff_status == "added" and rows[4].s_old is None
+
+
+def test_delete_data_cascades_and_preserves_queries(spark, tmp_path):
+    """GDPR delete: every chunk of the deleted doc disappears, other
+    docs' chunks survive, and the store stays queryable (version-flip
+    rewrite, never a half-deleted read)."""
+    eng = VectorEngine(
+        spark, EngineConfig(chunk_size=120, chunk_overlap=30,
+                            store_path=str(tmp_path)),
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "## Context\nalpha doc\n## Body\nalpha content here"),
+            (2, "## Context\nbeta doc\n## Body\nbeta content here"),
+        ],
+        ["doc_id", "mdx"],
+    )
+    eng.ingest_data(docs, db_table="docs")
+    store_before = spark.read.parquet(f"{tmp_path}/docs")
+    n_doc1 = store_before.where("doc_id = 1").count()
+    assert n_doc1 > 0
+
+    audit = eng.delete_data([1], db_table="docs")
+    assert audit["rows_deleted"] == n_doc1
+    assert audit["rows_before"] - audit["rows_deleted"] == audit["rows_after"]
+
+    store_after = spark.read.parquet(f"{tmp_path}/docs")
+    assert store_after.where("doc_id = 1").count() == 0
+    assert store_after.where("doc_id = 2").count() > 0
+    # still queryable through the reference-shaped API
+    emb = eng.create_embeddings("beta content")
+    res = eng.query_embeddings(emb, db_table="docs", count=2)
+    assert res["context"]
+    assert all("alpha" not in c for c in res["context"])
+
+
+def test_delete_data_missing_table_is_descriptive(spark, tmp_path):
+    eng = VectorEngine(spark, EngineConfig(store_path=str(tmp_path)))
+    with pytest.raises(ValueError, match="no data"):
+        eng.delete_data([1], db_table="ghost")

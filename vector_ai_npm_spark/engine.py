@@ -369,8 +369,51 @@ class VectorEngine:
         )
         validate_context(split_mdx_headers(docs), strict=True)
         out = ingest_pipeline(docs, self.config)
-        (out.select("content", "embedding", F_to_json_metadata(out))
+        # doc_id is stored alongside the reference's (content, embedding,
+        # metadata) triple so delete_data can cascade by source document —
+        # additive: readers of the reference shape never touch it
+        (out.select("doc_id", "content", "embedding", F_to_json_metadata(out))
             .write.mode("append").parquet(self._store_path(db_table)))
+
+    def delete_data(self, doc_ids: list[int], db_table: str) -> dict:
+        """Right-to-be-forgotten: remove every store row derived from the
+        given source documents (all chunks/sub-chunks/embeddings cascade,
+        since each store row carries its doc_id).
+
+        No reference counterpart — the reference client can only INSERT
+        (vector-client.ts has no delete path); this closes the GDPR gap
+        its store would accumulate.  The rewrite is a broadcast anti-join
+        (request set is dim-sized) published by version flip: write the
+        surviving rows to a fresh directory, then swap — readers never
+        see a half-deleted store.  Returns the audit counts the
+        `delete_cascade` registry query formalizes (zero-orphan contract).
+        """
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        path = self._store_path(db_table)
+        if not os.path.isdir(path):
+            raise ValueError(f"vector store table {db_table!r} has no data")
+        store = self.spark.read.parquet(path)
+        ids = self.spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+        survivors = store.join(F.broadcast(ids), "doc_id", "left_anti")
+        before = store.count()
+        tmp = f"{path}__rewrite"
+        survivors.write.mode("overwrite").parquet(tmp)
+        after = self.spark.read.parquet(tmp).count()
+        old = f"{path}__pre_delete"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return {
+            "rows_before": before,
+            "rows_deleted": before - after,
+            "rows_after": after,
+        }
 
     def create_embeddings(self, question: str) -> list[float]:
         """`createEmbeddings(question)` (vector-client.ts:375-388) with
