@@ -58,6 +58,10 @@ PLAN_QUERIES = (
     ("table_diff", "full-outer PK join + null-safe residual"),
     ("stream_topk", "windowed count + per-window rank"),
     ("graph_jaccard_neighbors", "capped 2-path self-join (deg<=64 centers)"),
+    ("join_asof_tolerance", "one user shuffle, zero joins, post-carry bound"),
+    ("dedup_time_window", "WindowGroupLimit per (user,type,hour)"),
+    ("embedding_hygiene", "map-only audit: zero Exchange in the plan"),
+    ("text_pmi_cooccur", "type-count shuffles + broadcast unigram sides"),
 )
 
 
