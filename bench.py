@@ -69,6 +69,9 @@ BENCH_QUERIES = (
     "events_rfm",             # two-level exact ntiles over the user frame
     "dq_checks",              # one-scan-per-fact constraint suite
     "orders_pareto_abc",      # exact-decimal two-level cumulative share
+    "dedup_time_window",      # keyed WindowGroupLimit event dedup
+    "text_pmi_cooccur",       # type-count shuffles + broadcast unigrams
+    "graph_kcore",            # iterative peel, per-round checkpoint
 )
 
 
