@@ -241,3 +241,73 @@ def test_kcore_is_subgraph_with_min_degree(spark, sf_oracle):
         .count()
     )
     assert mismatch == 0
+
+
+# --------------------------------------------------------------------------
+# multimodal dhash
+# --------------------------------------------------------------------------
+
+
+def test_dhash_planted_twin_recall(spark, sf_oracle):
+    """Every one-pixel-perturbed twin must be recovered at Hamming <= 2
+    (the perturbation can move at most two sampled gradients)."""
+    from vector_ai_npm_spark.multimodal.phash import _PLANT_OFFSET
+
+    pairs = registry.run("multimodal_dhash_pairs", spark, sf_oracle)
+    planted = pairs.where(
+        (F.col("asset_b") - F.col("asset_a")) == _PLANT_OFFSET
+    )
+    from vector_ai_npm_spark.io.sources import load_table
+
+    n_planted_src = (
+        load_table(spark, sf_oracle, "documents")
+        .where("doc_id % 10 = 0")
+        .count()
+    )
+    got = planted.collect()
+    assert len(got) == n_planted_src  # 100% recall
+    assert all(r["hamming"] <= 2 for r in got)
+
+
+def test_dhash_pairs_has_no_false_positives(spark, sf_oracle):
+    """With full-entropy (≥9×8) images the pairs output is EXACTLY the
+    planted twin set — no unrelated fixture pair survives the band gate
+    plus Hamming verify."""
+    from vector_ai_npm_spark.multimodal.phash import _PLANT_OFFSET
+
+    rows = registry.run("multimodal_dhash_pairs", spark, sf_oracle).collect()
+    assert rows
+    assert all(r["asset_b"] - r["asset_a"] == _PLANT_OFFSET for r in rows)
+
+
+def test_dhash_exact_copy_is_hamming_zero(spark, sf_oracle):
+    """An exact payload copy must produce the identical fingerprint."""
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.multimodal.phash import (
+        _PLANT_OFFSET,
+        dhash_frame,
+        media_with_plants,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents").limit(20)
+    base = media_with_plants(docs).where(F.col("asset_id") < _PLANT_OFFSET)
+    copies = base.select(
+        (F.col("asset_id") + 1_000_000_000).alias("asset_id"), "payload"
+    )
+    hashes = dhash_frame(base.unionByName(copies))
+    a = hashes.where(F.col("asset_id") < 1_000_000_000).select(
+        "asset_id", F.col("dhash").alias("da")
+    )
+    b = hashes.where(F.col("asset_id") >= 1_000_000_000).select(
+        (F.col("asset_id") - 1_000_000_000).alias("asset_id"),
+        F.col("dhash").alias("db"),
+    )
+    j = a.join(b, "asset_id")
+    assert j.count() == 20
+    assert j.where(F.col("da") != F.col("db")).count() == 0
+
+
+def test_dhash_pairs_no_cartesian(spark, sf_smoke):
+    plan = _plan(spark, "multimodal_dhash_pairs", sf_smoke)
+    for bad in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan, plan
