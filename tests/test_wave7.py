@@ -311,3 +311,89 @@ def test_dhash_pairs_no_cartesian(spark, sf_smoke):
     plan = _plan(spark, "multimodal_dhash_pairs", sf_smoke)
     for bad in ("CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# reference-implementation cross-checks (random graphs / event sets)
+# --------------------------------------------------------------------------
+
+
+def _py_kcore(edges: set[tuple[int, int]], k: int) -> dict[int, int]:
+    """Sequential Batagelj-Zaveršnik peeling over an undirected edge set."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1234])
+def test_kcore_matches_sequential_reference_on_random_graphs(spark, seed):
+    """The distributed synchronous peel must equal sequential peeling on
+    arbitrary graphs, not just the co-purchase fixture."""
+    import random
+
+    from vector_ai_npm_spark.operators.graph_kcore import _K
+
+    rng = random.Random(seed)
+    n = 60
+    edges = {
+        (a, b)
+        for _ in range(150)
+        for a, b in [sorted(rng.sample(range(n), 2))]
+    }
+    expected = _py_kcore(edges, _K)
+
+    from pyspark.sql import functions as F2
+
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "node long, nbr long",
+    )
+    cur = sym
+    for _ in range(12):  # > any peel depth at n=60
+        deg = cur.groupBy("node").agg(F2.count(F2.lit(1)).alias("c"))
+        alive = deg.where(F2.col("c") >= _K).select("node").localCheckpoint()
+        cur = (
+            cur.join(alive, "node", "left_semi")
+            .join(alive.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+            .select("node", "nbr")
+            .localCheckpoint()
+        )
+    got = {
+        r["node"]: r["core_deg"]
+        for r in cur.groupBy("node")
+        .agg(F2.count(F2.lit(1)).alias("core_deg"))
+        .where(F2.col("core_deg") >= _K)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_dedup_time_window_matches_bruteforce_reference(spark, sf_smoke):
+    """Survivor set equals a driver-side brute-force of the same rule."""
+    from vector_ai_npm_spark.io.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    rows = ev.collect()
+    best: dict[tuple, tuple] = {}
+    for r in rows:
+        key = (r["user_id"], r["event_type"],
+               r["ts"].replace(minute=0, second=0, microsecond=0))
+        cand = (r["ts"], r["event_id"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    expected = {eid for _, eid in best.values()}
+    got = {
+        r["event_id"]
+        for r in registry.run("dedup_time_window", spark, sf_smoke).collect()
+    }
+    assert got == expected
