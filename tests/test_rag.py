@@ -419,3 +419,34 @@ def test_delete_data_missing_table_is_descriptive(spark, tmp_path):
     eng = VectorEngine(spark, EngineConfig(store_path=str(tmp_path)))
     with pytest.raises(ValueError, match="no data"):
         eng.delete_data([1], db_table="ghost")
+
+
+def test_delete_data_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A delete that died between the two renames leaves the store at
+    __pre_delete; the next call must restore it and then succeed."""
+    import os
+    import shutil
+
+    eng = VectorEngine(
+        spark, EngineConfig(chunk_size=120, chunk_overlap=30,
+                            store_path=str(tmp_path)),
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "## Context\nalpha doc\n## Body\nalpha content here"),
+            (2, "## Context\nbeta doc\n## Body\nbeta content here"),
+        ],
+        ["doc_id", "mdx"],
+    )
+    eng.ingest_data(docs, db_table="docs")
+    path = f"{tmp_path}/docs"
+    # simulate the crash window: store renamed away, stale rewrite left
+    os.rename(path, f"{path}__pre_delete")
+    os.makedirs(f"{path}__rewrite")
+    audit = eng.delete_data([1], db_table="docs")
+    assert audit["rows_deleted"] > 0
+    store = spark.read.parquet(path)
+    assert store.where("doc_id = 1").count() == 0
+    assert store.where("doc_id = 2").count() > 0
+    assert not os.path.isdir(f"{path}__pre_delete")
+    assert not os.path.isdir(f"{path}__rewrite")

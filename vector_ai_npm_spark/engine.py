@@ -383,10 +383,17 @@ class VectorEngine:
         No reference counterpart — the reference client can only INSERT
         (vector-client.ts has no delete path); this closes the GDPR gap
         its store would accumulate.  The rewrite is a broadcast anti-join
-        (request set is dim-sized) published by version flip: write the
-        surviving rows to a fresh directory, then swap — readers never
-        see a half-deleted store.  Returns the audit counts the
-        `delete_cascade` registry query formalizes (zero-orphan contract).
+        (request set is dim-sized) published by rename swap.  The swap is
+        two renames, NOT atomic: a reader racing the instant between them
+        sees a missing table (and retries), never a half-deleted one —
+        and a crash between them is recovered on the next call (the
+        intact pre-delete directory is restored before anything else
+        runs).  Production deployments point readers at a version
+        manifest instead (io/compaction.py's version-flip publish).
+        Returns the audit counts the `delete_cascade` registry query
+        formalizes (zero-orphan contract); rows that predate the
+        doc_id-carrying store schema cannot be attributed to a document
+        and make the delete REFUSE rather than silently survive.
         """
         import os
         import shutil
@@ -394,18 +401,42 @@ class VectorEngine:
         from pyspark.sql import functions as F
 
         path = self._store_path(db_table)
+        old = f"{path}__pre_delete"
+        tmp = f"{path}__rewrite"
+        # crash recovery: a prior delete that died mid-swap left the
+        # intact store at __pre_delete — restore it, then discard any
+        # stale half-written rewrite
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
+        for stale in (tmp, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         if not os.path.isdir(path):
             raise ValueError(f"vector store table {db_table!r} has no data")
-        store = self.spark.read.parquet(path)
+        # mergeSchema: an append-era store may mix pre-doc_id files with
+        # new ones; a single-footer read could silently drop the column
+        store = (
+            self.spark.read.option("mergeSchema", "true").parquet(path)
+        )
+        if "doc_id" not in store.columns:
+            raise ValueError(
+                f"store table {db_table!r} predates the doc_id schema — "
+                "re-ingest (or backfill doc_id) before deleting by document"
+            )
+        unattributed = store.where(F.col("doc_id").isNull()).count()
+        if unattributed:
+            raise ValueError(
+                f"{unattributed} rows in {db_table!r} have no doc_id "
+                "(pre-schema files); a delete would silently skip them — "
+                "backfill doc_id first"
+            )
         ids = self.spark.createDataFrame(
             [(int(i),) for i in doc_ids], "doc_id long"
         )
         survivors = store.join(F.broadcast(ids), "doc_id", "left_anti")
         before = store.count()
-        tmp = f"{path}__rewrite"
         survivors.write.mode("overwrite").parquet(tmp)
         after = self.spark.read.parquet(tmp).count()
-        old = f"{path}__pre_delete"
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

@@ -75,31 +75,35 @@ def _chain(text_col: F.Column | str) -> F.Column:
     ])
 
 
-def media_with_plants(docs: DataFrame) -> DataFrame:
-    """Base P6 payloads (synth_ppm_media recipe) plus, for every
-    ``_PLANT_EVERY``-th doc, a twin whose FIRST pixel byte is corrupted
-    ('z' over the first chain char) — the planted near-dup set."""
+def _payload(body_chain: F.Column) -> F.Column:
     w = (F.lit(9) + F.col("doc_id") % 6).cast("int")
     h = (F.lit(8) + F.col("doc_id") % 4).cast("int")
-    chain = _chain("text")
     header = F.format_string("P6\n%d %d\n255\n", w, h)
-
-    def payload(body_chain: F.Column) -> F.Column:
-        return F.encode(
-            F.concat(header, F.substring(body_chain, F.lit(1), w * h * 3)),
-            "utf-8",
-        )
-
-    base = docs.select(
-        F.col("doc_id").alias("asset_id"), payload(chain).alias("payload")
+    return F.encode(
+        F.concat(header, F.substring(body_chain, F.lit(1), w * h * 3)),
+        "utf-8",
     )
+
+
+def media_base(docs: DataFrame) -> DataFrame:
+    """Base P6 payloads (synth_ppm_media recipe at dHash-sized dims)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _payload(_chain("text")).alias("payload"),
+    )
+
+
+def media_with_plants(docs: DataFrame) -> DataFrame:
+    """``media_base`` plus, for every ``_PLANT_EVERY``-th doc, a twin
+    whose FIRST pixel byte is corrupted ('z' over the first chain char)
+    — the planted near-dup set."""
     perturbed = docs.where(F.col("doc_id") % _PLANT_EVERY == 0).select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("asset_id"),
-        payload(
+        _payload(
             F.concat(F.lit("z"), F.substring(_chain("text"), 2, 511))
         ).alias("payload"),
     )
-    return base.unionByName(perturbed)
+    return media_base(docs).unionByName(perturbed)
 
 
 def dhash_frame(media: DataFrame) -> DataFrame:
@@ -268,10 +272,7 @@ def multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient bit), so a decoder/resample/packing regression flips the
     hash.  Map-only over payloads; only 16 hex chars shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    base = media_with_plants(docs).where(
-        F.col("asset_id") < _PLANT_OFFSET
-    )
-    return dhash_frame(base).select("asset_id", "dhash")
+    return dhash_frame(media_base(docs)).select("asset_id", "dhash")
 
 
 @query(

@@ -116,10 +116,14 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digit")
     )
     obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
-    tot = digits.agg(F.count(F.lit(1)).alias("n"))
-    expected = F.col("n").cast("double") * F.expr(_benford_case("digit"))
+    # the grand total is the sum of the ≤9-row digit aggregate (digits
+    # partition orders): a global window over that tiny frame keeps the
+    # plan a single scan — no second pass over the fact table, and the
+    # single-partition sort is 9 rows by construction
+    tot = F.sum("obs").over(Window.partitionBy())
+    expected = tot.cast("double") * F.expr(_benford_case("digit"))
     dev = F.col("obs").cast("double") - expected
-    return obs.crossJoin(F.broadcast(tot)).select(
+    return obs.select(
         "digit",
         "obs",
         expected.alias("expected_n"),
@@ -320,13 +324,15 @@ def label_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Annotators are synthesized deterministically (md5-derived 20% label
     corruption per annotator) so both engines see identical votes.  The
-    N-leg union is a projection fan-out (no extra scans — Spark reuses
-    the cached relation), tallies aggregate (id, label) cells, and the
-    top-1 rank filter plans as WindowGroupLimit so per-example state is
-    one row.  At corpus scale this is one shuffle keyed by vec_id."""
+    N votes explode from an in-row array — ONE scan of the table (the
+    oracle's UNION ALL legs are equivalent by value; DuckDB rescans its
+    own views, which is its business) — tallies aggregate (id, label)
+    cells, and the top-1 rank filter plans as WindowGroupLimit so
+    per-example state is one row.  At corpus scale this is one shuffle
+    keyed by vec_id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    legs = []
-    for i in range(_N_ANN):
+
+    def vote(i: int) -> F.Column:
         noise = (
             F.conv(
                 F.substring(
@@ -340,15 +346,15 @@ def label_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16, 10,
             ).cast("bigint") % 10
         )
-        legs.append(
-            emb.select(
-                "vec_id",
-                F.when(noise < 2, (F.col("label") + (i + 1)) % 10)
-                .otherwise(F.col("label"))
-                .alias("vote"),
-            )
+        return (
+            F.when(noise < 2, (F.col("label") + (i + 1)) % 10)
+            .otherwise(F.col("label"))
         )
-    votes = legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+    votes = emb.select(
+        "vec_id",
+        F.explode(F.array(*[vote(i) for i in range(_N_ANN)])).alias("vote"),
+    )
     tallies = votes.groupBy("vec_id", "vote").agg(
         F.count(F.lit(1)).alias("n_votes")
     )

@@ -18,7 +18,7 @@ peeling would be).
 Fixed-unroll discipline (the graph_pagerank / recursive-CTE decision):
 the registry face unrolls ``_ROUNDS = 6`` peel rounds — strictly more
 than any fixture needs (measured fixpoint depth: 0 / 3 / 5 rounds at
-sf0.001 / 0.01 / 0.1) — and tests/test_graph_kcore.py proves round
+sf0.001 / 0.01 / 0.1) — and tests/test_wave7.py (test_kcore_fixpoint_reached) proves round
 R−1 ≡ round R on real fixtures, so the unrolled answer IS the exact
 k-core, not an approximation.  The production loop iterates until a
 per-round ``dropped == 0`` 1-row aggregate instead (same plan per
@@ -87,7 +87,7 @@ def kcore(spark: SparkSession, sf_dir: str, k: int = _K,
           rounds: int = _ROUNDS) -> DataFrame:
     """(node, core_deg) for every node of the k-core after ``rounds``
     synchronous peel rounds (exact k-core once fixpoint is reached —
-    pinned on fixtures by tests/test_graph_kcore.py)."""
+    pinned on fixtures by tests/test_wave7.py)."""
     edges = _pagerank_sym_cached(spark, sf_dir)
     for _ in range(rounds):
         deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("c"))

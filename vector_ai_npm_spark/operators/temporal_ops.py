@@ -124,7 +124,7 @@ def dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicates`` within watermark).
 
     ONE shuffle keyed (user_id, event_type, hour); the rank<=1 filter
-    plans as WindowGroupLimit (plan-gated in tests/test_plans.py), so
+    plans as WindowGroupLimit (plan-gated in tests/test_wave7.py), so
     per-key state is one row and nothing but survivors flow downstream.
     Deterministic under duplicate timestamps via the event_id tiebreak.
     """
