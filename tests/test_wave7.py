@@ -397,3 +397,110 @@ def test_dedup_time_window_matches_bruteforce_reference(spark, sf_smoke):
         for r in registry.run("dedup_time_window", spark, sf_smoke).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# LPA / RRF / whitening / stratified sampling
+# --------------------------------------------------------------------------
+
+
+def _py_lpa(edges: set[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Sequential mirror of the deterministic synchronous LPA."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            tally: dict[int, int] = {}
+            for nb in adj[n]:
+                tally[labels[nb]] = tally.get(labels[nb], 0) + 1
+            nxt[n] = min(tally, key=lambda lb: (-tally[lb], lb))
+        labels = nxt
+    return labels
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_lpa_matches_sequential_reference(spark, seed):
+    import random
+
+    from pyspark.sql import functions as F2
+
+    rng = random.Random(seed)
+    n = 40
+    edges = {
+        (a, b)
+        for _ in range(100)
+        for a, b in [sorted(rng.sample(range(n), 2))]
+    }
+    expected = _py_lpa(edges, 3)
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "node long, nbr long",
+    )
+    labels = sym.select("node").distinct().withColumn("label", F2.col("node"))
+    from pyspark.sql import Window as W2
+
+    for _ in range(3):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        tallies = nbr_labels.groupBy("node", "label").agg(
+            F2.count(F2.lit(1)).alias("c")
+        )
+        w = W2.partitionBy("node").orderBy(F2.desc("c"), F2.col("label"))
+        labels = (
+            tallies.withColumn("rn", F2.row_number().over(w))
+            .where(F2.col("rn") == 1)
+            .select("node", "label")
+        )
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == expected
+
+
+def test_lpa_labels_every_node_once(spark, sf_oracle):
+    out = registry.run("graph_community_lpa", spark, sf_oracle)
+    rows = out.collect()
+    assert len(rows) == len({r["node"] for r in rows})
+    n_comm = len({r["community"] for r in rows})
+    assert 1 < n_comm < len(rows)  # neither frozen nor fully collapsed
+
+
+def test_rrf_self_match_ranks_first(spark, sf_oracle):
+    """A query vector is its own nearest neighbor under BOTH rankers, so
+    it must fuse at rank 1 with the maximal possible score."""
+    out = registry.run("retrieval_fusion_rrf", spark, sf_oracle).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["q_vec_id"], []).append(r)
+    assert set(by_q) == {0, 7, 42}
+    for q, rows in by_q.items():
+        assert len(rows) == 10
+        top = min(rows, key=lambda r: r["fused_rank"])
+        assert top["vec_id"] == q
+        assert top["rrf_score"] == 2 * (1000000 // 61)
+
+
+def test_vector_whiten_contract_all_green(spark, sf_oracle):
+    rows = registry.run("vector_whiten", spark, sf_oracle).collect()
+    assert {r["scope"] for r in rows} == {
+        "rows_preserved", "whitened_dim", "unit_variance",
+        "decorrelated", "basis_scaled",
+    }
+    assert all(r["ok"] for r in rows)
+
+
+def test_stratified_sample_exact_k_per_stratum(spark, sf_oracle):
+    from vector_ai_npm_spark.operators.curation_dq import _STRAT_K
+
+    out = registry.run("sample_stratified_k", spark, sf_oracle)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert set(counts) == {"de", "en", "es", "fr", "zh"}
+    assert all(c == _STRAT_K for c in counts.values())
+    # deterministic: same draw every run
+    again = registry.run("sample_stratified_k", spark, sf_oracle)
+    assert {(r["lang"], r["doc_id"]) for r in out.collect()} == {
+        (r["lang"], r["doc_id"]) for r in again.collect()
+    }

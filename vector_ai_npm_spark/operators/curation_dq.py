@@ -369,3 +369,40 @@ def label_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_votes") == _N_ANN).alias("unanimous"),
         )
     )
+
+
+_STRAT_K = 10
+
+
+@query(
+    "sample_stratified_k",
+    oracle=f"""
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#stratk'), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_STRAT_K}
+    """,
+)
+def sample_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample: k docs per language by md5 rank — the
+    deterministic eval-set / human-review draw (every stratum gets
+    exactly min(k, n) members, unlike Bernoulli sampling's variance;
+    the hash order is seedless and partitioning-stable, the
+    curate_split_train_val discipline).
+
+    One shuffle keyed by stratum; rank ≤ k plans as WindowGroupLimit so
+    per-stratum state is k rows — at 100 TB the draw never holds a
+    stratum's full membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#stratk")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _STRAT_K)
+        .select("lang", "doc_id")
+    )
