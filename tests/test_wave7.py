@@ -504,3 +504,56 @@ def test_stratified_sample_exact_k_per_stratum(spark, sf_oracle):
     assert {(r["lang"], r["doc_id"]) for r in out.collect()} == {
         (r["lang"], r["doc_id"]) for r in again.collect()
     }
+
+
+# --------------------------------------------------------------------------
+# experimentation / winsorization / diversity
+# --------------------------------------------------------------------------
+
+
+def test_ab_test_partitions_users(spark, sf_oracle):
+    from vector_ai_npm_spark.io.sources import load_table
+
+    rows = {r["arm"]: r for r in
+            registry.run("ab_test_summary", spark, sf_oracle).collect()}
+    assert set(rows) == {"control", "treatment"}
+    n_users = (
+        load_table(spark, sf_oracle, "events")
+        .select("user_id").distinct().count()
+    )
+    assert rows["control"]["n_users"] + rows["treatment"]["n_users"] == n_users
+    for r in rows.values():
+        assert 0 <= r["n_converters"] <= r["n_users"]
+        assert 0.0 <= r["conversion_rate"] <= 1.0
+        # hash split should be roughly balanced, not degenerate
+        assert r["n_users"] > n_users // 4
+
+
+def test_winsorize_bounds_and_preservation(spark, sf_oracle):
+    out = registry.run("curate_winsorize", spark, sf_oracle)
+    from vector_ai_npm_spark.io.sources import load_table
+
+    assert out.count() == load_table(spark, sf_oracle, "events").count()
+    # clamped values sit exactly at a percentile bound; others unchanged
+    bad = out.where(
+        (~F.col("clamped") & (F.col("value") != F.col("value_winsorized")))
+        | (F.col("clamped") & (F.col("value") == F.col("value_winsorized")))
+    ).count()
+    assert bad == 0
+    frac = out.where("clamped").count() / out.count()
+    assert 0.0 < frac <= 0.03  # ~2% tails by construction
+
+
+def test_distinct_ngrams_shape(spark, sf_oracle):
+    rows = registry.run("text_distinct_ngrams", spark, sf_oracle).collect()
+    langs = {"de", "en", "es", "fr", "zh"}
+    assert {(r["lang"], r["n"]) for r in rows} == {
+        (lg, n) for lg in langs for n in (1, 2)
+    }
+    for r in rows:
+        assert 0 < r["distinct_n"] <= r["total_n"]
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+    # bigrams are strictly more diverse than unigrams on word salad
+    by = {(r["lang"], r["n"]): r["distinct_ratio"] for r in rows}
+    for lg in langs:
+        assert by[(lg, 2)] > by[(lg, 1)]

@@ -89,6 +89,7 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.multimodal.phash  # noqa: F401
     import vector_ai_npm_spark.operators.graph_lpa  # noqa: F401
     import vector_ai_npm_spark.retrieval.fusion  # noqa: F401
+    import vector_ai_npm_spark.operators.experiment_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:

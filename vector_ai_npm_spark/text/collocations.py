@@ -101,3 +101,66 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(_TOP_K)
     )
+
+
+@query(
+    "text_distinct_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+    uni AS (SELECT lang, unnest(toks) AS g FROM t),
+    bi AS (SELECT lang, toks[r.i] || ' ' || toks[r.i + 1] AS g
+           FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)),
+    stats AS (
+      SELECT lang, 1 AS n,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_n,
+             CAST(COUNT(*) AS BIGINT) AS total_n
+      FROM uni GROUP BY lang
+      UNION ALL
+      SELECT lang, 2,
+             CAST(COUNT(DISTINCT g) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM bi GROUP BY lang
+    )
+    SELECT lang, n, distinct_n, total_n,
+           CAST(distinct_n AS DOUBLE) / CAST(total_n AS DOUBLE)
+             AS distinct_ratio
+    FROM stats
+    """,
+)
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report: distinct-1 / distinct-2 ratios per
+    language (Li et al. 2016's generation-diversity metric, applied as
+    the mode-collapse / template-spam screen on training corpora — a
+    low distinct-2 means the corpus repeats the same phrasings).
+
+    N-grams reduce to per-(lang, n) DISTINCT + total counts; the
+    distinct is one vocabulary-sized exact aggregate per n (no sketch
+    needed — the STATE is distinct grams, sublinear in corpus), and the
+    ratio is a per-row scalar divide of identical integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.expr(_SPARK_TOKS).alias("toks"))
+    uni = t.select("lang", F.explode("toks").alias("g"))
+    bi = t.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("g"),
+    )
+
+    def stats(df: DataFrame, n: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.countDistinct("g").alias("distinct_n"),
+            F.count(F.lit(1)).alias("total_n"),
+        ).select("lang", F.lit(n).alias("n"), "distinct_n", "total_n")
+
+    out = stats(uni, 1).unionByName(stats(bi, 2))
+    return out.select(
+        "lang", "n", "distinct_n", "total_n",
+        (
+            F.col("distinct_n").cast("double")
+            / F.col("total_n").cast("double")
+        ).alias("distinct_ratio"),
+    )
