@@ -72,6 +72,8 @@ BENCH_QUERIES = (
     "dedup_time_window",      # keyed WindowGroupLimit event dedup
     "text_pmi_cooccur",       # type-count shuffles + broadcast unigrams
     "graph_kcore",            # iterative peel, per-round checkpoint
+    "graph_community_lpa",    # 3-round synchronous LPA unroll
+    "ab_test_summary",        # join-free two-level experiment rollup
 )
 
 
