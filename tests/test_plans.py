@@ -516,3 +516,112 @@ def test_semantic_dedup_and_lm_plans(spark, sf_smoke):
     plan = _plan(spark, "tokenizer_fertility", sf_smoke)
     assert "Join" not in plan
     assert "ReadSchema" in plan and "text" in plan and "lang" in plan
+
+
+def test_latest_wave_plans(spark, sf_smoke):
+    """Plan gates for the LPA/RRF/experimentation wave.
+
+    * graph_community_lpa: every round's neighbor-label spread is an
+      equi-join on the neighbor key and the argmax is a
+      WindowGroupLimit — no cartesian anywhere in the 3-round unroll.
+    * retrieval_fusion_rrf: the query batch attaches by broadcast NLJ
+      (contract: k queries), and the fuse of the two k-row rankings is
+      never a cross product.
+    * sample_stratified_k: the per-stratum top-k is a WindowGroupLimit
+      (rank state k rows per stratum), not a global sort.
+    * ab_test_summary: pure two-level aggregate — no join in the plan;
+      the arm hash rides the event scan.
+    * curate_winsorize: the |event_type|-row stats frame comes back as
+      a broadcast hash join; the fact side never sort-merge shuffles.
+    * text_distinct_ngrams: unigram and bigram branches are join-free
+      scans; the only wide ops are the distinct aggregates.
+    * multimodal_dhash_pairs: banded Hamming candidates pair up via
+      equi-join on the band key — no all-pairs product.
+    """
+    plan = _plan(spark, "graph_community_lpa", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+    plan = _plan(spark, "retrieval_fusion_rrf", sf_smoke)
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "sample_stratified_k", sf_smoke)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "ab_test_summary", sf_smoke)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+    plan = _plan(spark, "curate_winsorize", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(spark, "text_distinct_ngrams", sf_smoke)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "multimodal_dhash_pairs", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wave8_plans(spark, sf_smoke):
+    """Plan gates for the KS/line-dedup/BM25 wave.
+
+    * drift_ks_arms: per-value counts + two-level prefix windows; the
+      only NLJs are the sanctioned broadcast scalar frames (carry,
+      n-pair) — never a data-sized cross product.
+    * curate_line_dedup: the boilerplate set attaches as a BROADCAST
+      LeftAnti build side (corpus text never shuffles for membership),
+      and the frequency count runs over hashes, not a sort-merge.
+    * text_bm25: the corpus tokenizes exactly ONCE — df/dl are windows
+      over the doc-term matrix, not re-aggregated branches that would
+      duplicate the Generate subtree (the text_tfidf lesson); the query
+      batch and totals attach as broadcasts.
+    * text_bm25_topk: per-query top-k is a WindowGroupLimit, not a
+      global sort.
+    """
+    plan = _plan(spark, "drift_ks_arms", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    plan = _plan(spark, "curate_line_dedup", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    plan = _plan(spark, "text_bm25", sf_smoke)
+    assert plan.count("Generate") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "text_bm25_topk", sf_smoke)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Generate") == 1
+
+
+def test_wave9_plans(spark, sf_smoke):
+    """Plan gates for the pass@k / ppl-bucket / l-diversity wave.
+
+    * eval_pass_at_k: join-free — one task aggregate, a 2-element
+      explode lattice, a 2-row rollup.
+    * curate_ppl_buckets: the per-language rank must be the grouped
+      two-level decomposition — every Window sort is partitioned (no
+      single-partition global sort), stats and carry attach as
+      broadcasts.
+    * dq_l_diversity: one scan, exact COUNT DISTINCT as the two-phase
+      (cell,user) pre-dedup aggregate — no join, no window, no Expand.
+    """
+    plan = _plan(spark, "eval_pass_at_k", sf_smoke)
+    assert "Join" not in plan
+    assert "Generate" in plan  # the k lattice explode
+
+    plan = _plan(spark, "curate_ppl_buckets", sf_smoke)
+    assert "CartesianProduct" not in plan
+    # stats + carry attach as broadcasts (the grouped two-level rank)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+    plan = _plan(spark, "dq_l_diversity", sf_smoke)
+    assert "Join" not in plan
+    assert "partial_count(distinct" in plan  # two-phase exact distinct
+    assert "Window" not in plan

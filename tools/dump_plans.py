@@ -62,6 +62,18 @@ PLAN_QUERIES = (
     ("dedup_time_window", "WindowGroupLimit per (user,type,hour)"),
     ("embedding_hygiene", "map-only audit: zero Exchange in the plan"),
     ("text_pmi_cooccur", "type-count shuffles + broadcast unigram sides"),
+    ("retrieval_fusion_rrf", "two windowed rankings over one broadcast NLJ"),
+    ("sample_stratified_k", "stratum-keyed WindowGroupLimit, no global sort"),
+    ("ab_test_summary", "join-free two-level aggregate, hash rides the scan"),
+    ("curate_winsorize", "grouped percentiles broadcast back over the fact"),
+    ("text_distinct_ngrams", "join-free distinct-gram aggregates per n"),
+    ("multimodal_dhash_pairs", "banded Hamming equi-join, no all-pairs"),
+    ("drift_ks_arms", "exact KS via two-level prefix, no global sort"),
+    ("curate_line_dedup", "hash-only freq count + broadcast anti-join"),
+    ("text_bm25", "one Generate; df/dl windows over the doc-term matrix"),
+    ("eval_pass_at_k", "join-free task aggregate + k lattice"),
+    ("curate_ppl_buckets", "grouped two-level ntile, broadcast stats/carry"),
+    ("dq_l_diversity", "two-phase exact distinct, no Expand, no join"),
 )
 
 

@@ -406,3 +406,36 @@ def sample_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _STRAT_K)
         .select("lang", "doc_id")
     )
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT user_id) < 5 AS at_risk
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit, the k-anonymity sibling: distinct-l-diversity
+    (Machanavajjhala 2007) over the (event_type, day) quasi-identifier —
+    a cell whose rows all belong to < l distinct users leaks the
+    sensitive attribute (who acted) even when the cell itself is large,
+    the attack k-anonymity misses.  Release gate for event-log extracts,
+    next to `dq_k_anonymity`'s document gate.
+
+    Exact COUNT DISTINCT plans as the two-phase expand: partial dedup on
+    (cell, user) then a cell count — shuffle state is distinct
+    (cell, user) PAIRS, sublinear in events; the quasi-ID frame itself
+    is |types|×|days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    return ev.groupBy("event_type", day).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.countDistinct("user_id").alias("l_distinct"),
+        (F.countDistinct("user_id") < 5).alias("at_risk"),
+    )

@@ -16,13 +16,28 @@
   as `anomaly_mad` (grouped percentile pass over the fact, stats-sized
   join back), one fact shuffle total.
 
+* `drift_ks_arms` — the two-sample Kolmogorov-Smirnov statistic between
+  the arms' purchase-value distributions (the outcome-distribution
+  check experiment platforms run next to the mean readout: a shifted
+  spend distribution with an unchanged mean is exactly what KS sees and
+  a t-test misses).  The statistic D = max|F_a(x) − F_b(x)| is computed
+  EXACTLY in integers: per distinct value the cross-product
+  |cum_a·n_b − cum_b·n_a| avoids any division until the final
+  correctly-rounded DOUBLE cast, so both engines agree bit-for-bit (no
+  erf/ln anywhere — the drift_token_chisq decision applied to KS).
+
 Scale: arm aggregation is 2 rows of state; winsorize stats are
-|event_type| rows broadcast back over the scan.
+|event_type| rows broadcast back over the scan.  The KS cumulatives use
+the concurrency_sweep two-level prefix-sum shape — running sums WITHIN
+floor(value) buckets in parallel, a tiny per-bucket carry frame with its
+own prefix sum, broadcast back — so there is no global single-partition
+sort at any corpus size; cross-products ride DECIMAL(38,0) so n_a·n_b
+never overflows int64 even at 10^12 rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.functions.numeric import dsum, o_dsum
@@ -147,4 +162,114 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("value_winsorized"),
         clamped.alias("clamped"),
+    )
+
+
+@query(
+    "drift_ks_arms",
+    oracle=f"""
+    WITH p AS (
+      SELECT value, {_DUCK_ARM} AS arm FROM events
+      WHERE event_type = 'purchase'
+    ),
+    n AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE arm = 'control') AS BIGINT) AS n_a,
+        CAST(COUNT(*) FILTER (WHERE arm = 'treatment') AS BIGINT) AS n_b
+      FROM p
+    ),
+    per_v AS (
+      SELECT value,
+             CAST(COUNT(*) FILTER (WHERE arm = 'control') AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (WHERE arm = 'treatment') AS BIGINT) AS b
+      FROM p GROUP BY value
+    ),
+    cum AS (
+      SELECT SUM(a) OVER w AS ca, SUM(b) OVER w AS cb
+      FROM per_v
+      WINDOW w AS (ORDER BY value ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT n.n_a, n.n_b,
+           CAST(MAX(ABS(CAST(cum.ca AS DECIMAL(38,0)) * n.n_b
+                        - CAST(cum.cb AS DECIMAL(38,0)) * n.n_a))
+                AS DECIMAL(38,0)) AS ks_num,
+           CAST(CAST(n.n_a AS DECIMAL(38,0)) * n.n_b AS DECIMAL(38,0))
+             AS ks_den,
+           CAST(MAX(ABS(CAST(cum.ca AS DECIMAL(38,0)) * n.n_b
+                        - CAST(cum.cb AS DECIMAL(38,0)) * n.n_a)) AS DOUBLE)
+             / CAST(CAST(n.n_a AS DECIMAL(38,0)) * n.n_b AS DOUBLE)
+             AS ks_stat
+    FROM cum CROSS JOIN n
+    GROUP BY n.n_a, n.n_b
+    """,
+)
+def drift_ks_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS between the arms' purchase-value distributions —
+    see module docstring.  D's maximum over x only needs F_a/F_b at the
+    distinct observed values, so the frame collapses to per-value pair
+    counts first; the empirical-CDF running sums are two-level (bucket
+    window + tiny carry), never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "value", F.expr(_SPARK_ARM).alias("arm")
+    )
+    per_v = p.groupBy("value").agg(
+        F.count(F.when(F.col("arm") == "control", 1)).alias("a"),
+        F.count(F.when(F.col("arm") == "treatment", 1)).alias("b"),
+    ).withColumn("bkt", F.floor("value"))
+    # level 1: running sums within floor(value) buckets (parallel)
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = per_v.select(
+        "bkt",
+        "value",
+        F.sum("a").over(wloc).alias("la"),
+        F.sum("b").over(wloc).alias("lb"),
+    )
+    # level 2: carry-in per bucket — a window over O(value-range) rows
+    bt = per_v.groupBy("bkt").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    wcarry = Window.orderBy(F.col("bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bt.select(
+        "bkt",
+        F.coalesce(F.sum("ta").over(wcarry), F.lit(0)).alias("ca0"),
+        F.coalesce(F.sum("tb").over(wcarry), F.lit(0)).alias("cb0"),
+    )
+    n = p.agg(
+        F.count(F.when(F.col("arm") == "control", 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == "treatment", 1)).alias("n_b"),
+    )
+    cum = loc.join(F.broadcast(carry), "bkt").select(
+        (F.col("la") + F.col("ca0")).cast("decimal(38,0)").alias("ca"),
+        (F.col("lb") + F.col("cb0")).cast("decimal(38,0)").alias("cb"),
+    )
+    num = F.max(
+        F.abs(
+            F.col("ca") * F.col("n_b").cast("decimal(38,0)")
+            - F.col("cb") * F.col("n_a").cast("decimal(38,0)")
+        )
+    ).cast("decimal(38,0)")
+    den = (
+        F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy("n_a", "n_b")
+        .agg(num.alias("ks_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            den.alias("ks_den"),
+            (
+                F.col("ks_num").cast("double") / den.cast("double")
+            ).alias("ks_stat"),
+        )
     )

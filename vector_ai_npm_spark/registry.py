@@ -90,6 +90,10 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.graph_lpa  # noqa: F401
     import vector_ai_npm_spark.retrieval.fusion  # noqa: F401
     import vector_ai_npm_spark.operators.experiment_ops  # noqa: F401
+    import vector_ai_npm_spark.text.line_dedup  # noqa: F401
+    import vector_ai_npm_spark.text.bm25  # noqa: F401
+    import vector_ai_npm_spark.operators.eval_ops  # noqa: F401
+    import vector_ai_npm_spark.text.ppl_buckets  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
