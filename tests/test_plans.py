@@ -625,3 +625,30 @@ def test_wave9_plans(spark, sf_smoke):
     assert "Join" not in plan
     assert "partial_count(distinct" in plan  # two-phase exact distinct
     assert "Window" not in plan
+
+
+def test_wave10_plans(spark, sf_smoke):
+    """Plan gates for the growth/TWAP/freshness wave.
+
+    * events_growth_accounting: both the category rollup and the churn
+      leg reuse ONE user-keyed window shuffle over the distinct
+      (user, day) frame; the watermark is a broadcast scalar and the
+      final day join is tiny.
+    * window_twap: one (user, day)-keyed window then the aggregate on
+      the same key — Catalyst must not insert a second fact exchange
+      between them.
+    * dq_freshness: aggregate + broadcast scalar, no data-sized join.
+    """
+    plan = _plan(spark, "events_growth_accounting", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # scalar watermark legs
+
+    plan = _plan(spark, "window_twap", sf_smoke)
+    assert "Join" not in plan
+    # window and aggregate share the (user_id, day) partitioning: the
+    # plan carries exactly one fact exchange plus the final agg exchange
+    assert plan.count("Exchange") <= 3
+
+    plan = _plan(spark, "dq_freshness", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

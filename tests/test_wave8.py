@@ -218,3 +218,76 @@ def test_l_diversity_matches_python(spark, sf_oracle):
         assert r["l_distinct"] == len(cells[key])
         assert r["group_n"] == sizes[key]
         assert r["at_risk"] == (len(cells[key]) < 5)
+
+
+# --------------------------------------------------------------------------
+# events_growth_accounting / window_twap / dq_freshness
+# --------------------------------------------------------------------------
+
+
+def test_growth_accounting_identity(spark, sf_oracle):
+    """active(d) = new+retained+resurrected, and churned(d) =
+    active(d-1) − retained(d) — the accounting identity, re-derived
+    from the raw (user, day) activity sets."""
+    from datetime import timedelta
+
+    ev = load_table(spark, sf_oracle, "events").collect()
+    active: dict = {}
+    for r in ev:
+        active.setdefault(r["ts"].date(), set()).add(r["user_id"])
+    rows = {r["day"]: r for r in
+            registry.run("events_growth_accounting", spark, sf_oracle).collect()}
+    days = sorted(active)
+    for d in days:
+        r = rows[d]
+        assert (
+            r["new_users"] + r["retained_users"] + r["resurrected_users"]
+            == len(active[d])
+        ), d
+        prev = active.get(d - timedelta(days=1), set())
+        assert r["retained_users"] == len(active[d] & prev), d
+        assert r["churned_users"] == len(prev - active[d]), d
+    # day 1: everyone is new, nobody churned
+    r0 = rows[days[0]]
+    assert r0["new_users"] == len(active[days[0]])
+    assert r0["retained_users"] == r0["resurrected_users"] == 0
+    assert r0["churned_users"] == 0
+
+
+def test_twap_matches_python(spark, sf_oracle):
+    ev = load_table(spark, sf_oracle, "events").collect()
+    by_ud: dict = {}
+    for r in ev:
+        by_ud.setdefault((r["user_id"], r["ts"].date()), []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    got = {(r["user_id"], r["day"]): r for r in
+           registry.run("window_twap", spark, sf_oracle).collect()}
+    n_multi = sum(1 for v in by_ud.values() if len(v) >= 2)
+    assert len(got) == n_multi
+    for key, evs in by_ud.items():
+        if len(evs) < 2:
+            assert key not in got
+            continue
+        evs.sort(key=lambda t: (t[0], t[1]))
+        num = den = 0.0
+        for (t0, _, v), (t1, _, _) in zip(evs, evs[1:]):
+            dt = (t1 - t0).total_seconds()
+            num += v * dt
+            den += dt
+        r = got[key]
+        assert r["n_events"] == len(evs)
+        assert math.isclose(r["twap"], num / den, rel_tol=1e-6)
+        lo = min(v for _, _, v in evs[:-1])
+        hi = max(v for _, _, v in evs[:-1])
+        assert lo - 1e-9 <= r["twap"] <= hi + 1e-9
+
+
+def test_freshness_watermark_anchor(spark, sf_oracle):
+    rows = registry.run("dq_freshness", spark, sf_oracle).collect()
+    assert len(rows) == 5  # the five fixture event types
+    lags = {r["event_type"]: r["lag_seconds"] for r in rows}
+    assert min(lags.values()) == 0  # the watermark type itself
+    for r in rows:
+        assert r["lag_seconds"] >= 0
+        assert r["stale"] == (r["lag_seconds"] > 3600)

@@ -74,6 +74,8 @@ PLAN_QUERIES = (
     ("eval_pass_at_k", "join-free task aggregate + k lattice"),
     ("curate_ppl_buckets", "grouped two-level ntile, broadcast stats/carry"),
     ("dq_l_diversity", "two-phase exact distinct, no Expand, no join"),
+    ("events_growth_accounting", "one user window over distinct (user,day)"),
+    ("window_twap", "window + agg share one (user,day) exchange"),
 )
 
 

@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 # 8 fractional digits captures the fixtures' value scale exactly enough
 # that the per-row double→decimal rounding is identical in both engines;
 # 30 integer+fraction digits leaves headroom for 100 TB row counts.
+#
+# MAGNITUDE BOUND: the per-row double→decimal cast is only engine-
+# identical while |x| ≲ 1e9.  Spark casts via the double's SHORTEST
+# string repr (BigDecimal.decimal → Double.toString, ~17 significant
+# digits) then rounds to scale 8; DuckDB rounds the EXACT binary value.
+# Once integer digits exceed ~9, the 8 fractional digits fall below the
+# shortest-repr resolution and the two roundings diverge (found by
+# window_twap's µs-weighted products at ~1e12 — 3-ulp result drift).
+# Normalize big factors BEFORE the fold (e.g. weight in seconds, not
+# microseconds) so every summand stays under the bound.
 _PREC = 30
 _SCALE = 8
 _DEC = f"decimal({_PREC},{_SCALE})"

@@ -94,6 +94,7 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.text.bm25  # noqa: F401
     import vector_ai_npm_spark.operators.eval_ops  # noqa: F401
     import vector_ai_npm_spark.text.ppl_buckets  # noqa: F401
+    import vector_ai_npm_spark.operators.growth_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
