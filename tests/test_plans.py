@@ -652,3 +652,11 @@ def test_wave10_plans(spark, sf_smoke):
     plan = _plan(spark, "dq_freshness", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_trend_ols_plan(spark, sf_smoke):
+    """OLS is two stacked aggregates — no join, no window, one scan."""
+    plan = _plan(spark, "events_trend_ols", sf_smoke)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1

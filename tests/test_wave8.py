@@ -291,3 +291,26 @@ def test_freshness_watermark_anchor(spark, sf_oracle):
     for r in rows:
         assert r["lag_seconds"] >= 0
         assert r["stale"] == (r["lag_seconds"] > 3600)
+
+
+def test_trend_ols_matches_numpy(spark, sf_oracle):
+    """Distributed closed-form OLS equals numpy's lstsq per group."""
+    import numpy as np
+
+    ev = load_table(spark, sf_oracle, "events").collect()
+    daily: dict = {}
+    for r in ev:
+        x = (r["ts"].date() - __import__("datetime").date(2024, 1, 1)).days
+        daily[(r["event_type"], x)] = daily.get((r["event_type"], x), 0.0) + r["value"]
+    rows = registry.run("events_trend_ols", spark, sf_oracle).collect()
+    for r in rows:
+        pts = sorted(
+            (x, y) for (et, x), y in daily.items() if et == r["event_type"]
+        )
+        assert r["n"] == len(pts)
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        a = np.vstack([xs, np.ones_like(xs)]).T
+        slope, intercept = np.linalg.lstsq(a, ys, rcond=None)[0]
+        assert math.isclose(r["slope"], slope, rel_tol=1e-6, abs_tol=1e-6)
+        assert math.isclose(r["intercept"], intercept, rel_tol=1e-6)

@@ -76,6 +76,7 @@ PLAN_QUERIES = (
     ("dq_l_diversity", "two-phase exact distinct, no Expand, no join"),
     ("events_growth_accounting", "one user window over distinct (user,day)"),
     ("window_twap", "window + agg share one (user,day) exchange"),
+    ("events_trend_ols", "closed-form OLS power sums, single scan"),
 )
 
 

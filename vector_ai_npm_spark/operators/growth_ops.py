@@ -258,3 +258,76 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_s.cast("long").alias("lag_seconds"),
         (lag_s > _FRESH_SLA_S).alias("stale"),
     )
+
+
+@query(
+    "events_trend_ols",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS x,
+             {o_dsum('value')} AS y
+      FROM events GROUP BY event_type, x
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             {o_dsum('y')} AS sy,
+             {o_dsum('CAST(x AS DOUBLE) * y')} AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type revenue trend: closed-form OLS of daily value
+    totals against the day index (the metric-trend line every analytics
+    dashboard draws).  Distributed OLS is just power sums — n, Σx, Σx²,
+    Σy, Σxy — folded once per group; slope and intercept are scalar
+    arithmetic on the 5-row frame afterward.
+
+    Cross-engine determinism: x is an exact integer day index, so Σx
+    and Σx² are exact BIGINTs; the y folds ride exact decimal (dsum,
+    summands ≲1e4 — far under the 1e9 bridge bound); slope/intercept
+    are identical double expression chains in both engines.  Scale: two
+    keyed aggregates (events → daily cells → |types| rows); nothing
+    wider than the |types|×|days| daily frame ever shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+        )
+        .cast("long")
+        .alias("x"),
+    ).agg(dsum("value", "y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum("y", "sy"),
+        dsum(F.col("x").cast("double") * F.col("y"), "sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * sxd) / nd).alias("intercept"),
+    )
