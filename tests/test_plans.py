@@ -573,8 +573,10 @@ def test_wave8_plans(spark, sf_smoke):
       only NLJs are the sanctioned broadcast scalar frames (carry,
       n-pair) — never a data-sized cross product.
     * curate_line_dedup: the boilerplate set attaches as a BROADCAST
-      LeftAnti build side (corpus text never shuffles for membership),
-      and the frequency count runs over hashes, not a sort-merge.
+      left-outer build side (corpus text never shuffles for
+      membership), the frequency count runs over hashes, and the
+      corpus tokenizes exactly twice (frequency + reassembly legs —
+      the totals fold into the reassembly aggregate).
     * text_bm25: the corpus tokenizes exactly ONCE — df/dl are windows
       over the doc-term matrix, not re-aggregated branches that would
       duplicate the Generate subtree (the text_tfidf lesson); the query
@@ -588,7 +590,8 @@ def test_wave8_plans(spark, sf_smoke):
 
     plan = _plan(spark, "curate_line_dedup", sf_smoke)
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Generate") == 2  # frequency + reassembly tokenizes
 
     plan = _plan(spark, "text_bm25", sf_smoke)
     assert plan.count("Generate") == 1, plan

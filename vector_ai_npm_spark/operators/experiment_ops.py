@@ -242,9 +242,11 @@ def drift_ks_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("ta").over(wcarry), F.lit(0)).alias("ca0"),
         F.coalesce(F.sum("tb").over(wcarry), F.lit(0)).alias("cb0"),
     )
-    n = p.agg(
-        F.count(F.when(F.col("arm") == "control", 1)).alias("n_a"),
-        F.count(F.when(F.col("arm") == "treatment", 1)).alias("n_b"),
+    # the arm totals fall out of the bucket-total frame — no third scan
+    # of the fact for a 1-row aggregate
+    n = bt.agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum("tb").cast("long").alias("n_b"),
     )
     cum = loc.join(F.broadcast(carry), "bkt").select(
         (F.col("la") + F.col("ca0")).cast("decimal(38,0)").alias("ca"),

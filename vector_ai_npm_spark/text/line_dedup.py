@@ -86,8 +86,14 @@ _SPARK_LINES = (
 )
 def curate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 repeated-line removal with ordered reassembly — see module
-    docstring.  One narrow hash-count shuffle, one broadcast anti-join,
-    one doc-keyed reassembly shuffle."""
+    docstring.  One narrow hash-count shuffle, one broadcast LEFT join
+    marking boilerplate, one doc-keyed reassembly shuffle.  The corpus
+    tokenizes exactly TWICE (frequency leg + reassembly leg) — the
+    deliberate trade: re-deriving the map-only segment frame beats
+    checkpointing corpus-sized text to executor disk; a third tokenize
+    for the per-doc totals was folded into the reassembly aggregate
+    (count all, keep non-boiler), with only a column-pruned doc_id scan
+    left for zero-token documents."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.expr(_SPARK_LINES).alias("lines"))
     seg = base.select(
@@ -104,28 +110,38 @@ def curate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= _MIN_FREQ)
-        .select("h")
+        .select("h", F.lit(True).alias("is_boiler"))
     )
-    kept = seg.join(F.broadcast(boiler), "h", "left_anti")
-    ka = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    flagged = seg.join(F.broadcast(boiler), "h", "left").select(
+        "doc_id",
+        "seg_idx",
+        "line",
+        F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
+    )
+    keep_line = F.when(F.col("is_boiler"), F.lit(None)).otherwise(
+        F.col("line")
+    )
+    ka = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(~F.col("is_boiler"), 1)).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("seg_idx", "line"))
+                    F.collect_list(
+                        F.struct("seg_idx", keep_line.alias("line"))
+                    )
                 ),
                 lambda x: x["line"],
             ),
             " ",
         ).alias("clean_text"),
     )
-    nl = base.select("doc_id", F.size("lines").cast("long").alias("n_lines"))
-    return (
-        nl.join(ka, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
+    # zero-token documents never reach seg: a column-pruned universe
+    # scan (doc_id only, no tokenize) restores their 0/0/'' rows
+    z = F.lit(0).cast("long")
+    return docs.select("doc_id").join(ka, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", z).alias("n_lines"),
+        F.coalesce("n_kept", z).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

@@ -72,6 +72,14 @@ def curate_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_bigrams") > 0)
         .join(docs, "doc_id")
         .select("doc_id", "lang", "avg_bigram_p")
+        # the rank decomposition consumes this doc-sized frame from five
+        # branches (stats, bins, local ranks, bucket counts, output);
+        # without truncation each branch re-derives the WHOLE bigram LM
+        # (measured: 24 scans / 16 tokenizes in the analysis plan, AQE
+        # reuse recovers little) — the graph_kcore localCheckpoint
+        # medicine cuts it to one LM pass over a (doc_id, lang, double)
+        # leaf
+        .localCheckpoint(eager=True)
     )
     m = F.col("avg_bigram_p")
     stats = F.broadcast(
