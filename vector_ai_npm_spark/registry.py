@@ -95,6 +95,15 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.eval_ops  # noqa: F401
     import vector_ai_npm_spark.text.ppl_buckets  # noqa: F401
     import vector_ai_npm_spark.operators.growth_ops  # noqa: F401
+    # --- round-8 wave: after the round-7 wave so the FIFO tiers keep
+    # earlier unverified queries ahead in the rotation ---
+    import vector_ai_npm_spark.operators.markov_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.interval_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.sampling_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.graph_bfs  # noqa: F401
+    import vector_ai_npm_spark.retrieval.matryoshka  # noqa: F401
+    import vector_ai_npm_spark.retrieval.bitext  # noqa: F401
+    import vector_ai_npm_spark.operators.sink_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
