@@ -203,6 +203,27 @@ def test_bitext_margin_prefers_true_pair(spark):
     assert best == {0: 1, 2: 3}
 
 
+def test_bitext_exact_face_refuses_runaway_pairs(spark, monkeypatch):
+    """The exact cross product must refuse pair counts past the guard
+    (the 10x replica OOMed the driver before it existed) instead of
+    attempting them."""
+    import pytest
+
+    from vector_ai_npm_spark.retrieval import bitext
+
+    x = spark.range(40).select(
+        F.col("id").alias("x_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("x_emb"),
+    )
+    y = spark.range(30).select(
+        F.col("id").alias("y_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("y_emb"),
+    )
+    monkeypatch.setattr(bitext, "EXACT_MAX_PAIRS", 1000)
+    with pytest.raises(ValueError, match="EXACT_MAX_PAIRS"):
+        bitext.margin_best_match(x, y)
+
+
 # ------------------------------------------------- partition overwrite sink
 
 

@@ -45,6 +45,15 @@ from vector_ai_npm_spark.registry import query
 
 _BG_K = 4   # background neighborhood size (top-k avg per endpoint)
 
+# The exact all-pairs face is for shortlist-sized pools only (the
+# dedup_embedding EXACT_MAX_ROWS precedent): past this pair budget the
+# cross product stops being an operator and becomes an outage — the
+# production path feeds margin_best_match an ANN shortlist frame
+# (similarity_search_ann / IVF per-vector candidate lists) instead of
+# x⋈y.  Refusing loudly beats silently attempting 625M-pair windows
+# (measured: driver OOM at the 10× replica before this guard).
+EXACT_MAX_PAIRS = 10_000_000
+
 
 @query(
     "mine_bitext_margin",
@@ -101,7 +110,18 @@ def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def margin_best_match(x: DataFrame, y: DataFrame) -> DataFrame:
     """(x_id, y_id, margin): each x's best cross-pool match by ratio
-    margin.  ``x``: (x_id, x_emb); ``y``: (y_id, y_emb)."""
+    margin.  ``x``: (x_id, x_emb); ``y``: (y_id, y_emb).
+
+    Exact all-pairs face — guarded by EXACT_MAX_PAIRS; see module
+    docstring for the ANN-shortlist scale path that replaces the cross
+    product while keeping this exact downstream plan."""
+    n_pairs = x.count() * y.count()
+    if n_pairs > EXACT_MAX_PAIRS:
+        raise ValueError(
+            f"margin_best_match exact face refused: {n_pairs} pairs > "
+            f"EXACT_MAX_PAIRS={EXACT_MAX_PAIRS}; feed an ANN-shortlist "
+            "pair frame instead (see retrieval.bitext module docstring)"
+        )
     pairs = x.join(F.broadcast(y)).select(
         "x_id",
         "y_id",
