@@ -74,6 +74,10 @@ BENCH_QUERIES = (
     "graph_kcore",            # iterative peel, per-round checkpoint
     "graph_community_lpa",    # 3-round synchronous LPA unroll
     "ab_test_summary",        # join-free two-level experiment rollup
+    "events_markov_transitions",  # one fact shuffle -> matrix-sized agg
+    "join_interval_overlap",  # grid-binned interval join (no theta NLJ)
+    "graph_bfs_frontier",     # 3-round frontier BFS, checkpointed lineage
+    "sample_weighted_topk",   # E-S weighted sample: scan + TakeOrdered
 )
 
 

@@ -104,6 +104,12 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.retrieval.matryoshka  # noqa: F401
     import vector_ai_npm_spark.retrieval.bitext  # noqa: F401
     import vector_ai_npm_spark.operators.sink_ops  # noqa: F401
+    import vector_ai_npm_spark.text.kneser_ney  # noqa: F401
+    import vector_ai_npm_spark.text.rouge  # noqa: F401
+    import vector_ai_npm_spark.operators.attribution_ops  # noqa: F401
+    import vector_ai_npm_spark.text.rake  # noqa: F401
+    import vector_ai_npm_spark.operators.survival_ops  # noqa: F401
+    import vector_ai_npm_spark.dedup.calibration  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
