@@ -167,3 +167,33 @@ def test_modularity_global_identities(spark, sf_oracle):
     # communities detected by LPA on this graph should beat the
     # one-community baseline (Q=0 by definition when all nodes merge)
     assert q > 0.0
+
+
+# -------------------------------------------------------------- plan gates
+
+
+def test_wave10_plan_gates(spark, sf_smoke):
+    """Checkpoint discipline pins (the ppl_buckets lesson): the shared
+    frames truncate to leaves, so the final plans keep exactly the
+    irreducible corpus passes — and never a cross product.
+
+    * lm_kneser_ney: ONE Generate (the dbt leg's bigram explode; the
+      c12 model table is a checkpoint leaf feeding pre/cont/tot); the
+      only NLJ is the broadcast 1-row n_types scalar.
+    * eval_rouge2_candidates: ZERO Generates downstream — both the
+      candidate pairs and the per-doc bigram-type table enter as
+      checkpoint leaves (measured 8 Generates before the discipline).
+    """
+
+    def plan(name):
+        df = registry.run(name, spark, sf_smoke)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan("lm_kneser_ney")
+    assert p.count("Generate") == 1, p
+    assert "CartesianProduct" not in p
+
+    p = plan("eval_rouge2_candidates")
+    assert p.count("Generate") == 0, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -143,3 +143,32 @@ def test_minhash_estimate_matches_exact_jaccard(spark, sf_smoke):
             r["abs_err"], abs(r["jaccard_est"] - r["jaccard_exact"]),
             rel_tol=1e-12,
         )
+
+
+# -------------------------------------------------------------- plan gates
+
+
+def test_wave11_plan_gates(spark, sf_smoke):
+    """* text_rake_keywords: the phrase-instance frame is a checkpoint
+      leaf, so segmentation (doc-keyed window) runs ONCE and the final
+      plan keeps exactly the two word-explode Generates (wstat +
+      type-level scoring).
+    * dedup_minhash_estimate: pairs + signatures enter as checkpoint
+      leaves; the shingle index re-derives map-only (deliberate — no
+      shuffle to save), bounded at its consumer count.  No cross
+      products anywhere.
+    """
+
+    def plan(name):
+        df = registry.run(name, spark, sf_smoke)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan("text_rake_keywords")
+    assert p.count("Generate") == 2, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan("dedup_minhash_estimate")
+    assert p.count("Generate") <= 4, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

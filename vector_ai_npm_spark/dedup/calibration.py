@@ -93,8 +93,14 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-estimate vs exact Jaccard per banded candidate pair —
     see module docstring."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_pairs(spark, sf_dir)
-    sig = dedup_minhash_signature(spark, sf_dir)
+    # checkpoint the three reused frames at their natural persist
+    # points (a production pipeline stores all three): the output-bound
+    # candidate pairs, the 8-int64-per-doc signature table (consumed by
+    # both pair sides), and the distinct (doc, shingle) index (consumed
+    # by both sides of the intersection join + the size table) —
+    # measured 8 Generates / 10 scans without them
+    pairs = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    sig = dedup_minhash_signature(spark, sf_dir).localCheckpoint(eager=True)
     a = sig.select(
         F.col("doc_id").alias("doc_id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
@@ -107,6 +113,11 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(N_MINHASH)
     ).cast("long")
+    # ds stays UNcheckpointed deliberately: it is a map-only explode
+    # (scan → shingle rows, no shuffle), so re-deriving it per consumer
+    # costs a scan each, while eagerly materializing corpus × shingle
+    # STRINGS to executor disk costs more than the scans it saves —
+    # the opposite trade from the shuffled sig/pairs frames above
     ds = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("s"),

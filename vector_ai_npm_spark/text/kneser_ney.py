@@ -100,9 +100,16 @@ def lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bgm"),
     ).select("doc_id", "bgm.w1", "bgm.w2")
     dbt = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    # c12 feeds FOUR consumers (pre, cont, tot, the score join); without
+    # truncation each re-derives the corpus tokenize (measured: 5
+    # Generates / 6 scans in the plan).  The bigram-TYPE table is
+    # vocabulary-sized — exactly the model table a production run
+    # persists — so checkpointing it costs ~nothing and cuts the corpus
+    # passes to the two irreducible ones (dbt + c12).
     c12 = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
     )
     pre = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"),

@@ -120,6 +120,11 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("island"),
     )
+    # the phrase-instance frame feeds wstat AND ptype; without
+    # truncation both re-run the doc-keyed segmentation window
+    # (measured: 5 Generates / 2 windows in the plan).  One checkpoint
+    # = one segmentation pass; the frame is token-scale, the same
+    # linear cost class as its input.
     inst = nonstop.groupBy("doc_id", "lang", "island").agg(
         F.array_join(
             F.transform(
@@ -129,7 +134,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
-    )
+    ).localCheckpoint(eager=True)
     wstat = (
         inst.select("plen", F.explode(F.split("phrase", " ")).alias("word"))
         .groupBy("word")
