@@ -459,8 +459,16 @@ class VectorEngine:
         """`queryEmbeddings({embeddings, dbFunction, threshold, count})`
         (vector-client.ts:396-415): top-k rows shaped into the
         reference's parallel arrays {context: [...], metadata: [...]}
-        (:411-412)."""
+        (:411-412).
+
+        A missing store path is re-probed briefly before raising:
+        ``delete_data``'s publish is two renames (path → __pre_delete,
+        __rewrite → path), so a reader can land in the microsecond gap
+        between them and see no directory.  The retry loop (5 × 50 ms,
+        far wider than the gap) makes the docstring's "readers retry"
+        contract real instead of pushing it onto the caller."""
         import os
+        import time
 
         from pyspark.sql import functions as F
 
@@ -470,6 +478,10 @@ class VectorEngine:
 
         table = db_table or "default"
         path = self._store_path(table)
+        for _ in range(5):
+            if os.path.isdir(path):
+                break
+            time.sleep(0.05)
         if not os.path.isdir(path):
             raise ValueError(
                 f"vector store table {table!r} has no data at {path} — "

@@ -70,13 +70,24 @@ _BACKFILL_DAY = "2024-01-15"
 def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-partitioned write + DYNAMIC single-day backfill overwrite +
     read-back audit — see module docstring for the static/dynamic
-    semantics this proves."""
+    semantics this proves.
+
+    The scratch location is a FIXED per-process path (keyed by PID so
+    concurrent test workers don't collide), wiped before each run: a
+    fresh ``mkdtemp`` per invocation would leak one full copy of the
+    events table into /tmp per bench run, unbounded."""
+    import os
+    import shutil
     import tempfile
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts").cast("date")
     )
-    path = tempfile.mkdtemp(prefix="sink_dyn_overwrite_") + "/events"
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"sink_dyn_overwrite_{os.getpid()}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    path = scratch + "/events"
 
     # initial full-history load (static overwrite of an empty path)
     ev.write.mode("overwrite").partitionBy("day").parquet(path)

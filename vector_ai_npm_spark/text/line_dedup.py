@@ -25,6 +25,16 @@ each kept line rides exactly once.  A pathological corpus whose
 boilerplate set outgrows the broadcast budget routes the anti-join
 through a shuffled LeftAnti on the hash key — same semantics, flagged
 by the broadcast-threshold conf, not a code change.
+
+Hash-collision caveat: the Spark side counts md5(line) while the DuckDB
+oracle counts raw line text, so two DISTINCT lines colliding on md5
+would merge their counts and could misclassify a rare line as
+boilerplate (and break the oracle match).  This is the same deliberate
+16-byte-vs-full-text trade the MinHash/SimHash family makes: at 2^-128
+per pair the expected collision count is zero for any corpus that fits
+on Earth, and the narrow shuffle it buys is the whole scale design.
+Paranoid deployments can widen the key to (length(line), md5(line))
+for free — length is already computed map-side.
 """
 
 from __future__ import annotations
