@@ -293,3 +293,63 @@ def test_jpeg_codec_roundtrip_bounded_error():
     # decode_pixels routes JPEG by SOI magic
     dw, dh, _ = decode_pixels(encode_jpeg(6, 5, bytes(90), quality=90))
     assert (dw, dh) == (6, 5)
+
+
+def test_jpeg_native_route_capability_gate(monkeypatch):
+    """The libjpeg route (jpeg.decode_jpeg_auto) is capability-gated:
+    without PIL it falls back to the pure-Python codec bit-identically;
+    with PIL importable it must route through PIL and normalize exotic
+    modes to RGB.  PIL is absent in this container, so the native leg
+    runs against an injected stub that honors the PIL.Image surface
+    (open/mode/size/convert/tobytes)."""
+    import sys
+    import types
+
+    import pytest
+
+    from vector_ai_npm_spark.multimodal import jpeg as J
+
+    # --- fallback leg: no PIL → auto == pure-Python, gate False
+    monkeypatch.setattr(J, "_PIL_IMAGE", None)
+    monkeypatch.setitem(sys.modules, "PIL", None)  # force ImportError
+    assert J.has_native_jpeg() is False
+    payload = J.encode_jpeg(6, 5, bytes(range(90)), quality=90)
+    assert J.decode_jpeg_auto(payload) == J.decode_jpeg(payload)
+    with pytest.raises(RuntimeError):
+        J.decode_jpeg_native(payload)
+
+    # --- native leg: stub PIL → auto must route through it
+    class _StubImg:
+        mode = "CMYK"  # exotic mode: must be converted to RGB
+
+        def __init__(self):
+            self.size = (6, 5)
+            self.converted = None
+
+        def convert(self, mode):
+            self.converted = mode
+            self.mode = mode
+            return self
+
+        def tobytes(self):
+            assert self.mode == "RGB"
+            return b"\x01" * (6 * 5 * 3)
+
+    stub_image_mod = types.SimpleNamespace(
+        open=lambda fp: _StubImg()
+    )
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = stub_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", stub_image_mod)
+    monkeypatch.setattr(J, "_PIL_IMAGE", None)  # re-probe
+    assert J.has_native_jpeg() is True
+    w, h, pix = J.decode_jpeg_auto(payload)
+    assert (w, h) == (6, 5)
+    assert pix == b"\x01" * 90  # proves the stub (native route) ran
+    # decode_pixels dispatch must ride the same gate
+    from vector_ai_npm_spark.multimodal.binary import decode_pixels
+
+    assert decode_pixels(payload)[2] == b"\x01" * 90
+    # restore the real probe state for later tests
+    monkeypatch.setattr(J, "_PIL_IMAGE", None)

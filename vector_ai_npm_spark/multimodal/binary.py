@@ -14,10 +14,13 @@ it sounds: `decode_image` natively decodes PPM (P6) / PGM (P5),
 uncompressed 24/32-bit BMP, AND 8-bit gray/RGB PNG in pure Python —
 PNG's IDAT stream is zlib DEFLATE, which the stdlib decompresses, so
 even the compressed common case is a real decode (all five scanline
-filters reconstructed; see _decode_png / encode_png). JPEG/WebP and
-exotic PNG variants (palette, alpha, 16-bit, Adam7) remain the
-documented NotImplementedError seam: swap `decode_pixels`' fallback
-branch for a PIL/opencv call in production. `fake_decoder=True` keeps
+filters reconstructed; see _decode_png / encode_png), and baseline
+JPEG decodes through jpeg.decode_jpeg_auto — which routes to libjpeg
+(PIL) whenever that import succeeds (jpeg.has_native_jpeg) and falls
+back to the pure-Python T.81 codec here.  WebP and exotic PNG variants
+(palette, alpha, 16-bit, Adam7) remain the documented
+NotImplementedError seam — in a PIL-equipped deployment the same
+capability gate swallows them too. `fake_decoder=True` keeps
 the old deterministic stand-in for payloads that aren't images at all.
 """
 
@@ -290,9 +293,11 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        from vector_ai_npm_spark.multimodal.jpeg import decode_jpeg
+        # capability-gated: libjpeg (PIL) when importable, pure-Python
+        # baseline codec otherwise — see jpeg.decode_jpeg_auto
+        from vector_ai_npm_spark.multimodal.jpeg import decode_jpeg_auto
 
-        return decode_jpeg(payload)
+        return decode_jpeg_auto(payload)
     raise NotImplementedError(
         "image codecs beyond PPM/PGM/BMP, PNG (8-bit gray/RGB), and "
         "baseline JPEG (SOF0 4:4:4) require a codec library not present "
