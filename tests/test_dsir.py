@@ -70,3 +70,33 @@ def test_dsir_masses_parity_shape(spark, sf_oracle):
     assert len(rows) == len({r.doc_id for r in rows})
     assert all(r.target_mass <= r.raw_mass for r in rows)
     assert all(r.n_toks > 0 for r in rows)
+
+
+def test_dsir_select_contract_exact_key(spark, sf_oracle):
+    """The hash-checkable selection face: affinity_e18 is an exact
+    18-digit expansion of target_mass/raw_mass, so it is bounded by
+    1e18 (ratio <= 1), the selected set is enriched in the target
+    slice, and ranks are a dense 1..k permutation."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark import registry
+    from vector_ai_npm_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    n = docs.count()
+    sel = registry.run("curate_dsir_select_contract", spark, sf_oracle).collect()
+    assert len(sel) == max(1, n // 10)
+    assert sorted(r.rank for r in sel) == list(range(1, len(sel) + 1))
+    assert all(0 <= r.affinity_e18 <= 10**18 for r in sel)
+    # affinity is DESC in rank order (tiebreak never inverts the key)
+    by_rank = sorted(sel, key=lambda r: r.rank)
+    assert all(
+        a.affinity_e18 >= b.affinity_e18
+        for a, b in zip(by_rank, by_rank[1:])
+    )
+    # enrichment: the 'en' share among selected exceeds the corpus share
+    sel_ids = {r.doc_id for r in sel}
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    en_sel = sum(1 for i in sel_ids if langs[i] == "en") / len(sel_ids)
+    en_all = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert en_sel > en_all

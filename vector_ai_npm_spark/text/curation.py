@@ -1033,3 +1033,134 @@ def curate_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dsir_weight", 6).alias("dsir_weight"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@query(
+    "curate_dsir_select_contract",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest({{duck_toks}}) AS tok FROM documents
+    ), db AS (
+      SELECT doc_id, lang, {{duck_bucket}} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3
+    ), tm AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS c_t
+      FROM db WHERE lang = 'en' GROUP BY bucket
+    ), rm AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS c_r FROM db GROUP BY bucket
+    ), m AS (
+      SELECT db.doc_id,
+             CAST(SUM(db.n * COALESCE(tm.c_t, 0)) AS BIGINT) AS tmass,
+             CAST(SUM(db.n * rm.c_r) AS BIGINT) AS rmass
+      FROM db
+      LEFT JOIN tm ON tm.bucket = db.bucket
+      JOIN rm ON rm.bucket = db.bucket
+      GROUP BY db.doc_id
+    ), d AS (
+      SELECT doc_id,
+             tmass // rmass AS q0, tmass % rmass AS r0,
+             ((tmass % rmass) * 1000000) // rmass AS q1,
+             ((tmass % rmass) * 1000000) % rmass AS r1
+      FROM m
+    ), digits AS (
+      SELECT doc_id, q0, q1,
+             (r1 * 1000000) // rmass AS q2,
+             (((r1 * 1000000) % rmass) * 1000000) // rmass AS q3
+      FROM d JOIN m USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id,
+             CAST(q0 * 1000000000000000000 + q1 * 1000000000000
+                  + q2 * 1000000 + q3 AS BIGINT) AS affinity_e18,
+             ROW_NUMBER() OVER (
+               ORDER BY q0 DESC, q1 DESC, q2 DESC, q3 DESC, doc_id ASC
+             ) AS rank
+      FROM digits
+    )
+    SELECT doc_id, affinity_e18, CAST(rank AS BIGINT) AS rank
+    FROM ranked
+    WHERE rank <= GREATEST(1, (SELECT COUNT(*) // 10 FROM documents))
+    """.format(duck_toks=_DUCK_TOKS, duck_bucket=_DSIR_DUCK_BUCKET),
+)
+def curate_dsir_select_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable DSIR selection (the contract face `curate_dsir_select`
+    lacked): top-10% of documents ranked on a DECIMAL-EXACT key derived
+    from the integer-exact masses, so the full selection — ranking, k
+    cut, tiebreak — hash-matches across engines with no float anywhere.
+
+    The key is the target-affinity ratio target_mass/raw_mass expanded
+    to 18 fractional decimal digits by exact long division (three
+    six-digit quotient levels; ratio ≤ 1 always since the target slice
+    is a subset of the corpus, so the packed ``affinity_e18`` fits a
+    BIGINT).  This ratio is the count-weighted average of each token
+    bucket's unsmoothed target share — the linear-space analog of the
+    paper's log-likelihood-ratio weight (`curate_dsir_select` keeps the
+    ln-faithful face; its ordering property is pinned in
+    tests/test_dsir.py).  Ties (same 18 digits) break on doc_id.
+
+    Overflow bound: each level multiplies a remainder (< raw_mass) by
+    10^6, so exactness holds while raw_mass ≤ 9.2e12 — comfortable at
+    contract scale (raw_mass ≈ 2e7 at sf0.01); a 100 TB corpus shifts
+    to six three-digit levels (multiplier 10^3, bound 9.2e15) or a
+    DECIMAL(38) ladder, same algebra.
+
+    Scale shape: identical to `curate_dsir_masses` (one tokenize, two
+    broadcast marginal joins, one doc-keyed aggregate) plus a
+    TakeOrderedAndProject top-k; the rank window runs over the reduced
+    k rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    k = max(1, n_docs // 10)
+    db = _dsir_doc_buckets(docs)
+    tm = (
+        db.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("c_t"))
+    )
+    rm = db.groupBy("bucket").agg(F.sum("n").alias("c_r"))
+    m = (
+        db.join(F.broadcast(tm), "bucket", "left")
+        .join(F.broadcast(rm), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.coalesce(F.col("c_t"), F.lit(0)))
+            .alias("tmass"),
+            F.sum(F.col("n") * F.col("c_r")).alias("rmass"),
+        )
+    )
+    digits = m.select(
+        "doc_id",
+        F.expr("tmass DIV rmass").alias("q0"),
+        F.expr("((tmass % rmass) * 1000000) DIV rmass").alias("q1"),
+        F.expr(
+            "((((tmass % rmass) * 1000000) % rmass) * 1000000) DIV rmass"
+        ).alias("q2"),
+        F.expr(
+            "((((((tmass % rmass) * 1000000) % rmass) * 1000000) % rmass)"
+            " * 1000000) DIV rmass"
+        ).alias("q3"),
+    )
+    top = digits.orderBy(
+        F.col("q0").desc(),
+        F.col("q1").desc(),
+        F.col("q2").desc(),
+        F.col("q3").desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("q0").desc(),
+        F.col("q1").desc(),
+        F.col("q2").desc(),
+        F.col("q3").desc(),
+        F.col("doc_id").asc(),
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        (
+            F.col("q0") * F.lit(1000000000000000000)
+            + F.col("q1") * F.lit(1000000000000)
+            + F.col("q2") * F.lit(1000000)
+            + F.col("q3")
+        ).cast("long").alias("affinity_e18"),
+        F.col("rank").cast("long").alias("rank"),
+    )
