@@ -78,6 +78,13 @@ BENCH_QUERIES = (
     "join_interval_overlap",  # grid-binned interval join (no theta NLJ)
     "graph_bfs_frontier",     # 3-round frontier BFS, checkpointed lineage
     "sample_weighted_topk",   # E-S weighted sample: scan + TakeOrdered
+    # wave-9/10/11 promotions (round-7 verdict ask #3); targets pinned
+    # from the round-7 idle best-of-5 (sf0.1, local[32])
+    "text_bm25",              # Okapi BM25: df/dl matrix windows, one tokenize
+    "lm_kneser_ney",          # interpolated KN bigram LM over type counts
+    "events_survival_km",     # Kaplan-Meier life table (day-level frame)
+    "multimodal_dhash_pairs", # banded Hamming join over 64-bit dHashes
+    "text_rake_keywords",     # RAKE phrase typing (types, never re-joins corpus)
 )
 
 
