@@ -663,3 +663,67 @@ def test_trend_ols_plan(spark, sf_smoke):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# round-7 gate: every unpartitioned Window must ride a reduced frame
+# ---------------------------------------------------------------------------
+
+_REDUCERS = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+
+def _jseq(s):
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _subtree_bounded(node) -> bool:
+    """True if this logical subtree provably yields a reduced frame:
+    every path to a leaf passes through an Aggregate / Limit /
+    Deduplicate.  A Filter does NOT count (selectivity is data, not
+    structure); for binary nodes every branch must be bounded."""
+    if node.nodeName() in _REDUCERS:
+        return True
+    ch = _jseq(node.children())
+    if not ch:
+        return False
+    return all(_subtree_bounded(c) for c in ch)
+
+
+def _unbounded_unpartitioned_windows(df) -> list[str]:
+    plan = df._jdf.queryExecution().optimizedPlan()
+    bad: list[str] = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            child = _jseq(node.children())[0]
+            if not _subtree_bounded(child):
+                bad.append(node.simpleString(200))
+        for c in _jseq(node.children()):
+            walk(c)
+
+    walk(plan)
+    return bad
+
+
+def test_no_corpus_scale_unpartitioned_windows(spark, sf_smoke):
+    """Registry-wide structural gate (round-7 verdict ask #5): an
+    unpartitioned Window moves its whole input into ONE task, so every
+    such window in every registered query must take input from a frame
+    bounded by an Aggregate/Limit on all leaf paths — the documented
+    two-level-prefix / bounded-shortlist designs.  A future operator
+    that windows a corpus-scale frame fails here loudly instead of
+    shipping a silent single-task bottleneck (the 742-warning audit
+    item from the round-6 verdict, made structural)."""
+    failures: dict[str, list[str]] = {}
+    for name, fn in registry.all_queries().items():
+        try:
+            df = fn(spark, sf_smoke)
+        except Exception:
+            continue  # non-plan failures belong to the parity sweep
+        bad = _unbounded_unpartitioned_windows(df)
+        if bad:
+            failures[name] = bad
+    assert not failures, (
+        "unpartitioned windows over non-reduced frames (single-task "
+        f"bottlenecks at scale): { {k: v[0][:120] for k, v in failures.items()} }"
+    )

@@ -21,14 +21,24 @@ _QUESTION = "What do these documents say?"
 # Deterministic simulated "retrieved set": the chunks of the first 30
 # synthesized docs, ranked by (doc_id, chunk_id) — shared headers act as
 # the metadata.context grouping key, mirroring how same-parent sub-chunks
-# share a context (vector-client.ts:233).
-_RETRIEVED_CTE_SPARK = None  # built in _retrieved() below
+# share a context (vector-client.ts:233).  The set is a literal top-K
+# (ORDER BY + LIMIT _RETRIEVAL_K), not just a filter: a retrieved set IS
+# a top-k by construction, and expressing it as one makes the rank
+# window downstream provably ride a GlobalLimit — the structural bound
+# the round-7 unpartitioned-window plan gate checks.  _RETRIEVAL_K is
+# far above the fixture chunk count at every tested sf, so values are
+# unchanged.
+_RETRIEVAL_K = 100_000
 
-_ORACLE_RETRIEVED = """
-    , retrieved AS (
+_ORACLE_RETRIEVED = f"""
+    , retrieved_base AS (
+      SELECT doc_id, chunk_id, header, content
+      FROM chunks WHERE doc_id < 30
+      ORDER BY doc_id, chunk_id LIMIT {_RETRIEVAL_K}
+    ), retrieved AS (
       SELECT header AS context, content,
              CAST(ROW_NUMBER() OVER (ORDER BY doc_id, chunk_id) AS BIGINT) AS rank
-      FROM chunks WHERE doc_id < 30
+      FROM retrieved_base
     )
 """
 
@@ -45,7 +55,12 @@ _ORACLE_GROUPS = _ORACLE_RETRIEVED + """
 
 def _retrieved(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chunks = split_mdx_headers(synth_mdx(docs)).where(F.col("doc_id") < 30)
+    chunks = (
+        split_mdx_headers(synth_mdx(docs))
+        .where(F.col("doc_id") < 30)
+        .orderBy("doc_id", "chunk_id")
+        .limit(_RETRIEVAL_K)  # top-K: bounds the rank window below
+    )
     w = Window.orderBy("doc_id", "chunk_id")
     return chunks.select(
         F.col("header").alias("context"),

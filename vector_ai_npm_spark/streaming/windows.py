@@ -67,15 +67,47 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
-def late_events(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+def late_events(
+    events: DataFrame, lateness: str = "10 minutes",
+    bucket_width: int = 100_000,
+) -> DataFrame:
     """B27 batch equivalent of the watermark rule: an event is late if it
     arrives (arrival order = event_id) after the running max event time
     has moved more than `lateness` past its timestamp. Under readStream
-    the same rule is `withWatermark('ts', lateness)` dropping the row."""
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    high_water = F.max("ts").over(w)
+    the same rule is `withWatermark('ts', lateness)` dropping the row.
+
+    The prefix max is TWO-LEVEL (the concurrency_sweep discipline), not
+    one global ordered window: a single ``Window.orderBy(event_id)``
+    over the corpus moves every row into one task — the measured
+    per-key-ordered-window wall from the §4j skew study, and the shape
+    the round-7 plan gate (tests/test_plans.py unpartitioned-window
+    sweep) rejects.  Instead: (1) bucket arrival order into contiguous
+    event_id ranges and take each bucket's prefix max with a
+    PARTITIONED window; (2) compute per-bucket maxima (an aggregate —
+    one row per bucket) and carry the strictly-prior-bucket running max
+    across that bucket-count frame with the only unpartitioned window,
+    bounded by construction; (3) broadcast the carries back and combine
+    ``high_water = greatest(prior_buckets_max, within_bucket_prefix)``.
+    Identical semantics (max is associative over the order-respecting
+    bucket split); corpus rows never collapse to one task."""
+    b = (F.col("event_id") / F.lit(bucket_width)).cast("long")
+    ev = events.withColumn("bucket", b)
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bmax = ev.groupBy("bucket").agg(F.max("ts").alias("bucket_max"))
+    w_carry = (
+        W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    carries = bmax.select(
+        "bucket", F.max("bucket_max").over(w_carry).alias("prior_max")
+    )
     return (
-        events.withColumn("high_water", high_water)
+        ev.withColumn("local_hw", F.max("ts").over(w_in))
+        .join(F.broadcast(carries), "bucket")
+        .withColumn("high_water", F.greatest("local_hw", "prior_max"))
         .where(F.col("ts") < F.col("high_water") - F.expr(f"INTERVAL {lateness}"))
         .select("event_id", "ts", "user_id", "event_type")
     )
