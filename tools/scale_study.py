@@ -23,8 +23,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf0.1_x10"
-COPIES = 10
+# replication factor: SCALE_COPIES env (default 10); the 100x spot
+# study (BASELINE.md §4l) runs SCALE_COPIES=100
+import os as _os
+COPIES = int(_os.environ.get("SCALE_COPIES", "10"))
+DST = f"/tmp/sf0.1_x{COPIES}"
 
 SHIFTS = {
     "events": {"event_id": 10**9, "user_id": 10**6},
