@@ -110,6 +110,9 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.text.rake  # noqa: F401
     import vector_ai_npm_spark.operators.survival_ops  # noqa: F401
     import vector_ai_npm_spark.dedup.calibration  # noqa: F401
+    # --- round-9 wave (added in round 7): after everything above so the
+    # tier-1 FIFO keeps the still-unverified round-6 additions fronted ---
+    import vector_ai_npm_spark.text.unigram_queries  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:

@@ -1,0 +1,288 @@
+"""Unigram-LM subword tokenizer trainer (Kudo 2018, "Subword
+Regularization" §3 — the SentencePiece `--model_type=unigram` trainer),
+completing the tokenizer story next to BPE (text/bpe.py).
+
+Reference scope note: the reference has no tokenizer surface
+(vector-client.ts is a RAG client over an external embedding API);
+this is north-star breadth per SURVEY §2B B19+ — sanctioned by
+BASELINE.json's LLM-pipeline build-out.
+
+Algorithm (per the paper):
+  1. SEED: candidate pieces = all substrings of dictionary words up to
+     length ``max_piece_len``, scored by total corpus occurrence count
+     (suffix-array frequencies in the paper; an exact substring-
+     position explode here); keep every single character (coverage
+     guarantee) plus the top ``seed_size`` multi-char candidates.
+  2. EM: iterate — E-step computes each piece's EXPECTED count over
+     all segmentations of every dictionary word (forward-backward /
+     Baum-Welch over the segmentation lattice, word-frequency
+     weighted); M-step re-normalizes piece probabilities.
+  3. PRUNE to ``vocab_size`` keeping all single chars (the paper
+     prunes by likelihood loss; expected-count order is its standard
+     cheap surrogate), then one final EM pass re-normalizes.
+  4. ENCODE: Viterbi best segmentation per dictionary word.
+
+Spark-first shape — the BPE discipline (text/bpe.py, BASELINE §4h)
+carried over verbatim:
+  * the CORPUS is touched exactly once, by the JVM-only word-dictionary
+    aggregate (bpe.word_vocab); at 100 TB that is the only
+    corpus-scale job, and it is one tokenize + one hash aggregate;
+  * seeding explodes substrings of the DICTIONARY (vocab-sized frame,
+    |words| · O(L·max_w) rows, JVM `sequence`/`substring` — no Python);
+  * EM runs over the dictionary in Arrow-batched mapInPandas with the
+    piece table BROADCAST (it is vocab-sized by construction: ≤ chars +
+    seed_size rows); expected counts come back through a piece-keyed
+    aggregate (vocab-sized shuffle), and the M-step collect is the
+    documented capped-collect pattern (same as BPE's per-round merge
+    admission — k rows, never data);
+  * encode touches only the dictionary; documents re-join on the word.
+
+Float boundary (why the train face is rows-only): EM probabilities are
+irreducibly float (log-space forward-backward), so the trainer face
+declares rows-only and the SQL-checkable guarantees live in
+(a) `unigram_seed_argmax` — the seed scorer's top piece is pure SQL
+    (substring occurrence counts), value-checked cross-engine; and
+(b) `unigram_encode_contract` — Viterbi output is a SEGMENTATION, so
+    per-document word counts, char sums, and reconstruction are
+    segmentation-INVARIANT booleans/integers the oracle recomputes
+    from raw text: any float divergence may flip which equal-score
+    segmentation wins, but can never flip the contract columns.
+A pure-Python reference trainer equality test lives in
+tests/test_unigram_lm.py (the test_bpe.py pattern).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.text.bpe import word_vocab
+
+# ---------------------------------------------------------------------------
+# pure-Python lattice primitives (run inside Arrow batches over the
+# DICTIONARY only — never over corpus rows)
+# ---------------------------------------------------------------------------
+
+
+def _forward_backward(
+    word: str, logp: dict[str, float], max_len: int
+) -> tuple[dict[str, float], float]:
+    """Expected piece counts over ALL segmentations of one word, and the
+    word's total log-likelihood.  Standard lattice Baum-Welch: alpha[i]
+    = log-sum of all segmentations of word[:i], beta[i] likewise for
+    word[i:]; an arc (i, j) using piece w[i:j] contributes
+    exp(alpha[i] + logp + beta[j] - Z)."""
+    n = len(word)
+    neg = float("-inf")
+    alpha = [neg] * (n + 1)
+    alpha[0] = 0.0
+    for j in range(1, n + 1):
+        acc = neg
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None or alpha[i] == neg:
+                continue
+            v = alpha[i] + lp
+            acc = v if acc == neg else (
+                max(acc, v) + math.log1p(math.exp(-abs(acc - v)))
+            )
+        alpha[j] = acc
+    z = alpha[n]
+    if z == neg:  # unsegmentable (cannot happen: single chars are kept)
+        return {}, neg
+    beta = [neg] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = neg
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            lp = logp.get(word[i:j])
+            if lp is None or beta[j] == neg:
+                continue
+            v = lp + beta[j]
+            acc = v if acc == neg else (
+                max(acc, v) + math.log1p(math.exp(-abs(acc - v)))
+            )
+        beta[i] = acc
+    exp: dict[str, float] = {}
+    for i in range(n):
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None or alpha[i] == neg or beta[j] == neg:
+                continue
+            exp[piece] = exp.get(piece, 0.0) + math.exp(
+                alpha[i] + lp + beta[j] - z
+            )
+    return exp, z
+
+
+def _viterbi(
+    word: str, logp: dict[str, float], max_len: int
+) -> list[str]:
+    """Best segmentation; ties break toward the LONGER last piece, then
+    lexicographically smaller — a deterministic rule so equal-score
+    lattices segment identically everywhere."""
+    n = len(word)
+    neg = float("-inf")
+    best = [neg] * (n + 1)
+    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None or best[i] == neg:
+                continue
+            v = best[i] + lp
+            prev = back[j]
+            if (
+                v > best[j]
+                or (
+                    v == best[j]
+                    and prev is not None
+                    and (len(piece), piece) > (j - prev[0], prev[1])
+                )
+            ):
+                best[j] = v
+                back[j] = (i, piece)
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i, piece = back[j]  # type: ignore[misc]
+        out.append(piece)
+        j = i
+    return out[::-1]
+
+
+# ---------------------------------------------------------------------------
+# distributed trainer
+# ---------------------------------------------------------------------------
+
+
+def seed_candidates(
+    vocab: DataFrame, max_piece_len: int = 4, seed_size: int = 512
+) -> DataFrame:
+    """(piece, score) seed set: every single char + the top
+    ``seed_size`` multi-char substrings by total corpus occurrence
+    count (all positions, overlapping included — the suffix-array
+    frequency of the paper).  Entirely JVM-side over the vocab frame;
+    the top-k is a TakeOrderedAndProject with the (score desc, piece
+    asc) tiebreak."""
+    subs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(w)), i -> "
+                f"transform(sequence(1, least({max_piece_len}, "
+                "length(w) - i + 1)), l -> substring(w, i, l))))"
+            )
+        ).alias("piece"),
+    ).groupBy("piece").agg(F.sum("freq").alias("score"))
+    chars = subs.where(F.length("piece") == 1)
+    multi = (
+        subs.where(F.length("piece") >= 2)
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(seed_size)
+    )
+    return chars.unionByName(multi)
+
+
+def _em_round(
+    vocab: DataFrame, logp: dict[str, float], max_piece_len: int
+) -> DataFrame:
+    """One E-step over the dictionary: (piece, exp_count) aggregate.
+    ``logp`` rides the closure (vocab-sized broadcast)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[str, float] = {}
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                exp, _z = _forward_backward(w, logp, max_piece_len)
+                for piece, c in exp.items():
+                    acc[piece] = acc.get(piece, 0.0) + c * int(f)
+            yield pd.DataFrame(
+                {"piece": list(acc), "exp_count": list(acc.values())}
+            )
+
+    return (
+        vocab.select("w", "freq")
+        .mapInPandas(run, schema="piece string, exp_count double")
+        .groupBy("piece")
+        .agg(F.sum("exp_count").alias("exp_count"))
+    )
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 128,
+    max_piece_len: int = 4,
+    seed_size: int = 512,
+    em_rounds: int = 2,
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Train; returns {piece: logp}.  The returned table is vocab-sized
+    (driver state ≤ chars + vocab_size entries — the capped-collect
+    boundary every round also respects)."""
+    vocab = word_vocab(docs, text_col).select("w", "freq")
+    vocab = vocab.localCheckpoint()  # reused every EM round; cut lineage
+    seeds = seed_candidates(vocab, max_piece_len, seed_size).collect()
+    total = sum(r["score"] for r in seeds)
+    logp = {
+        r["piece"]: math.log(r["score"] / total) for r in seeds
+    }
+    for _ in range(em_rounds):
+        rows = _em_round(vocab, logp, max_piece_len).collect()
+        tot = sum(r["exp_count"] for r in rows)
+        logp = {
+            r["piece"]: math.log(r["exp_count"] / tot)
+            for r in rows
+            if r["exp_count"] > 0.0
+        }
+        # chars must survive even at ~zero mass (coverage guarantee)
+        for r in seeds:
+            if len(r["piece"]) == 1 and r["piece"] not in logp:
+                logp[r["piece"]] = math.log(1e-12)
+    # prune: all chars + top multi-char by current probability
+    chars = {p: lp for p, lp in logp.items() if len(p) == 1}
+    multi = sorted(
+        ((p, lp) for p, lp in logp.items() if len(p) >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(0, vocab_size - len(chars))]
+    logp = dict(chars) | dict(multi)
+    # final re-normalizing EM pass over the pruned vocab
+    rows = _em_round(vocab, logp, max_piece_len).collect()
+    tot = sum(r["exp_count"] for r in rows)
+    out = {
+        r["piece"]: math.log(r["exp_count"] / tot)
+        for r in rows
+        if r["exp_count"] > 0.0
+    }
+    for p in chars:
+        out.setdefault(p, math.log(1e-12))
+    return out
+
+
+def unigram_encode_dictionary(
+    docs: DataFrame, logp: dict[str, float], max_piece_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w, toks array<string>) Viterbi segmentation of every dictionary
+    word — the encode pass; corpus rows join this on the word."""
+    vocab = word_vocab(docs, text_col).select("w")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "toks": [
+                        _viterbi(w, logp, max_piece_len) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    return vocab.mapInPandas(run, schema="w string, toks array<string>")
