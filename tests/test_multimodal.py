@@ -205,8 +205,8 @@ def test_png_codec_roundtrip_all_filters():
                 dw, dh, dec = decode_pixels(png)
                 assert (dw, dh, dec) == (w, h, pix), (color_type, w, h, pattern)
 
-    # 16-bit depth must refuse, not silently garble
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # palette color type must refuse, not silently garble
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
 
     def chunk(typ, data):
         return (struct.pack(">I", len(data)) + typ + data
@@ -353,3 +353,52 @@ def test_jpeg_native_route_capability_gate(monkeypatch):
     assert decode_pixels(payload)[2] == b"\x01" * 90
     # restore the real probe state for later tests
     monkeypatch.setattr(J, "_PIL_IMAGE", None)
+
+
+def test_png_16bit_and_alpha_roundtrip():
+    """Round-7 seam extension: 16-bit and alpha PNGs decode through the
+    byte-wise filters at full bytes-per-pixel offset, then normalize to
+    the 8-bit gray/RGB contract (MSB per 16-bit sample, alpha stripped
+    after reconstruction)."""
+    import random
+    import struct
+
+    from vector_ai_npm_spark.multimodal.binary import (
+        decode_pixels,
+        encode_png,
+    )
+
+    rng = random.Random(11)
+
+    # RGBA: alpha participates in filtering, stripped in the output
+    w, h = 7, 6
+    rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    dw, dh, dec = decode_pixels(encode_png(w, h, rgba, color_type=6))
+    want = b"".join(rgba[i : i + 3] for i in range(0, len(rgba), 4))
+    assert (dw, dh, dec) == (w, h, want)
+
+    # gray+alpha
+    ga = bytes(rng.randrange(256) for _ in range(w * h * 2))
+    dw, dh, dec = decode_pixels(encode_png(w, h, ga, color_type=4))
+    assert (dw, dh, dec) == (w, h, ga[::2])
+
+    # 16-bit RGB: MSB survives
+    samples = [rng.randrange(65536) for _ in range(w * h * 3)]
+    pix16 = b"".join(struct.pack(">H", s) for s in samples)
+    dw, dh, dec = decode_pixels(
+        encode_png(w, h, pix16, color_type=2, bit_depth=16)
+    )
+    assert (dw, dh) == (w, h)
+    assert dec == bytes(s >> 8 for s in samples)
+
+    # 16-bit RGBA: both conversions compose
+    s4 = [rng.randrange(65536) for _ in range(w * h * 4)]
+    pix = b"".join(struct.pack(">H", s) for s in s4)
+    dw, dh, dec = decode_pixels(
+        encode_png(w, h, pix, color_type=6, bit_depth=16)
+    )
+    msb = [s >> 8 for s in s4]
+    want = bytes(
+        b for i in range(0, len(msb), 4) for b in msb[i : i + 3]
+    )
+    assert (dw, dh, dec) == (w, h, want)

@@ -14,11 +14,12 @@ it sounds: `decode_image` natively decodes PPM (P6) / PGM (P5),
 uncompressed 24/32-bit BMP, AND 8-bit gray/RGB PNG in pure Python —
 PNG's IDAT stream is zlib DEFLATE, which the stdlib decompresses, so
 even the compressed common case is a real decode (all five scanline
-filters reconstructed; see _decode_png / encode_png), and baseline
+filters reconstructed, 8/16-bit, gray/RGB/gray+alpha/RGBA; see
+_decode_png / encode_png), and baseline
 JPEG decodes through jpeg.decode_jpeg_auto — which routes to libjpeg
 (PIL) whenever that import succeeds (jpeg.has_native_jpeg) and falls
-back to the pure-Python T.81 codec here.  WebP and exotic PNG variants
-(palette, alpha, 16-bit, Adam7) remain the documented
+back to the pure-Python T.81 codec here.  WebP and the remaining PNG
+variants (palette, sub-byte depths, Adam7) are the documented
 NotImplementedError seam — in a PIL-equipped deployment the same
 capability gate swallows them too. `fake_decoder=True` keeps
 the old deterministic stand-in for payloads that aren't images at all.
@@ -151,21 +152,30 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+_PNG_NCH = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
 def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     """Pure-Python PNG decode — PNG's IDAT stream is zlib DEFLATE, which
     the stdlib decompresses, so 'compressed codec' here needs no library
     at all: chunk walk (IHDR/IDAT+/IEND), zlib.decompress, then per-
     scanline reconstruction of all five filter types (None/Sub/Up/
-    Average/Paeth). Supports the training-data common case of 8-bit
-    truecolor (type 2) and grayscale (type 0), non-interlaced; palette/
-    alpha/16-bit/Adam7 raise NotImplementedError (documented seam)."""
+    Average/Paeth).  Supports gray (0), RGB (2), gray+alpha (4) and
+    RGBA (6) at 8- or 16-bit depth, non-interlaced; filters reconstruct
+    byte-wise with the full bytes-per-pixel offset per the spec, THEN
+    the result normalizes to the (w, h, 8-bit gray-or-RGB bytes)
+    contract every downstream consumer shares: 16-bit samples keep the
+    MSB (the lossless-view PIL `convert` also takes) and alpha is
+    stripped after reconstruction (it still participates in filtering).
+    Palette (3), sub-byte depths, and Adam7 remain the documented
+    NotImplementedError seam."""
     import struct
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     i = 8
-    w = h = nch = None
+    w = h = nch = bps = None
     idat = bytearray()
     while i + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, i)
@@ -175,13 +185,14 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
             w, h, bitd, colort, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if bitd != 8 or colort not in (0, 2) or interlace != 0:
+            if bitd not in (8, 16) or colort not in _PNG_NCH or interlace:
                 raise NotImplementedError(
                     f"PNG bit_depth={bitd} color_type={colort} "
-                    f"interlace={interlace}: only 8-bit gray/RGB "
-                    "non-interlaced supported"
+                    f"interlace={interlace}: palette, sub-byte depths "
+                    "and Adam7 not supported"
                 )
-            nch = 3 if colort == 2 else 1
+            nch = _PNG_NCH[colort]
+            bps = bitd // 8
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -189,7 +200,8 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    stride = w * nch
+    bpp = nch * bps  # filter offset is bytes per FULL pixel (spec §9)
+    stride = w * bpp
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG scanline data has wrong length")
     out = bytearray()
@@ -200,38 +212,53 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         if ftype == 1:  # Sub
-            for x in range(nch, stride):
-                line[x] = (line[x] + line[x - nch]) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for x in range(stride):
                 line[x] = (line[x] + prev[x]) & 0xFF
         elif ftype == 3:  # Average
             for x in range(stride):
-                left = line[x - nch] if x >= nch else 0
+                left = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
-                c = prev[x - nch] if x >= nch else 0
+                a = line[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         out += line
         prev = line
+    if bps == 2:  # 16-bit: keep each sample's MSB
+        out = out[::2]
+    if nch in (2, 4):  # strip the alpha channel
+        keep = nch - 1
+        px = bytearray()
+        for p in range(0, len(out), nch):
+            px += out[p : p + keep]
+        out = px
     return w, h, bytes(out)
 
 
 def encode_png(
-    w: int, h: int, pixels: bytes, color_type: int = 2
+    w: int, h: int, pixels: bytes, color_type: int = 2,
+    bit_depth: int = 8,
 ) -> bytes:
     """Pure-Python PNG writer (the fixture's compressed-payload
     generator): per-scanline filter type cycles r % 5, so any image with
     h ≥ 5 exercises ALL five filters on the decode side; IDAT is
-    stdlib zlib at level 6 with standard CRC-32 chunk framing."""
+    stdlib zlib at level 6 with standard CRC-32 chunk framing.
+    ``color_type``: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA; ``bit_depth``
+    8 or 16 (16-bit samples are big-endian byte pairs in ``pixels``)."""
     import struct
     import zlib
 
-    nch = 3 if color_type == 2 else 1
+    if bit_depth not in (8, 16) or color_type not in _PNG_NCH:
+        raise ValueError(
+            f"encode_png: bit_depth={bit_depth} color_type={color_type}"
+        )
+    nch = _PNG_NCH[color_type] * (bit_depth // 8)
     stride = w * nch
     if len(pixels) != stride * h:
         raise ValueError(f"want {stride * h} pixel bytes, got {len(pixels)}")
@@ -271,7 +298,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -282,10 +309,10 @@ def encode_png(
 
 def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, RGB-or-gray pixel bytes) for the formats decodable
-    without a codec library: PPM/PGM, uncompressed BMP, and 8-bit
-    gray/RGB PNG (IDAT is stdlib zlib — see _decode_png). JPEG/WebP &
-    exotic PNG variants remain the documented production seam — swap
-    this fallback for PIL/opencv there."""
+    without a codec library: PPM/PGM, uncompressed BMP, and 8/16-bit
+    gray/RGB/alpha PNG (IDAT is stdlib zlib — see _decode_png), plus
+    baseline JPEG. WebP & palette/interlaced PNG remain the documented
+    production seam — swap this fallback for PIL/opencv there."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -299,8 +326,8 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
         return decode_jpeg_auto(payload)
     raise NotImplementedError(
-        "image codecs beyond PPM/PGM/BMP, PNG (8-bit gray/RGB), and "
-        "baseline JPEG (SOF0 4:4:4) require a codec library not present "
+        "image codecs beyond PPM/PGM/BMP, PNG (8/16-bit gray/RGB/alpha), "
+        "and baseline JPEG (SOF0 4:4:4) require a codec library not present "
         "in this environment; or use fake_decoder=True for the "
         "deterministic stand-in"
     )
