@@ -113,6 +113,10 @@ def _load_all_modules() -> None:
     # --- round-9 wave (added in round 7): after everything above so the
     # tier-1 FIFO keeps the still-unverified round-6 additions fronted ---
     import vector_ai_npm_spark.text.unigram_queries  # noqa: F401
+    import vector_ai_npm_spark.operators.web_curation  # noqa: F401
+    import vector_ai_npm_spark.operators.experiment_cuped  # noqa: F401
+    import vector_ai_npm_spark.operators.sketch_bounds  # noqa: F401
+    import vector_ai_npm_spark.operators.graph_hits  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
