@@ -56,3 +56,28 @@ def test_hits_is_l1_normalized_and_positive(spark, sf_oracle):
     assert rows
     assert all(r.authority > 0 for r in rows)
     assert abs(sum(r.authority for r in rows) - 1.0) < 1e-9
+
+
+def test_sq8_codes_and_error_bound(spark, sf_oracle):
+    """SQ8 (wave 13): codes integer-exact in [0,255], reconstruction
+    within half a quantization step, every dim covered."""
+    rows = registry.run("vector_quantize_sq8", spark, sf_oracle).collect()
+    assert rows
+    assert all(r.codes_in_range and r.err_ok for r in rows)
+    assert len({r.n_dims for r in rows}) == 1  # uniform dim
+
+
+def test_sq8_stats_are_dim_sized(spark, sf_oracle):
+    """The SQ8 'codebook' must be a dim-count frame (broadcastable),
+    with lo < hi on every dimension of the fixture."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.retrieval.sq import sq8_stats
+
+    emb = load_table(spark, sf_oracle, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    stats = sq8_stats(emb).collect()
+    assert len(stats) == 64
+    assert all(r.lo < r.hi for r in stats)

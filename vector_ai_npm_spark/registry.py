@@ -117,6 +117,7 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.experiment_cuped  # noqa: F401
     import vector_ai_npm_spark.operators.sketch_bounds  # noqa: F401
     import vector_ai_npm_spark.operators.graph_hits  # noqa: F401
+    import vector_ai_npm_spark.retrieval.sq  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
