@@ -110,6 +110,21 @@ def main() -> None:
     from vector_ai_npm_spark.session import get_spark
 
     spark = get_spark("vector-ai-npm-spark-bench")
+    # Silence WindowExec's "No Partition Defined" WARN for the bench
+    # run only: every unpartitioned window in the registry is PROVEN to
+    # ride a reduced frame by the structural plan gate
+    # (tests/test_plans.py::test_no_corpus_scale_unpartitioned_windows),
+    # which is strictly stronger than the warning — and ~800 copies of
+    # it were drowning real warnings in bench stderr (round-6 verdict
+    # audit item).
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployment: keep the warnings
     queries = registry.all_queries()
     names = [n for n in BENCH_QUERIES if n in queries]
 
