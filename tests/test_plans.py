@@ -727,3 +727,27 @@ def test_no_corpus_scale_unpartitioned_windows(spark, sf_smoke):
         "unpartitioned windows over non-reduced frames (single-task "
         f"bottlenecks at scale): { {k: v[0][:120] for k, v in failures.items()} }"
     )
+
+
+def test_no_decimal_typed_output_columns(spark, sf_smoke):
+    """Driver-hash safety gate (round-7 window-simulation catch): a
+    query that RETURNS a DecimalType column stringifies differently
+    from the DOUBLE/BIGINT its oracle produces (Decimal('981070') vs
+    981070.0 — drift_ks_arms) even when values are equal.  Exact
+    decimal is an INTERNAL fold representation; every output column
+    must cast to BIGINT or DOUBLE before leaving the query."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = {}
+    for name, fn in registry.all_queries().items():
+        try:
+            df = fn(spark, sf_smoke)
+        except Exception:
+            continue
+        decs = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, f"decimal-typed output columns: {offenders}"

@@ -193,8 +193,8 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_a, n.n_b,
            CAST(MAX(ABS(CAST(cum.ca AS DECIMAL(38,0)) * n.n_b
                         - CAST(cum.cb AS DECIMAL(38,0)) * n.n_a))
-                AS DECIMAL(38,0)) AS ks_num,
-           CAST(CAST(n.n_a AS DECIMAL(38,0)) * n.n_b AS DECIMAL(38,0))
+                AS BIGINT) AS ks_num,
+           CAST(CAST(n.n_a AS DECIMAL(38,0)) * n.n_b AS BIGINT)
              AS ks_den,
            CAST(MAX(ABS(CAST(cum.ca AS DECIMAL(38,0)) * n.n_b
                         - CAST(cum.cb AS DECIMAL(38,0)) * n.n_a)) AS DOUBLE)
@@ -268,8 +268,13 @@ def drift_ks_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_a",
             "n_b",
-            "ks_num",
-            den.alias("ks_den"),
+            # the INTERNAL cross-products ride DECIMAL(38,0) (no int64
+            # overflow at any corpus size); the OUTPUT casts to BIGINT
+            # because the driver's value-hash stringifies Decimal and
+            # DOUBLE differently (round-7 window simulation catch) —
+            # the output bound n_a*n_b <= 9.2e18 holds to ~3e9 rows/arm
+            F.col("ks_num").cast("long").alias("ks_num"),
+            den.cast("long").alias("ks_den"),
             (
                 F.col("ks_num").cast("double") / den.cast("double")
             ).alias("ks_stat"),
