@@ -478,8 +478,17 @@ class VectorEngine:
 
         table = db_table or "default"
         path = self._store_path(table)
+        # retry ONLY when a delete swap is visibly in flight (the
+        # __pre_delete/__rewrite markers exist) — a plain missing table
+        # (typo, never ingested) must fail fast, not eat the 250 ms
+        # retry budget meant for the microsecond rename gap
         for _ in range(5):
             if os.path.isdir(path):
+                break
+            if not (
+                os.path.isdir(f"{path}__pre_delete")
+                or os.path.isdir(f"{path}__rewrite")
+            ):
                 break
             time.sleep(0.05)
         if not os.path.isdir(path):

@@ -232,12 +232,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
         prev = line
     if bps == 2:  # 16-bit: keep each sample's MSB
         out = out[::2]
-    if nch in (2, 4):  # strip the alpha channel
-        keep = nch - 1
-        px = bytearray()
-        for p in range(0, len(out), nch):
-            px += out[p : p + keep]
-        out = px
+    if nch == 2:  # gray+alpha -> gray: keep even offsets
+        out = out[::2]
+    elif nch == 4:  # RGBA -> RGB: drop every 4th byte (one slice del)
+        out = bytearray(out)
+        del out[3::4]
     return w, h, bytes(out)
 
 

@@ -16,11 +16,22 @@ randomization.  This face extends `ab_test_summary`
 same exact-sufficient-statistics discipline (no erf/ln — downstream
 tools compute p-values from the reported moments).
 
-Cross-engine determinism: every per-user sum and every cross-user
-moment folds through exact decimal (functions.numeric dsum); θ and the
-adjusted means are then IDENTICAL double expression chains in both
-engines (the events_trend_ols recipe), so the face is hash-checkable
-despite being float-valued.
+Cross-engine determinism (round-7 review hardening): the x·x / x·y
+moment folds do NOT ride the double→decimal bridge at all — per-user
+sums stay DECIMAL(18,4), so their products are EXACT DECIMAL(37,8)
+values (no precision clamp in either engine: Spark p1+p2+1 = 37 ≤ 38,
+DuckDB p1+p2 = 36 ≤ 38) and every moment is exact decimal arithmetic
+end-to-end, cast to double exactly once for θ.  The only
+double→decimal hop left is the original per-EVENT value cast, whose
+~1e9-summand identity bound (functions/numeric.py) applies to single
+purchase amounts, not user aggregates — a first pre-scale-by-2⁻¹⁰
+design kept the fold in doubles and measurably diverged at the 9th
+digit (binary-exact scaling is not decimal-string-exact).  Bounds:
+|event value| ≤ 1e9 for identical decimal casts; per-user sums < 1e14
+(DECIMAL(18,4)) — document-checked, far above any real spend.
+θ and the adjusted means are then IDENTICAL double expression chains
+in both engines (the events_trend_ols recipe), so the face is
+hash-checkable despite being float-valued.
 
 Scale: one (user)-keyed aggregate over events (conditional sums split
 pre/post in the same pass), a broadcast 1-row pooled-moment frame, and
@@ -32,7 +43,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.functions.numeric import dsum, o_dsum
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.operators.experiment_ops import (
     _DUCK_ARM,
@@ -42,21 +52,32 @@ from vector_ai_npm_spark.registry import query
 
 _SPLIT = "2024-01-16"  # pre-period: Jan 1-15; post: Jan 16-30
 
+_D = "DECIMAL(18,4)"
+
+
+def _o_dec2dbl(expr: str) -> str:
+    """DuckDB decimal→double through VARCHAR (exact; see o_dsum)."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
 
 @query(
     "ab_cuped_adjust",
     oracle=f"""
     WITH per_user AS (
       SELECT user_id, {_DUCK_ARM} AS arm,
-             {o_dsum("CASE WHEN event_type = 'purchase' AND "
-                     f"ts < TIMESTAMP '{_SPLIT}' THEN value ELSE 0 END")} AS x,
-             {o_dsum("CASE WHEN event_type = 'purchase' AND "
-                     f"ts >= TIMESTAMP '{_SPLIT}' THEN value ELSE 0 END")} AS y
+             CAST(SUM(CAST(CASE WHEN event_type = 'purchase' AND
+                  ts < TIMESTAMP '{_SPLIT}' THEN value ELSE 0 END
+                  AS {_D})) AS {_D}) AS xd,
+             CAST(SUM(CAST(CASE WHEN event_type = 'purchase' AND
+                  ts >= TIMESTAMP '{_SPLIT}' THEN value ELSE 0 END
+                  AS {_D})) AS {_D}) AS yd
       FROM events GROUP BY user_id
     ), pooled AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             {o_dsum('x')} AS sx, {o_dsum('y')} AS sy,
-             {o_dsum('x * x')} AS sxx, {o_dsum('x * y')} AS sxy
+             {_o_dec2dbl('SUM(xd)')} AS sx,
+             {_o_dec2dbl('SUM(yd)')} AS sy,
+             {_o_dec2dbl('SUM(xd * xd)')} AS sxx,
+             {_o_dec2dbl('SUM(xd * yd)')} AS sxy
       FROM per_user
     ), theta AS (
       SELECT n, sx,
@@ -65,9 +86,10 @@ _SPLIT = "2024-01-16"  # pre-period: Jan 1-15; post: Jan 16-30
     )
     SELECT arm,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           {o_dsum('y')} / CAST(COUNT(*) AS DOUBLE) AS mean_y,
-           ({o_dsum('y')} / CAST(COUNT(*) AS DOUBLE))
-             - theta.th * (({o_dsum('x')} / CAST(COUNT(*) AS DOUBLE))
+           {_o_dec2dbl('SUM(yd)')} / CAST(COUNT(*) AS DOUBLE) AS mean_y,
+           ({_o_dec2dbl('SUM(yd)')} / CAST(COUNT(*) AS DOUBLE))
+             - theta.th * (({_o_dec2dbl('SUM(xd)')}
+                            / CAST(COUNT(*) AS DOUBLE))
                            - (theta.sx / theta.n)) AS mean_y_cuped
     FROM per_user CROSS JOIN theta
     GROUP BY arm, theta.th, theta.sx, theta.n
@@ -83,17 +105,22 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = (F.col("event_type") == "purchase") & (
         F.col("ts") >= F.lit(_SPLIT).cast("timestamp")
     )
+    dec = _D.lower()
     per_user = ev.groupBy("user_id").agg(
         F.first(F.expr(_SPARK_ARM)).alias("arm"),
-        dsum(F.when(pre, F.col("value")).otherwise(F.lit(0.0)), "x"),
-        dsum(F.when(post, F.col("value")).otherwise(F.lit(0.0)), "y"),
+        F.sum(F.when(pre, F.col("value")).otherwise(F.lit(0.0)).cast(dec))
+        .cast(dec)
+        .alias("xd"),
+        F.sum(F.when(post, F.col("value")).otherwise(F.lit(0.0)).cast(dec))
+        .cast(dec)
+        .alias("yd"),
     )
     pooled = per_user.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("x", "sx"),
-        dsum("y", "sy"),
-        dsum(F.col("x") * F.col("x"), "sxx"),
-        dsum(F.col("x") * F.col("y"), "sxy"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sxx"),
+        F.sum(F.col("xd") * F.col("yd")).cast("double").alias("sxy"),
     )
     theta = pooled.select(
         "n",
@@ -108,8 +135,8 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("arm", "th", "sx", "n")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            dsum("y", "sy_a"),
-            dsum("x", "sx_a"),
+            F.sum("yd").cast("double").alias("sy_a"),
+            F.sum("xd").cast("double").alias("sx_a"),
         )
     )
     mean_y = F.col("sy_a") / F.col("n_users").cast("double")

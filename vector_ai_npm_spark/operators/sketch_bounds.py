@@ -54,26 +54,41 @@ def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"approx_percentile(value, 0.5, {_ACC})").alias("a50"),
         F.expr(f"approx_percentile(value, 0.9, {_ACC})").alias("a90"),
     )
+    # The GK guarantee is on SOME rank of the returned ELEMENT, whose
+    # ranks form the interval [#{v < a}+1, #{v <= a}] when values tie.
+    # Auditing only the max-rank (#{v <= a}) would spuriously fail a
+    # correct sketch whenever >= n/ACC rows share the returned value
+    # (e.g. a zero/default spike), so the audit checks that the
+    # element's rank INTERVAL intersects [n·q − n/ACC, n·q + n/ACC].
     audited = (
         ev.join(F.broadcast(sk), "event_type")
         .groupBy("event_type", "n")
         .agg(
             F.sum(
+                F.when(F.col("value") < F.col("a50"), 1).otherwise(0)
+            ).alias("lt50"),
+            F.sum(
                 F.when(F.col("value") <= F.col("a50"), 1).otherwise(0)
-            ).alias("rank50"),
+            ).alias("le50"),
+            F.sum(
+                F.when(F.col("value") < F.col("a90"), 1).otherwise(0)
+            ).alias("lt90"),
             F.sum(
                 F.when(F.col("value") <= F.col("a90"), 1).otherwise(0)
-            ).alias("rank90"),
+            ).alias("le90"),
         )
     )
     tol = F.col("n") / F.lit(_ACC) + F.lit(1.0)
+
+    def interval_ok(lt, le, q):
+        target = F.col("n") * F.lit(q)
+        return (F.col(lt) + F.lit(1) <= target + tol) & (
+            F.col(le) >= target - tol
+        )
+
     return audited.select(
         "event_type",
         "n",
-        (
-            F.abs(F.col("rank50") - F.col("n") * F.lit(0.5)) <= tol
-        ).alias("p50_rank_ok"),
-        (
-            F.abs(F.col("rank90") - F.col("n") * F.lit(0.9)) <= tol
-        ).alias("p90_rank_ok"),
+        interval_ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
+        interval_ok("lt90", "le90", 0.9).alias("p90_rank_ok"),
     )

@@ -124,12 +124,9 @@ def curate_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # plant code-shaped text into every 10th document: words joined with
 # the symbol soup real code exhibits (braces, parens, operators)
-_SPARK_CODETEXT = (
-    "CASE WHEN doc_id % 10 = 0 THEN "
-    "concat('def f() {', replace(text, ' ', '(x); '), '};') "
-    "ELSE text END"
-)
-_DUCK_CODETEXT = (
+# one constant, both engines: the expression is engine-portable SQL,
+# and a single definition cannot drift the oracle from the Spark side
+_CODETEXT = (
     "CASE WHEN doc_id % 10 = 0 THEN "
     "concat('def f() {', replace(text, ' ', '(x); '), '};') "
     "ELSE text END"
@@ -142,7 +139,7 @@ _CODE_THRESHOLD = 20  # symbols per 1000 chars
     "text_code_detect",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, {_DUCK_CODETEXT} AS body FROM documents
+      SELECT doc_id, {_CODETEXT} AS body FROM documents
     ), feats AS (
       SELECT doc_id,
              CAST(length(body) AS BIGINT) AS n_chars,
@@ -167,7 +164,7 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployments add keyword/indent features on the same map-only
     frame."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.expr(_SPARK_CODETEXT).alias("body"))
+    t = docs.select("doc_id", F.expr(_CODETEXT).alias("body"))
     feats = t.select(
         "doc_id",
         F.length("body").cast("long").alias("n_chars"),

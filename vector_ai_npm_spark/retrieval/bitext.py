@@ -35,6 +35,8 @@ pluggable; margin scoring is this operator.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -216,12 +218,7 @@ def ann_shortlist_pairs(
     Scale: candidate count is O(n·E[bucket load]) — the embedding_router
     sizing discipline; per-x output is exactly ``shortlist_k`` rows, so
     the margin stage is k·n however large the pools are."""
-    from vector_ai_npm_spark.dedup.embedding_router import (
-        sign_lsh_signatures,
-    )
-
-    dim = len(x.select("x_emb").limit(1).collect()[0][0])  # 1-row probe
-    sig = sign_lsh_signatures(dim, n_tables=n_tables, bits=bits, seed=seed)
+    sig = _lazy_sign_lsh(n_tables=n_tables, bits=bits, seed=seed)
     xb = x.select(
         "x_id", F.posexplode(sig(F.col("x_emb"))).alias("tbl", "sig")
     )
@@ -250,6 +247,33 @@ def ann_shortlist_pairs(
         .where(F.col("rk") <= shortlist_k)
         .drop("rk")
     )
+
+
+def _lazy_sign_lsh(n_tables: int, bits: int, seed: int):
+    """sign_lsh_signatures without the up-front dim probe: the seeded
+    hyperplanes are derived INSIDE the UDF from the first batch's
+    vector length (same RandomState(seed) ⇒ identical planes on every
+    executor and batch), so no collect job runs just to learn `dim`
+    and an empty pool simply yields no rows (round-7 review fix)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    state: dict[str, np.ndarray] = {}
+
+    @pandas_udf("array<long>")
+    def lsh_sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (n, dim)
+        planes = state.get("planes")
+        if planes is None or planes.shape[1] != mat.shape[1]:
+            planes = np.random.RandomState(seed).normal(
+                size=(n_tables * bits, mat.shape[1])
+            )
+            state["planes"] = planes
+        signs = (mat @ planes.T) > 0
+        sigs = (signs.reshape(len(mat), n_tables, bits) * weights).sum(axis=2)
+        return pd.Series(list(sigs))
+
+    return lsh_sig
 
 
 _PLANT_OFFSET = 1_000_000

@@ -43,14 +43,21 @@ def sq8_stats(emb: DataFrame, vec_col: str = "emb") -> DataFrame:
 def sq8_encode(emb: DataFrame, stats: DataFrame,
                vec_col: str = "emb") -> DataFrame:
     """(vec_id, dim, code, err_ok): uint8 code per dimension plus the
-    half-step reconstruction bound check."""
+    half-step reconstruction bound check.  A CONSTANT dimension
+    (hi == lo — e.g. a zero-padded dim) would make the affine map
+    0/0 → NaN with engine-divergent NULL semantics, so it encodes as
+    the deterministic code 0 with a trivially-true bound (dequant
+    reproduces the constant exactly)."""
     ex = emb.select("vec_id", F.posexplode(vec_col).alias("dim", "v"))
     j = ex.join(F.broadcast(stats), "dim")
+    degenerate = F.col("hi") == F.col("lo")
     step = (F.col("hi") - F.col("lo")) / F.lit(255.0)
-    code = F.floor(
-        (F.col("v") - F.col("lo")) * F.lit(255.0)
-        / (F.col("hi") - F.col("lo"))
-        + F.lit(0.5)
+    code = F.when(degenerate, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("v") - F.col("lo")) * F.lit(255.0)
+            / (F.col("hi") - F.col("lo"))
+            + F.lit(0.5)
+        )
     ).cast("long")
     deq = F.col("lo") + code.cast("double") * step
     return j.select(
@@ -75,10 +82,12 @@ def sq8_encode(emb: DataFrame, stats: DataFrame,
       SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY dim
     ), codes AS (
       SELECT e.vec_id, e.dim,
-             CAST(floor((e.v - s.lo) * 255.0 / (s.hi - s.lo) + 0.5)
-                  AS BIGINT) AS code,
-             (abs(e.v - (s.lo + floor((e.v - s.lo) * 255.0 / (s.hi - s.lo)
-                                      + 0.5) * ((s.hi - s.lo) / 255.0)))
+             CAST(CASE WHEN s.hi = s.lo THEN 0
+                  ELSE floor((e.v - s.lo) * 255.0 / (s.hi - s.lo) + 0.5)
+                  END AS BIGINT) AS code,
+             (abs(e.v - (s.lo + (CASE WHEN s.hi = s.lo THEN 0
+                   ELSE floor((e.v - s.lo) * 255.0 / (s.hi - s.lo) + 0.5)
+                   END) * ((s.hi - s.lo) / 255.0)))
                 <= (s.hi - s.lo) / 255.0 / 2.0 + 1e-12) AS err_ok
       FROM e JOIN stats s ON s.dim = e.dim
     )

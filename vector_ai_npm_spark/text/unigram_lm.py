@@ -123,9 +123,11 @@ def _forward_backward(
 def _viterbi(
     word: str, logp: dict[str, float], max_len: int
 ) -> list[str]:
-    """Best segmentation; ties break toward the LONGER last piece, then
-    lexicographically smaller — a deterministic rule so equal-score
-    lattices segment identically everywhere."""
+    """Best segmentation; ties break toward the LONGER last piece — a
+    deterministic rule so equal-score lattices segment identically
+    everywhere.  (Two candidates ending at the same position with equal
+    length are the same substring, so length alone is a total
+    tie-break here.)"""
     n = len(word)
     neg = float("-inf")
     best = [neg] * (n + 1)
@@ -139,13 +141,10 @@ def _viterbi(
                 continue
             v = best[i] + lp
             prev = back[j]
-            if (
-                v > best[j]
-                or (
-                    v == best[j]
-                    and prev is not None
-                    and (len(piece), piece) > (j - prev[0], prev[1])
-                )
+            if v > best[j] or (
+                v == best[j]
+                and prev is not None
+                and len(piece) > j - prev[0]
             ):
                 best[j] = v
                 back[j] = (i, piece)
