@@ -118,6 +118,8 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.sketch_bounds  # noqa: F401
     import vector_ai_npm_spark.operators.graph_hits  # noqa: F401
     import vector_ai_npm_spark.retrieval.sq  # noqa: F401
+    # --- wave 13 (round 7): eval/feature-engineering metrics ---
+    import vector_ai_npm_spark.operators.eval_metrics  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
