@@ -77,6 +77,9 @@ PLAN_QUERIES = (
     ("events_growth_accounting", "one user window over distinct (user,day)"),
     ("window_twap", "window + agg share one (user,day) exchange"),
     ("events_trend_ols", "closed-form OLS power sums, single scan"),
+    ("eval_auc_rank", "rank sums via two-level prefix + broadcast carries"),
+    ("feature_target_encode_loo", "5-row category agg broadcast; fact unshuffled"),
+    ("feature_hash_bucket", "vocab-keyed agg, bucket WindowGroupLimit"),
 )
 
 
