@@ -1,0 +1,239 @@
+"""Feature transforms and threshold evals (wave 14).
+
+* `feature_rank_normalize` — percentile (mid-)rank transform of a
+  numeric feature: pr(x) = (rank_lo(x) + rank_hi(x)) / (2n), the
+  tie-fair quantile normalization used before monotonic models and
+  cross-dataset feature fusion.  Exact rational: the numerator
+  2*cum_before + cnt + 1 is integer (the eval_auc_rank rank identity),
+  n enters once as a double.  The cumulative counts ride the same
+  TWO-LEVEL bucketed prefix as eval_auc_rank — the price domain is
+  fixed, so the carry-bucket frame is bounded by construction, and the
+  per-row transform is a cents-keyed equi-join back to the fact.
+* `eval_confusion_threshold` — precision/recall/F1 sweep over fixed
+  decision thresholds of the deterministic model score from
+  `eval_calibration_bins` (same md5+label synthesis, cited there).
+  Counts aggregate per distinct score value first (≤1000 rows), then a
+  9-threshold lattice folds suffix sums — TP/FP/FN/TN are BIGINT and
+  each metric is ONE double division (F1 via 2TP/(2TP+FP+FN), which
+  keeps the denominator integral).
+
+Reference scope note: the reference (vector-client.ts) has no feature
+or eval surface; north-star scope alongside eval_auc_rank.
+
+Scale: rank-normalize shuffles the fact ONCE (the cents equi-join);
+everything else in both operators happens on aggregate frames
+(distinct scores, fixed thresholds, bounded carry buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.operators.eval_metrics import (
+    _duck_hash_mod,
+    _spark_hash_mod,
+)
+from vector_ai_npm_spark.registry import query
+
+# integer cents from a 2-decimal double (see eval_metrics._CENTS_SQL for
+# why CAST-of-product is engine-divergent)
+_PCENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+_RANK_BUCKET = 1_000_000  # cents per carry bucket (price domain fixed)
+
+
+@query(
+    "feature_rank_normalize",
+    oracle=f"""
+    WITH fact AS (
+      SELECT o_orderkey, {_PCENTS} AS cents FROM orders
+    ), by_val AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM fact GROUP BY cents
+    ), ranked AS (
+      SELECT cents, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM by_val
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fact)
+    SELECT f.o_orderkey, f.cents,
+           CAST(2 * r.cum_before + r.cnt + 1 AS DOUBLE)
+             / (2.0 * CAST(tot.n AS DOUBLE)) AS pct_rank
+    FROM fact f JOIN ranked r USING (cents) CROSS JOIN tot
+    """,
+)
+def feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-fair percentile-rank normalization of o_totalprice: every
+    order gets its mid-rank quantile pr = (2*cum_before + cnt + 1)/(2n)
+    — values in (0, 1), equal inputs get equal outputs, and the
+    transform is invariant to any monotone rescaling of the raw
+    feature.
+
+    Scale: distinct-value aggregate -> two-level prefix (the only
+    unpartitioned window runs over the bounded carry-bucket aggregate)
+    -> one cents-keyed equi-join back to the fact.  The rank frame is
+    value-domain-sized, never corpus-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey", F.expr(_PCENTS).alias("cents")
+    )
+    by_val = fact.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).withColumn("bucket", (F.col("cents") / F.lit(_RANK_BUCKET)).cast("long"))
+    w_in = (
+        W.partitionBy("bucket").orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = by_val.withColumn(
+        "within_before", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+    )
+    btot = by_val.groupBy("bucket").agg(F.sum("cnt").alias("bucket_n"))
+    w_carry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carries = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_n").over(w_carry), F.lit(0)).alias("prior_n"),
+    )
+    ranked = (
+        within.join(F.broadcast(carries), "bucket")
+        .select(
+            "cents",
+            "cnt",
+            (F.col("prior_n") + F.col("within_before")).alias("cum_before"),
+        )
+    )
+    n1 = fact.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        fact.join(ranked, "cents")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "o_orderkey",
+            "cents",
+            (
+                (F.lit(2) * F.col("cum_before") + F.col("cnt") + F.lit(1))
+                .cast("double")
+                / (F.lit(2.0) * F.col("n").cast("double"))
+            ).alias("pct_rank"),
+        )
+    )
+
+
+# the SAME deterministic score synthesis as eval_calibration_bins — one
+# model-score fixture shared by the calibration and threshold readouts
+_THRESHOLDS = tuple(range(100, 1000, 100))  # milli-units
+
+
+@query(
+    "eval_confusion_threshold",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+             {_duck_hash_mod("vec_id", "#cal", 600)}
+               + CASE WHEN label < 5 THEN 350 ELSE 50 END AS s_milli
+      FROM embeddings
+    ), by_score AS (
+      SELECT s_milli, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM scored GROUP BY s_milli
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+             CAST(SUM(n_pos) AS BIGINT) AS p_all
+      FROM by_score
+    ), lat AS (
+      SELECT t.threshold,
+             CAST(SUM(CASE WHEN s.s_milli >= t.threshold
+                           THEN s.n_pos ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.s_milli >= t.threshold
+                           THEN s.n - s.n_pos ELSE 0 END) AS BIGINT) AS fp
+      FROM (VALUES {", ".join(f"({t})" for t in _THRESHOLDS)}) AS t(threshold)
+      CROSS JOIN by_score s
+      GROUP BY t.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp,
+           p_all - tp AS fn, n_all - p_all - fp AS tn,
+           CASE WHEN tp + fp > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) AS recall,
+           CAST(2 * tp AS DOUBLE)
+             / CAST(2 * tp + fp + (p_all - tp) AS DOUBLE) AS f1
+    FROM lat CROSS JOIN tot
+    """,
+)
+def eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep: TP/FP/FN/TN and precision/recall/F1 at 9
+    fixed score thresholds, over the eval_calibration_bins model-score
+    fixture.  F1 = 2TP/(2TP+FP+FN) keeps every denominator integral so
+    each metric is exactly one IEEE division.
+
+    Scale: corpus reduces to the distinct-score aggregate (≤1000 rows
+    by construction of the milli-unit score), the 9-threshold lattice
+    folds suffix sums over THAT frame, totals broadcast — corpus scans
+    once, nothing corpus-sized shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        (
+            _spark_hash_mod(F.col("vec_id"), "#cal", 600)
+            + F.when(F.col("label") < 5, 350).otherwise(50)
+        ).alias("s_milli"),
+    )
+    by_score = scored.groupBy("s_milli").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    tot = by_score.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("n_pos").cast("bigint").alias("p_all"),
+    )
+    lat = (
+        by_score.select(
+            "s_milli",
+            "n",
+            "n_pos",
+            F.explode(
+                F.array(*[F.lit(t) for t in _THRESHOLDS])
+            ).alias("threshold"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("s_milli") >= F.col("threshold"), F.col("n_pos"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("s_milli") >= F.col("threshold"),
+                    F.col("n") - F.col("n_pos"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    fn = F.col("p_all") - F.col("tp")
+    return (
+        lat.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("threshold").cast("bigint").alias("threshold"),
+            "tp",
+            "fp",
+            fn.alias("fn"),
+            (F.col("n_all") - F.col("p_all") - F.col("fp")).alias("tn"),
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double"),
+            ).alias("precision"),
+            (F.col("tp").cast("double") / F.col("p_all").cast("double")).alias(
+                "recall"
+            ),
+            (
+                (F.lit(2) * F.col("tp")).cast("double")
+                / (F.lit(2) * F.col("tp") + F.col("fp") + fn).cast("double")
+            ).alias("f1"),
+        )
+    )

@@ -120,6 +120,10 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.retrieval.sq  # noqa: F401
     # --- wave 13 (round 7): eval/feature-engineering metrics ---
     import vector_ai_npm_spark.operators.eval_metrics  # noqa: F401
+    # --- wave 14 (round 7): feature transforms, threshold evals,
+    # t-closeness ---
+    import vector_ai_npm_spark.operators.feature_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.privacy_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
