@@ -119,3 +119,51 @@ def test_t_closeness_matches_fraction_emd(spark, sf_smoke):
         assert math.isclose(r.t_emd, float(emd), rel_tol=1e-12)
         assert r.at_risk == (emd > Fraction(2, 10))
         assert 0 <= r.t_emd <= 1
+
+
+def test_isotonic_matches_pool_adjacent_violators(spark, sf_smoke):
+    from vector_ai_npm_spark.operators.feature_ops import (
+        eval_calibration_isotonic,
+    )
+
+    items = duckdb.sql(
+        f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    bins: dict[int, list[int]] = defaultdict(lambda: [0, 0])  # n, p
+    for vec_id, label in items:
+        pos = 1 if label < 5 else 0
+        s = _md5_mod(f"{vec_id}#cal", 600) + (350 if pos else 50)
+        acc = bins[s // 100]
+        acc[0] += 1
+        acc[1] += pos
+    # classic sequential PAV over bins ordered by id — shares NO
+    # algorithm with the Spark face's minimax-identity formulation
+    blocks = []  # (n, p) pools
+    for b in sorted(bins):
+        n, p = bins[b]
+        blocks.append([n, p, [b]])
+        while len(blocks) >= 2 and (
+            blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+        ):  # prev rate > next rate, compared as exact cross-products
+            n2, p2, ids2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            blocks[-1][2].extend(ids2)
+    expected = {}
+    for n, p, ids in blocks:
+        for b in ids:
+            expected[b] = (p, n)
+
+    got = {r.bin: r for r in
+           eval_calibration_isotonic(spark, sf_smoke).collect()}
+    assert set(got) == set(bins)
+    prev = -1.0
+    for b in sorted(got):
+        r = got[b]
+        p, n = expected[b]
+        assert math.isclose(r.iso_rate, p / n, rel_tol=1e-12), b
+        assert (r.n_examples, ) == (bins[b][0], )
+        assert math.isclose(r.frac_pos, bins[b][1] / bins[b][0],
+                            rel_tol=1e-12)
+        assert r.iso_rate >= prev - 1e-15  # monotone non-decreasing
+        prev = r.iso_rate

@@ -237,3 +237,131 @@ def eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# eval_calibration_isotonic
+# --------------------------------------------------------------------------
+#
+# Isotonic (PAV) calibration of the binned rates, via the minimax
+# characterization of isotonic regression: the fitted value at bin i is
+#
+#     iso_i = max_{j<=i} min_{k>=i} avg(p over bins j..k)
+#
+# (Barlow et al. 1972, "Statistical Inference under Order
+# Restrictions") — equivalent to pool-adjacent-violators but expressible
+# as pure joins/aggregates over the BIN frame, so both engines compute
+# it without any sequential pooling loop.  Every interval average is an
+# exact-integer ratio evaluated as ONE double division; equal rationals
+# produce identical doubles (correct rounding of the same real), so the
+# min/max selections agree bit-for-bit across engines.
+#
+# Scale: the corpus reduces to the <=10-row bin frame first (the
+# eval_calibration_bins aggregate); the (j,k,i) lattice is 10^3 rows of
+# broadcast NLJ — constant-size at any corpus scale.
+
+
+@query(
+    "eval_calibration_isotonic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+             {_duck_hash_mod("vec_id", "#cal", 600)}
+               + CASE WHEN label < 5 THEN 350 ELSE 50 END AS s_milli
+      FROM embeddings
+    ), bins AS (
+      SELECT CAST(FLOOR(s_milli / 100) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM scored GROUP BY CAST(FLOOR(s_milli / 100) AS BIGINT)
+    ), cum AS (
+      SELECT bin, n, p,
+             CAST(SUM(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cn,
+             CAST(SUM(p) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cp
+      FROM bins
+    ), pairs AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             CAST(k.cp - (j.cp - j.p) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+      FROM cum j JOIN cum k ON j.bin <= k.bin
+    ), inner_min AS (
+      SELECT i.bin, p2.jb, MIN(p2.avg_jk) AS m
+      FROM bins i JOIN pairs p2 ON p2.jb <= i.bin AND p2.kb >= i.bin
+      GROUP BY i.bin, p2.jb
+    )
+    SELECT b.bin, b.n AS n_examples,
+           CAST(b.p AS DOUBLE) / CAST(b.n AS DOUBLE) AS frac_pos,
+           mx.iso AS iso_rate
+    FROM bins b JOIN (
+      SELECT bin, MAX(m) AS iso FROM inner_min GROUP BY bin
+    ) mx USING (bin)
+    """,
+)
+def eval_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration curve over the shared score fixture: raw
+    per-bin positive rates plus their PAV (monotone non-decreasing)
+    fit, computed by the minimax identity over the bin frame — see the
+    block comment for the formulation and scale shapes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        (
+            _spark_hash_mod(F.col("vec_id"), "#cal", 600)
+            + F.when(F.col("label") < 5, 350).otherwise(50)
+        ).alias("s_milli"),
+    )
+    bins = scored.groupBy(
+        F.floor(F.col("s_milli") / F.lit(100)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "p",
+        F.sum("n").over(w_cum).cast("bigint").alias("cn"),
+        F.sum("p").over(w_cum).cast("bigint").alias("cp"),
+    )
+    j = cum.select(
+        F.col("bin").alias("jb"),
+        (F.col("cp") - F.col("p")).alias("cp_before"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+    )
+    k = cum.select(
+        F.col("bin").alias("kb"), F.col("cp").alias("cpk"),
+        F.col("cn").alias("cnk"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("cpk") - F.col("cp_before")).cast("double")
+            / (F.col("cnk") - F.col("cn_before")).cast("double")
+        ).alias("avg_jk"),
+    )
+    i_frame = bins.select(F.col("bin").alias("ib"))
+    inner_min = (
+        i_frame.join(
+            F.broadcast(pairs),
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = inner_min.groupBy("ib").agg(F.max("m").alias("iso_rate"))
+    return bins.join(
+        F.broadcast(iso), bins.bin == iso.ib
+    ).select(
+        "bin",
+        F.col("n").alias("n_examples"),
+        (F.col("p").cast("double") / F.col("n").cast("double")).alias(
+            "frac_pos"
+        ),
+        "iso_rate",
+    )
