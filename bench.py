@@ -85,6 +85,12 @@ BENCH_QUERIES = (
     "events_survival_km",     # Kaplan-Meier life table (day-level frame)
     "multimodal_dhash_pairs", # banded Hamming join over 64-bit dHashes
     "text_rake_keywords",     # RAKE phrase typing (types, never re-joins corpus)
+    # wave-13/14/15 promotions; targets pinned from the round-7 idle
+    # best-of-5 (sf0.1, local[32])
+    "eval_auc_rank",          # Mann-Whitney AUC, two-level prefix ranks
+    "feature_rank_normalize", # mid-rank percentile transform + fact join-back
+    "dq_t_closeness",         # ordered-attribute EMD per QI group
+    "multimodal_channel_stats",  # corpus pixel mean/std through real decode
 )
 
 
