@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from vector_ai_npm_spark.functions.prefix import cum_before
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
 
@@ -155,24 +156,8 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_score = per_user.groupBy("cents").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("pos").cast("bigint").alias("cnt_pos"),
-    ).withColumn("bucket", (F.col("cents") / F.lit(_AUC_BUCKET)).cast("long"))
-
-    w_in = (
-        W.partitionBy("bucket").orderBy("cents")
-        .rowsBetween(W.unboundedPreceding, -1)
     )
-    within = by_score.withColumn(
-        "within_before", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-    )
-    btot = by_score.groupBy("bucket").agg(F.sum("cnt").alias("bucket_n"))
-    w_carry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    carries = btot.select(
-        "bucket",
-        F.coalesce(F.sum("bucket_n").over(w_carry), F.lit(0)).alias("prior_n"),
-    )
-    ranked = within.join(F.broadcast(carries), "bucket").withColumn(
-        "cum_before", F.col("prior_n") + F.col("within_before")
-    )
+    ranked = cum_before(by_score, "cents", "cnt", _AUC_BUCKET)
     d19 = "decimal(19,0)"
     folded = ranked.agg(
         F.sum("cnt").cast("bigint").alias("n_users"),

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from vector_ai_npm_spark.functions.prefix import cum_before
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.operators.eval_metrics import (
     _duck_hash_mod,
@@ -82,27 +83,9 @@ def feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_val = fact.groupBy("cents").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).withColumn("bucket", (F.col("cents") / F.lit(_RANK_BUCKET)).cast("long"))
-    w_in = (
-        W.partitionBy("bucket").orderBy("cents")
-        .rowsBetween(W.unboundedPreceding, -1)
     )
-    within = by_val.withColumn(
-        "within_before", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-    )
-    btot = by_val.groupBy("bucket").agg(F.sum("cnt").alias("bucket_n"))
-    w_carry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    carries = btot.select(
-        "bucket",
-        F.coalesce(F.sum("bucket_n").over(w_carry), F.lit(0)).alias("prior_n"),
-    )
-    ranked = (
-        within.join(F.broadcast(carries), "bucket")
-        .select(
-            "cents",
-            "cnt",
-            (F.col("prior_n") + F.col("within_before")).alias("cum_before"),
-        )
+    ranked = cum_before(by_val, "cents", "cnt", _RANK_BUCKET).select(
+        "cents", "cnt", "cum_before"
     )
     n1 = fact.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
