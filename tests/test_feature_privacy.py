@@ -167,3 +167,44 @@ def test_isotonic_matches_pool_adjacent_violators(spark, sf_smoke):
                             rel_tol=1e-12)
         assert r.iso_rate >= prev - 1e-15  # monotone non-decreasing
         prev = r.iso_rate
+
+
+def test_average_precision_matches_sklearn_style_reference(spark, sf_smoke):
+    from vector_ai_npm_spark.operators.feature_ops import (
+        eval_average_precision,
+    )
+
+    items = duckdb.sql(
+        f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    scored = sorted(
+        (
+            _md5_mod(f"{vec_id}#cal", 600) + (350 if label < 5 else 50),
+            1 if label < 5 else 0,
+        )
+        for vec_id, label in items
+    )
+    p_all, n_all = sum(p for _, p in scored), len(scored)
+    # step-interpolated AP, iterating distinct scores descending
+    ap = 0.0
+    c_all = c_pos = 0
+    i = len(scored) - 1
+    while i >= 0:
+        s = scored[i][0]
+        j = i
+        while j >= 0 and scored[j][0] == s:
+            j -= 1
+        n = i - j
+        npos = sum(p for _, p in scored[j + 1 : i + 1])
+        c_all += n
+        c_pos += npos
+        ap += (npos / p_all) * (c_pos / c_all)
+        i = j
+
+    row = eval_average_precision(spark, sf_smoke).collect()[0]
+    assert (row.n_examples, row.n_pos) == (n_all, p_all)
+    assert math.isclose(row.prevalence, p_all / n_all, rel_tol=1e-12)
+    assert math.isclose(row.average_precision, ap, rel_tol=1e-9)
+    # the score is informative: AP must clearly beat the prevalence
+    # baseline of a random ranker
+    assert row.average_precision > row.prevalence + 0.1

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from vector_ai_npm_spark.functions.numeric import o_dsum
 from vector_ai_npm_spark.functions.prefix import cum_before
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.operators.eval_metrics import (
@@ -347,4 +348,106 @@ def eval_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_pos"
         ),
         "iso_rate",
+    )
+
+
+# --------------------------------------------------------------------------
+# eval_average_precision
+# --------------------------------------------------------------------------
+
+
+@query(
+    "eval_average_precision",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+             {_duck_hash_mod("vec_id", "#cal", 600)}
+               + CASE WHEN label < 5 THEN 350 ELSE 50 END AS s_milli
+      FROM embeddings
+    ), by_score AS (
+      SELECT s_milli, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM scored GROUP BY s_milli
+    ), cum AS (
+      SELECT s_milli, n, n_pos,
+             CAST(SUM(n) OVER (ORDER BY s_milli DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS c_all,
+             CAST(SUM(n_pos) OVER (ORDER BY s_milli DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS c_pos
+      FROM by_score
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+             CAST(SUM(n_pos) AS BIGINT) AS p_all
+      FROM by_score
+    )
+    SELECT tot.n_all AS n_examples, tot.p_all AS n_pos,
+           CAST(tot.p_all AS DOUBLE) / CAST(tot.n_all AS DOUBLE)
+             AS prevalence,
+           {o_dsum("CAST(c.n_pos AS DOUBLE)"
+                   " * (CAST(c.c_pos AS DOUBLE) / CAST(c.c_all AS DOUBLE))")}
+             / CAST(tot.p_all AS DOUBLE) AS average_precision
+    FROM cum c CROSS JOIN tot
+    GROUP BY tot.n_all, tot.p_all
+    """,
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (AUPRC, step interpolation — the
+    sklearn/TREC definition): AP = sum over distinct score thresholds
+    (descending) of (delta recall) * (precision at the threshold),
+    where both factors are exact-integer ratios from the cumulative
+    counts.  Completes the threshold-free eval pair next to
+    `eval_auc_rank` — AP is the one that stays informative under heavy
+    class imbalance.  Per-threshold terms are identical double chains;
+    the sum over thresholds folds through exact decimal (dsum) so the
+    score-domain order never matters.
+
+    Scale: the corpus reduces to the ≤1000-row distinct-score frame
+    (milli-unit score domain — fixed by construction) before the only
+    window; one 1-row fold."""
+    from vector_ai_npm_spark.functions.numeric import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        (
+            _spark_hash_mod(F.col("vec_id"), "#cal", 600)
+            + F.when(F.col("label") < 5, 350).otherwise(50)
+        ).alias("s_milli"),
+    )
+    by_score = scored.groupBy("s_milli").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    w_cum = W.orderBy(F.desc("s_milli")).rowsBetween(W.unboundedPreceding, 0)
+    cum = by_score.select(
+        "n_pos",
+        F.sum("n").over(w_cum).cast("bigint").alias("c_all"),
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("c_pos"),
+    )
+    tot = by_score.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("n_pos").cast("bigint").alias("p_all"),
+    )
+    # fold n_pos * precision (magnitude ~1) and divide by P once at the
+    # end: folding the fully-normalized term would sit at ~1e-3 where
+    # dsum's scale-8 quantization costs 4 significant digits
+    term = F.col("n_pos").cast("double") * (
+        F.col("c_pos").cast("double") / F.col("c_all").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_all", "p_all")
+        .agg(dsum(term, "ap_num"))
+        .select(
+            F.col("n_all").alias("n_examples"),
+            F.col("p_all").alias("n_pos"),
+            (
+                F.col("p_all").cast("double") / F.col("n_all").cast("double")
+            ).alias("prevalence"),
+            (F.col("ap_num") / F.col("p_all").cast("double")).alias(
+                "average_precision"
+            ),
+        )
     )
