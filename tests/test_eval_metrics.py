@@ -17,7 +17,7 @@ from collections import Counter, defaultdict
 
 import duckdb
 
-SF = "/root/testdata/sf0.001"
+from conftest import SF_SMOKE as SF  # single source for the fixture path
 
 
 def _md5_mod(key: str, mod: int) -> int:

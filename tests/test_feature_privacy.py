@@ -12,7 +12,7 @@ from fractions import Fraction
 
 import duckdb
 
-SF = "/root/testdata/sf0.001"
+from conftest import SF_SMOKE as SF  # single source for the fixture path
 
 
 def _md5_mod(key: str, mod: int) -> int:

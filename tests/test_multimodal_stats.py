@@ -9,7 +9,7 @@ from collections import defaultdict
 
 import duckdb
 
-SF = "/root/testdata/sf0.001"
+from conftest import SF_SMOKE as SF  # single source for the fixture path
 
 
 def _chain(text: str) -> str:

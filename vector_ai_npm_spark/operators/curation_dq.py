@@ -280,7 +280,9 @@ def delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # three synthetic annotators: annotator i corrupts the gold label with
 # ~20% probability, deterministically from md5(vec_id # i) — the
-# cross-engine hash idiom (text/curation.py:876)
+# cross-engine hash idiom (text/curation.py:876).  SHARED with
+# label_fleiss_kappa (operators/eval_metrics.py): both QA readouts must
+# see the identical votes, so this is the single definition site.
 _N_ANN = 3
 
 
@@ -293,6 +295,25 @@ def _vote_sql_leg(i: int) -> str:
                 THEN (label + {i + 1}) % 10 ELSE label END AS vote
     FROM embeddings
     """
+
+
+def vote_expr(i: int) -> F.Column:
+    """Spark mirror of :func:`_vote_sql_leg`'s vote column."""
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("vec_id").cast("string"), F.lit(f"#ann{i}"))
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 10
+    )
+    return (
+        F.when(noise < 2, (F.col("label") + (i + 1)) % 10)
+        .otherwise(F.col("label"))
+    )
 
 
 @query(
@@ -332,28 +353,9 @@ def label_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by vec_id."""
     emb = load_table(spark, sf_dir, "embeddings")
 
-    def vote(i: int) -> F.Column:
-        noise = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("vec_id").cast("string"), F.lit(f"#ann{i}")
-                        )
-                    ),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("bigint") % 10
-        )
-        return (
-            F.when(noise < 2, (F.col("label") + (i + 1)) % 10)
-            .otherwise(F.col("label"))
-        )
-
     votes = emb.select(
         "vec_id",
-        F.explode(F.array(*[vote(i) for i in range(_N_ANN)])).alias("vote"),
+        F.explode(F.array(*[vote_expr(i) for i in range(_N_ANN)])).alias("vote"),
     )
     tallies = votes.groupBy("vec_id", "vote").agg(
         F.count(F.lit(1)).alias("n_votes")

@@ -207,8 +207,10 @@ _D4 = "DECIMAL(18,4)"
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o.o_orderkey, o.o_orderpriority, c.n_cat,
-           {_o_d2d(f"CAST(c.s_cat - CAST(o.o_totalprice AS {_D4}) AS DECIMAL(28,4))")}
-             / CAST(c.n_cat - 1 AS DOUBLE) AS loo_enc
+           CASE WHEN c.n_cat > 1 THEN
+             {_o_d2d(f"CAST(c.s_cat - CAST(o.o_totalprice AS {_D4}) AS DECIMAL(28,4))")}
+               / CAST(c.n_cat - 1 AS DOUBLE)
+           END AS loo_enc
     FROM orders o JOIN cat c USING (o_orderpriority)
     """,
 )
@@ -238,11 +240,12 @@ def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderpriority",
             "n_cat",
-            (
+            F.when(
+                F.col("n_cat") > 1,  # a singleton category has no LOO mean
                 (F.col("s_cat") - F.col("o_totalprice").cast(d4))
                 .cast("decimal(28,4)")
                 .cast("double")
-                / (F.col("n_cat") - F.lit(1)).cast("double")
+                / (F.col("n_cat") - F.lit(1)).cast("double"),
             ).alias("loo_enc"),
         )
     )
@@ -252,26 +255,21 @@ def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # label_fleiss_kappa
 # --------------------------------------------------------------------------
 
-# the SAME deterministic 3-annotator corruption as label_majority_vote
-# (operators/curation_dq.py:281) so the two QA readouts agree on votes
-_N_ANN = 3
-_N_CAT = 10
-
-
-def _vote_leg(i: int) -> str:
-    return f"""
-    SELECT vec_id,
-           CASE WHEN {_duck_hash_mod("vec_id", f"#ann{i}", 10)} < 2
-                THEN (label + {i + 1}) % 10 ELSE label END AS vote
-    FROM embeddings
-    """
+# the SAME deterministic 3-annotator corruption as label_majority_vote:
+# imported from its single definition site (operators/curation_dq.py)
+# so the two QA readouts can never drift apart on the vote synthesis
+from vector_ai_npm_spark.operators.curation_dq import (  # noqa: E402
+    _N_ANN,
+    _vote_sql_leg,
+    vote_expr,
+)
 
 
 @query(
     "label_fleiss_kappa",
     oracle=f"""
     WITH votes AS (
-      {" UNION ALL ".join(_vote_leg(i) for i in range(_N_ANN))}
+      {" UNION ALL ".join(_vote_sql_leg(i) for i in range(_N_ANN))}
     ), cells AS (
       SELECT vec_id, vote, CAST(COUNT(*) AS BIGINT) AS nij
       FROM votes GROUP BY vec_id, vote
@@ -316,16 +314,11 @@ def label_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds cross-joined.  Nothing wider than the cells frame shuffles."""
     emb = load_table(spark, sf_dir, "embeddings")
 
-    def vote(i: int) -> Column:
-        noise = _spark_hash_mod(F.col("vec_id"), f"#ann{i}", 10)
-        return (
-            F.when(noise < 2, (F.col("label") + (i + 1)) % 10)
-            .otherwise(F.col("label"))
-        )
-
     votes = emb.select(
         "vec_id",
-        F.explode(F.array(*[vote(i) for i in range(_N_ANN)])).alias("vote"),
+        F.explode(
+            F.array(*[vote_expr(i) for i in range(_N_ANN)])
+        ).alias("vote"),
     )
     cells = votes.groupBy("vec_id", "vote").agg(
         F.count(F.lit(1)).cast("bigint").alias("nij")
@@ -362,6 +355,36 @@ def label_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# shared model-score fixture
+# --------------------------------------------------------------------------
+#
+# ONE deterministic synthetic model score shared by every eval readout
+# (calibration bins, isotonic fit, confusion sweep, average precision):
+# md5 noise in [0, 600) milli-units + 350 for true positives (label<5),
+# +50 for negatives — overlapping, so the "model" is informative but
+# imperfect.  Single definition site; the production swap-in is a real
+# score column with the same (pos, s_milli) shape.
+
+CAL_SCORED_SQL = f"""
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+             {_duck_hash_mod("vec_id", "#cal", 600)}
+               + CASE WHEN label < 5 THEN 350 ELSE 50 END AS s_milli
+      FROM embeddings
+"""
+
+
+def cal_scored(emb: DataFrame) -> DataFrame:
+    """Spark mirror of :data:`CAL_SCORED_SQL` — (pos, s_milli) frame."""
+    return emb.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        (
+            _spark_hash_mod(F.col("vec_id"), "#cal", 600)
+            + F.when(F.col("label") < 5, 350).otherwise(50)
+        ).alias("s_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
 # eval_calibration_bins
 # --------------------------------------------------------------------------
 
@@ -370,10 +393,7 @@ def label_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval_calibration_bins",
     oracle=f"""
     WITH scored AS (
-      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
-             {_duck_hash_mod("vec_id", "#cal", 600)}
-               + CASE WHEN label < 5 THEN 350 ELSE 50 END AS s_milli
-      FROM embeddings
+{CAL_SCORED_SQL}
     )
     SELECT CAST(FLOOR(s_milli / 100) AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_examples,
@@ -399,14 +419,7 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     as DECIMAL(38,0) so milli-unit totals never hit the 2^53 double
     cliff.  The production swap-in is a real model-score column — the
     bin/fold shapes are unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    scored = emb.select(
-        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
-        (
-            _spark_hash_mod(F.col("vec_id"), "#cal", 600)
-            + F.when(F.col("label") < 5, 350).otherwise(50)
-        ).alias("s_milli"),
-    )
+    scored = cal_scored(load_table(spark, sf_dir, "embeddings"))
     agg = scored.groupBy(
         F.floor(F.col("s_milli") / F.lit(100)).cast("bigint").alias("bin")
     ).agg(
@@ -446,10 +459,14 @@ _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x 
     oracle=f"""
     WITH toks AS (
       SELECT unnest({_DUCK_TOKS}) AS term FROM documents
+    ), vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS term_n
+      FROM toks GROUP BY term
     ), per_term AS (
+      -- bucket hash on the VOCABULARY frame, never per token occurrence
       SELECT {_duck_hash_mod("term", "#fh", _N_BUCKETS)} AS bucket,
-             term, CAST(COUNT(*) AS BIGINT) AS term_n
-      FROM toks GROUP BY 1, 2
+             term, term_n
+      FROM vocab
     ), ranked AS (
       SELECT bucket, term, term_n,
              CAST(SUM(term_n) OVER (PARTITION BY bucket) AS BIGINT) AS n_tokens,
@@ -475,10 +492,15 @@ def feature_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the 1024-value bucket over the vocabulary frame and the top-1
     filter plans as WindowGroupLimit.  The corpus never re-shuffles."""
     docs = load_table(spark, sf_dir, "documents")
+    # count per term FIRST (the only corpus-scale shuffle), then hash on
+    # the vocabulary frame: one md5 per TERM, not per token occurrence
     per_term = (
         docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("term"))
-        .groupBy(_spark_hash_mod(F.col("term"), "#fh", _N_BUCKETS).alias("bucket"), "term")
+        .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("term_n"))
+        .withColumn(
+            "bucket", _spark_hash_mod(F.col("term"), "#fh", _N_BUCKETS)
+        )
     )
     wb = W.partitionBy("bucket")
     wr = W.partitionBy("bucket").orderBy(F.desc("term_n"), F.col("term"))

@@ -34,8 +34,8 @@ from vector_ai_npm_spark.functions.numeric import o_dsum
 from vector_ai_npm_spark.functions.prefix import cum_before
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.operators.eval_metrics import (
-    _duck_hash_mod,
-    _spark_hash_mod,
+    CAL_SCORED_SQL,
+    cal_scored,
 )
 from vector_ai_npm_spark.registry import query
 
@@ -113,10 +113,7 @@ _THRESHOLDS = tuple(range(100, 1000, 100))  # milli-units
     "eval_confusion_threshold",
     oracle=f"""
     WITH scored AS (
-      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
-             {_duck_hash_mod("vec_id", "#cal", 600)}
-               + CASE WHEN label < 5 THEN 350 ELSE 50 END AS s_milli
-      FROM embeddings
+{CAL_SCORED_SQL}
     ), by_score AS (
       SELECT s_milli, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(pos) AS BIGINT) AS n_pos
@@ -155,14 +152,7 @@ def eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction of the milli-unit score), the 9-threshold lattice
     folds suffix sums over THAT frame, totals broadcast — corpus scans
     once, nothing corpus-sized shuffles."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    scored = emb.select(
-        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
-        (
-            _spark_hash_mod(F.col("vec_id"), "#cal", 600)
-            + F.when(F.col("label") < 5, 350).otherwise(50)
-        ).alias("s_milli"),
-    )
+    scored = cal_scored(load_table(spark, sf_dir, "embeddings"))
     by_score = scored.groupBy("s_milli").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("n_pos"),
@@ -249,10 +239,7 @@ def eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval_calibration_isotonic",
     oracle=f"""
     WITH scored AS (
-      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
-             {_duck_hash_mod("vec_id", "#cal", 600)}
-               + CASE WHEN label < 5 THEN 350 ELSE 50 END AS s_milli
-      FROM embeddings
+{CAL_SCORED_SQL}
     ), bins AS (
       SELECT CAST(FLOOR(s_milli / 100) AS BIGINT) AS bin,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -290,14 +277,7 @@ def eval_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bin positive rates plus their PAV (monotone non-decreasing)
     fit, computed by the minimax identity over the bin frame — see the
     block comment for the formulation and scale shapes."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    scored = emb.select(
-        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
-        (
-            _spark_hash_mod(F.col("vec_id"), "#cal", 600)
-            + F.when(F.col("label") < 5, 350).otherwise(50)
-        ).alias("s_milli"),
-    )
+    scored = cal_scored(load_table(spark, sf_dir, "embeddings"))
     bins = scored.groupBy(
         F.floor(F.col("s_milli") / F.lit(100)).cast("bigint").alias("bin")
     ).agg(
@@ -360,10 +340,7 @@ def eval_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval_average_precision",
     oracle=f"""
     WITH scored AS (
-      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
-             {_duck_hash_mod("vec_id", "#cal", 600)}
-               + CASE WHEN label < 5 THEN 350 ELSE 50 END AS s_milli
-      FROM embeddings
+{CAL_SCORED_SQL}
     ), by_score AS (
       SELECT s_milli, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(pos) AS BIGINT) AS n_pos
@@ -408,14 +385,7 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; one 1-row fold."""
     from vector_ai_npm_spark.functions.numeric import dsum
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    scored = emb.select(
-        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
-        (
-            _spark_hash_mod(F.col("vec_id"), "#cal", 600)
-            + F.when(F.col("label") < 5, 350).otherwise(50)
-        ).alias("s_milli"),
-    )
+    scored = cal_scored(load_table(spark, sf_dir, "embeddings"))
     by_score = scored.groupBy("s_milli").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("n_pos"),

@@ -55,19 +55,24 @@ _T = 0.2
     ), groups AS (
       SELECT lang, source, CAST(SUM(cnt) AS BIGINT) AS group_n
       FROM cells GROUP BY lang, source
+    ), band_dom AS (
+      SELECT CAST(unnest(range(0, {_M_BANDS})) AS BIGINT) AS band
     ), gband AS (
-      SELECT band, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cells GROUP BY band
+      -- full 10-band domain: a band empty across the WHOLE corpus must
+      -- still contribute its |CumP - CumQ| term (review finding r7)
+      SELECT d.band, CAST(COALESCE(SUM(c.cnt), 0) AS BIGINT) AS gcnt
+      FROM band_dom d LEFT JOIN cells c ON d.band = c.band
+      GROUP BY d.band
     ), glob_cdf AS (
       SELECT band,
              CAST(SUM(gcnt) OVER (ORDER BY band
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_glob
       FROM gband
-    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
     lattice AS (
       SELECT g.lang, g.source, g.group_n, b.band
-      FROM groups g CROSS JOIN
-           (SELECT CAST(unnest(range(0, {_M_BANDS})) AS BIGINT) AS band) b
+      FROM groups g CROSS JOIN band_dom b
     ), group_cdf AS (
       SELECT l.lang, l.source, l.group_n, l.band,
              CAST(SUM(COALESCE(c.cnt, 0)) OVER (
@@ -116,12 +121,23 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = cells.groupBy("lang", "source").agg(
         F.sum("cnt").cast("bigint").alias("group_n")
     )
-    glob = cells.groupBy("band").agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+    band_dom = spark.range(_M_BANDS).select(F.col("id").alias("band"))
+    # full 10-band domain (review finding r7): a corpus-empty band still
+    # contributes its |CumP - CumQ| term to every group's EMD
+    glob = (
+        band_dom.join(
+            cells.groupBy("band").agg(F.sum("cnt").alias("c")), "band", "left"
+        )
+        .select(
+            "band", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("gcnt")
+        )
+    )
     w_glob = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
     glob_cdf = glob.select(
         "band", F.sum("gcnt").over(w_glob).cast("bigint").alias("cum_glob")
     )
-    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # n from the reduced cells frame — never a second corpus scan
+    tot = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
     lattice = groups.select(
         "lang",
         "source",
