@@ -671,6 +671,11 @@ def test_trend_ols_plan(spark, sf_smoke):
 
 _REDUCERS = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
 
+# leaves whose row count is a COMPILE-TIME literal, independent of any
+# table (spark.range(k) domain lattices, VALUES frames, one-row
+# relations) — bounded by construction, unlike a scan leaf
+_BOUNDED_LEAVES = {"Range", "LocalRelation", "OneRowRelation"}
+
 
 def _jseq(s):
     return [s.apply(i) for i in range(s.size())]
@@ -679,13 +684,14 @@ def _jseq(s):
 def _subtree_bounded(node) -> bool:
     """True if this logical subtree provably yields a reduced frame:
     every path to a leaf passes through an Aggregate / Limit /
-    Deduplicate.  A Filter does NOT count (selectivity is data, not
-    structure); for binary nodes every branch must be bounded."""
+    Deduplicate, or ends at a literal-sized leaf.  A Filter does NOT
+    count (selectivity is data, not structure); for binary nodes every
+    branch must be bounded."""
     if node.nodeName() in _REDUCERS:
         return True
     ch = _jseq(node.children())
     if not ch:
-        return False
+        return node.nodeName() in _BOUNDED_LEAVES
     return all(_subtree_bounded(c) for c in ch)
 
 
