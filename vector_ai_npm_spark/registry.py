@@ -126,6 +126,9 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.privacy_ops  # noqa: F401
     # --- wave 15 (round 7): corpus-level multimodal statistics ---
     import vector_ai_npm_spark.multimodal.stats  # noqa: F401
+    # --- wave 16 (round 7): weighted quantiles, assortativity ---
+    import vector_ai_npm_spark.operators.weighted_quantile  # noqa: F401
+    import vector_ai_npm_spark.operators.graph_assortativity  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
