@@ -208,3 +208,26 @@ def test_average_precision_matches_sklearn_style_reference(spark, sf_smoke):
     # the score is informative: AP must clearly beat the prevalence
     # baseline of a random ranker
     assert row.average_precision > row.prevalence + 0.1
+
+
+def test_brier_score_matches_brute_force(spark, sf_smoke):
+    from vector_ai_npm_spark.operators.feature_ops import eval_brier_score
+
+    items = duckdb.sql(
+        f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    se = n_pos = 0
+    for vec_id, label in items:
+        pos = 1 if label < 5 else 0
+        s = _md5_mod(f"{vec_id}#cal", 600) + (350 if pos else 50)
+        se += (s - 1000 * pos) ** 2
+        n_pos += pos
+    n = len(items)
+    row = eval_brier_score(spark, sf_smoke).collect()[0]
+    assert (row.n_examples, row.n_pos) == (n, n_pos)
+    assert math.isclose(row.brier_score, se / n / 1e6, rel_tol=1e-12)
+    prev = n_pos / n
+    assert math.isclose(row.brier_baseline, prev * (1 - prev), rel_tol=1e-12)
+    # the fixture's model is informative: it must beat the no-skill
+    # base-rate predictor
+    assert row.brier_score < row.brier_baseline

@@ -421,3 +421,67 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# eval_brier_score
+# --------------------------------------------------------------------------
+
+# varchar-bridged decimal->double for the squared-error fold (the
+# o_dsum rationale, functions/numeric.py)
+_O_D2D_SE = "CAST(CAST(se_milli2 AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "eval_brier_score",
+    oracle=f"""
+    WITH scored AS (
+{CAL_SCORED_SQL}
+    ), folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(s_milli - 1000 * pos AS DECIMAL(19,0))
+                      * CAST(s_milli - 1000 * pos AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS se_milli2,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM scored
+    )
+    SELECT n AS n_examples, n_pos,
+           {_O_D2D_SE} / CAST(n AS DOUBLE) / 1000000.0
+             AS brier_score,
+           (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+             AS brier_baseline
+    FROM folded
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the shared model-score fixture: mean squared
+    error between predicted probability and outcome.  With milli-unit
+    integer scores the per-row residual (s_milli - 1000*y) is INTEGER,
+    so the sum of squares folds exactly as DECIMAL(19,0)^2 -> (38,0)
+    and the score is two divisions at the end (/n, /1e6 back to
+    probability units).  `brier_baseline` = prevalence*(1-prevalence)
+    is the no-skill reference (predicting the base rate everywhere);
+    a useful model sits below it.
+
+    Scale: map-only residuals + a 1-row integer fold — pure scan
+    cost."""
+    scored = cal_scored(load_table(spark, sf_dir, "embeddings"))
+    d19 = "decimal(19,0)"
+    resid = (F.col("s_milli") - F.lit(1000) * F.col("pos")).cast(d19)
+    folded = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(resid * resid).cast("decimal(38,0)").alias("se_milli2"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    prev = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return folded.select(
+        F.col("n").alias("n_examples"),
+        "n_pos",
+        (
+            F.col("se_milli2").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1000000.0)
+        ).alias("brier_score"),
+        (prev * (F.lit(1.0) - prev)).alias("brier_baseline"),
+    )
