@@ -450,3 +450,35 @@ def test_delete_data_recovers_from_mid_swap_crash(spark, tmp_path):
     assert store.where("doc_id = 2").count() > 0
     assert not os.path.isdir(f"{path}__pre_delete")
     assert not os.path.isdir(f"{path}__rewrite")
+
+
+def test_query_embeddings_recovers_from_mid_swap_crash(spark, tmp_path):
+    """READER-side crash recovery (round-7 advice): a delete that died
+    between the two renames parks the intact store at __pre_delete.
+    query_embeddings must restore and serve it after the retry budget,
+    not raise 'has no data' at a recoverable state."""
+    import os
+
+    eng = VectorEngine(
+        spark, EngineConfig(chunk_size=120, chunk_overlap=30,
+                            store_path=str(tmp_path)),
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "## Context\nalpha doc\n## Body\nalpha content here"),
+            (2, "## Context\nbeta doc\n## Body\nbeta content here"),
+        ],
+        ["doc_id", "mdx"],
+    )
+    eng.ingest_data(docs, db_table="docs")
+    path = f"{tmp_path}/docs"
+    os.rename(path, f"{path}__pre_delete")
+    os.makedirs(f"{path}__rewrite")
+    emb = eng.create_embeddings("beta content")
+    res = eng.query_embeddings(emb, db_table="docs", count=2)
+    assert res["context"]  # served from the restored pre-delete store
+    assert os.path.isdir(path)
+    assert not os.path.isdir(f"{path}__pre_delete")
+    # a plain missing table (no swap markers) still fails fast
+    with pytest.raises(ValueError, match="no data"):
+        eng.query_embeddings(emb, db_table="ghost")

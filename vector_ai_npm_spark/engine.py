@@ -491,6 +491,18 @@ class VectorEngine:
             ):
                 break
             time.sleep(0.05)
+        # Retry budget exhausted with the swap markers still present:
+        # 250 ms is orders of magnitude wider than the rename gap, so
+        # this is a CRASHED delete (store parked at __pre_delete, new
+        # version never published), not an in-flight one.  Perform the
+        # same crash-recovery restore delete_data's preamble does, so
+        # the reader serves the intact pre-delete store instead of
+        # raising "has no data" at a fully recoverable state
+        # (round-7 advice).  The stale __rewrite is left for the next
+        # delete_data call to discard — removing it here isn't needed
+        # for correctness and keeps the reader path rename-only.
+        if not os.path.isdir(path) and os.path.isdir(f"{path}__pre_delete"):
+            os.rename(f"{path}__pre_delete", path)
         if not os.path.isdir(path):
             raise ValueError(
                 f"vector store table {table!r} has no data at {path} — "

@@ -261,6 +261,24 @@ def drift_ks_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (
         F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
     ).cast("decimal(38,0)")
+    # Guard the BIGINT output: beyond ~3e9 rows/arm, n_a*n_b exceeds
+    # int64 and the non-ANSI decimal->long cast would SILENTLY yield
+    # NULL — an overflowed KS readout must fail loudly, not look like
+    # missing data (round-7 advice).  raise_error stays JVM-side and
+    # costs nothing on the in-bound path.
+    _I64_MAX = F.lit("9223372036854775807").cast("decimal(38,0)")
+    _guarded_den = F.when(
+        den > _I64_MAX,
+        F.raise_error(
+            F.concat(
+                F.lit("drift_ks_arms: n_a*n_b overflows BIGINT (n_a="),
+                F.col("n_a").cast("string"),
+                F.lit(", n_b="),
+                F.col("n_b").cast("string"),
+                F.lit("); keep DECIMAL output beyond ~3e9 rows/arm"),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(den)
     return (
         cum.crossJoin(F.broadcast(n))
         .groupBy("n_a", "n_b")
@@ -273,8 +291,9 @@ def drift_ks_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             # because the driver's value-hash stringifies Decimal and
             # DOUBLE differently (round-7 window simulation catch) —
             # the output bound n_a*n_b <= 9.2e18 holds to ~3e9 rows/arm
+            # and is runtime-enforced by _guarded_den above
             F.col("ks_num").cast("long").alias("ks_num"),
-            den.cast("long").alias("ks_den"),
+            _guarded_den.cast("long").alias("ks_den"),
             (
                 F.col("ks_num").cast("double") / den.cast("double")
             ).alias("ks_stat"),

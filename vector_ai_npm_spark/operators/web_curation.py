@@ -158,7 +158,7 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     document joins the code mix or the text mix (and which tokenizer /
     quality gates apply).  The feature is integer symbol density
     (structural characters per 1000 chars via translate-and-diff —
-    no regex scan per class), thresholded at {20}/1000: planted
+    no regex scan per class), thresholded at _CODE_THRESHOLD/1000: planted
     code-shaped docs (every 10th) sit far above, word-salad prose at
     exactly 0.  Integer division keeps the score hash-exact; real
     deployments add keyword/indent features on the same map-only
