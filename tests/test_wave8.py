@@ -126,6 +126,43 @@ def test_bm25_topk_matches_python_rederivation(spark, sf_oracle):
             )
 
 
+def test_bm25_topk_contract_matches_exact_fraction_reference(spark, sf_oracle):
+    """The hash-checkable contract face ranks on Σ_t floor(1e12·
+    idf_t·tf_sat_t) with the RATIONAL idf — re-derive that key with
+    Python's exact integers and pin ranking + score bit-for-bit."""
+    from vector_ai_npm_spark.text.bm25 import _TOP_K
+
+    base = registry.run("text_bm25", spark, sf_oracle).collect()
+    scores: dict[tuple[int, int], int] = {}
+    for r in base:
+        part = (r["idf_num"] * r["tf_sat_num"] * 10**12) // (
+            r["idf_den"] * r["tf_sat_den"]
+        )
+        key = (r["query_id"], r["doc_id"])
+        scores[key] = scores.get(key, 0) + part
+    got = registry.run("text_bm25_topk_contract", spark, sf_oracle).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "query terms must match fixture vocabulary"
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        want = sorted(
+            (k[1] for k in scores if k[0] == q),
+            key=lambda d: (-scores[(q, d)], d),
+        )[:_TOP_K]
+        assert [r["doc_id"] for r in rs] == want
+        for r in rs:
+            assert r["score_e12"] == scores[(q, r["doc_id"])]
+
+
+def test_bm25_topk_contract_oracle_parity(spark, sf_oracle):
+    from oracle_harness import compare
+
+    sql = registry.all_oracles()["text_bm25_topk_contract"]
+    assert compare(spark, "text_bm25_topk_contract", sql, sf_oracle) == []
+
+
 def test_bm25_saturation_properties(spark, sf_oracle):
     """tf_sat is monotone in tf, bounded by k1+1, and equals 1.0 at
     (tf=1, dl=avgdl) by construction."""

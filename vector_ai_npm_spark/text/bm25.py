@@ -175,6 +175,110 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bm25_topk_contract",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    mat AS (
+      SELECT doc_id, term, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+             CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+      FROM tf
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_len
+      FROM documents
+    ),
+    parts AS (
+      SELECT CAST(qt.query_id AS BIGINT) AS query_id, m.doc_id,
+             CAST(
+               (CAST(2 * (t.n_docs - m.df) + 1 AS HUGEINT)
+                * (22 * m.tf * t.total_len) * 1000000000000)
+               // (CAST(2 * m.df + 1 AS HUGEINT)
+                   * (10 * t.total_len * m.tf + 3 * t.total_len
+                      + 9 * m.dl * t.n_docs))
+               AS BIGINT) AS part_e12
+      FROM mat m JOIN {_DUCK_QT} USING (term) CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(part_e12) AS BIGINT) AS score_e12
+      FROM parts GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_e12, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, doc_id, score_e12,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_e12 DESC, doc_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def text_bm25_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable BM25 top-k (the contract face `text_bm25_topk`
+    lacked — round-7 verdict item 2): per-query top-3 ranked on a
+    DECIMAL-EXACT score key, so the full selection — ranking, k cut,
+    tiebreak — hash-matches across engines with no float anywhere.
+
+    The key is the LINEAR-idf BM25 score Σ_t idf_t·tf_sat_t with the
+    Robertson idf kept as the exact rational (2(N−df)+1)/(2df+1) rather
+    than its ln — the linear-space analog of the ln-weighted face, the
+    same move `curate_dsir_select_contract` makes for DSIR's
+    log-likelihood weight (text/curation.py:1085).  Each term expands
+    to 12 fractional decimal digits by exact long division (one-level
+    ``num·10^12 DIV den`` — num/den are the hash-green int64 rationals
+    `text_bm25` already carries), then sums as BIGINT: floor-then-sum
+    is identical in both engines, so the score is bit-deterministic.
+    The ln-faithful ranking stays in the rows-only `text_bm25_topk`
+    with its pure-Python re-derivation test (tests/test_wave8.py).
+
+    Overflow bound: the scaled numerator idf_num·tf_sat_num·10^12 ≈
+    (2N)·(22·tf·total_len)·10^12 rides DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — exact to ~4e34 ≈ 10^9-token corpora with 2e9
+    docs; each per-term quotient ≈ 10^12·idf·tf_sat ≤ 2.2·10^12·N/df
+    must fit BIGINT, which holds while N/df ≤ 4e5 (rarer query terms
+    at larger N shift the scale factor to 10^9, same algebra).
+
+    Scale shape: identical to `text_bm25` (one tokenize, one doc-term
+    shuffle, broadcast query batch + totals) plus one (query,doc)
+    aggregate over the |terms-in-batch|-sparse matched frame and a
+    rank window partitioned BY QUERY over the already-reduced
+    per-query candidate sets."""
+    base = text_bm25(spark, sf_dir)
+    part = F.expr(
+        "CAST((CAST(idf_num AS DECIMAL(38,0)) * tf_sat_num"
+        " * 1000000000000)"
+        " DIV (CAST(idf_den AS DECIMAL(38,0)) * tf_sat_den) AS BIGINT)"
+    )
+    scored = (
+        base.select("query_id", "doc_id", part.alias("part_e12"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part_e12").cast("long").alias("score_e12"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e12"), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "score_e12",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def bm25_reference(rows, n_docs: int, total_len: int) -> dict:
     """Pure-Python BM25 re-derivation over collected (query_id, doc_id,
     tf, df, dl) rows — the test-side mirror of text_bm25_topk."""
