@@ -82,6 +82,22 @@ def test_trainer_matches_pure_python_reference(spark, sf_smoke):
     assert worst < 1e-8, f"max |dlogp| = {worst}"
 
 
+def test_trainer_guards_seed_size_driver_bound(spark, sf_smoke):
+    """seed_size past _MAX_SEED_SIZE must fail loudly (the per-round
+    piece-table collect is driver state), not silently thrash."""
+    import pytest
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.text.unigram_lm import (
+        _MAX_SEED_SIZE,
+        train_unigram,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    with pytest.raises(ValueError, match="seed_size"):
+        train_unigram(docs, seed_size=_MAX_SEED_SIZE + 1)
+
+
 def test_forward_backward_is_a_distribution():
     """On a closed 2-char alphabet the expected counts must be finite
     and the likelihood of a word must upper-bound its best path."""

@@ -62,6 +62,11 @@ from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.text.bpe import word_vocab
 
+# Per-EM-round driver state (piece-table collect + logp closure) is
+# O(seed_size); ~50 B/entry keeps 1e6 at ~50 MB — fine; 1e7+ makes the
+# driver the bottleneck.  See train_unigram's docstring.
+_MAX_SEED_SIZE = 1_000_000
+
 # ---------------------------------------------------------------------------
 # pure-Python lattice primitives (run inside Arrow batches over the
 # DICTIONARY only — never over corpus rows)
@@ -225,7 +230,25 @@ def train_unigram(
 ) -> dict[str, float]:
     """Train; returns {piece: logp}.  The returned table is vocab-sized
     (driver state ≤ chars + vocab_size entries — the capped-collect
-    boundary every round also respects)."""
+    boundary every round also respects).
+
+    Driver bound (round-7 verdict item 3): each EM round collects the
+    piece table, which is O(seed_size) rows of (piece ≤ max_piece_len
+    chars, double) — ~50 B/row, so the per-round ``collect()`` and the
+    broadcast ``logp`` closure stay comfortably driver-resident up to
+    seed_size ≈ 1e6 (~50 MB); past ~1e7 the driver becomes the
+    bottleneck (GB-scale collect + per-task closure reserialization)
+    and the piece table must stay distributed (broadcast-join form).
+    ``_MAX_SEED_SIZE`` enforces the bound loudly, the same move as
+    mine_bitext_margin's 10 M-pair guard."""
+    if seed_size > _MAX_SEED_SIZE:
+        raise ValueError(
+            f"seed_size={seed_size} exceeds _MAX_SEED_SIZE="
+            f"{_MAX_SEED_SIZE}: the per-EM-round piece-table collect() "
+            "and the logp task closure are seed_size-bounded driver "
+            "state; keep the piece table distributed (broadcast-join "
+            "the E-step) beyond this"
+        )
     vocab = word_vocab(docs, text_col).select("w", "freq")
     vocab = vocab.localCheckpoint()  # reused every EM round; cut lineage
     seeds = seed_candidates(vocab, max_piece_len, seed_size).collect()
