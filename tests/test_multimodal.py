@@ -205,7 +205,7 @@ def test_png_codec_roundtrip_all_filters():
                 dw, dh, dec = decode_pixels(png)
                 assert (dw, dh, dec) == (w, h, pix), (color_type, w, h, pattern)
 
-    # palette color type must refuse, not silently garble
+    # a palette PNG with no PLTE chunk must refuse, not silently garble
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
 
     def chunk(typ, data):
@@ -213,7 +213,7 @@ def test_png_codec_roundtrip_all_filters():
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
     bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_pixels(bad)
 
     # corrupt filter byte must raise, not produce junk pixels
@@ -228,6 +228,76 @@ def test_png_codec_roundtrip_all_filters():
                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_pixels(corrupt)
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Palette (color type 3) decode at 1/2/4/8-bit index depths, both
+    non-interlaced and Adam7: decoded RGB must equal the palette
+    expansion of the index image byte-for-byte (sub-byte packing,
+    per-pass filtering, PLTE lookup all on the line)."""
+    import random
+
+    from vector_ai_npm_spark.multimodal.binary import (
+        decode_pixels,
+        encode_png,
+    )
+
+    rng = random.Random(13)
+    for depth in (1, 2, 4, 8):
+        n_colors = min(256, 1 << depth)
+        palette = bytes(rng.randrange(256) for _ in range(n_colors * 3))
+        for w, h in ((1, 7), (5, 5), (9, 10), (16, 3)):
+            idx = bytes(rng.randrange(n_colors) for _ in range(w * h))
+            want = b"".join(
+                palette[3 * i : 3 * i + 3] for i in idx
+            )
+            for interlace in (0, 1):
+                png = encode_png(
+                    w, h, idx, color_type=3, bit_depth=depth,
+                    palette=palette, interlace=interlace,
+                )
+                assert decode_pixels(png) == (w, h, want), (
+                    depth, w, h, interlace,
+                )
+
+
+def test_png_adam7_roundtrip_rgb_gray():
+    """Adam7 interlacing for the sample color types: encode(interlace=1)
+    → decode must be identity for 8-bit RGB/gray and strip-to-MSB for
+    16-bit, across sizes that hit degenerate passes (w or h < 8)."""
+    import random
+
+    from vector_ai_npm_spark.multimodal.binary import (
+        decode_pixels,
+        encode_png,
+    )
+
+    rng = random.Random(17)
+    for color_type, nch in ((2, 3), (0, 1)):
+        for w, h in ((1, 1), (2, 3), (7, 7), (8, 8), (13, 9), (16, 5)):
+            pix = bytes(rng.randrange(256) for _ in range(w * h * nch))
+            png = encode_png(w, h, pix, color_type=color_type, interlace=1)
+            assert decode_pixels(png) == (w, h, pix), (color_type, w, h)
+    # 16-bit interlaced: decode keeps each sample's MSB
+    w, h = 6, 7
+    pix16 = bytes(rng.randrange(256) for _ in range(w * h * 3 * 2))
+    png = encode_png(w, h, pix16, color_type=2, bit_depth=16, interlace=1)
+    assert decode_pixels(png) == (w, h, pix16[::2])
+
+
+def test_png_subbyte_gray_scales_exactly():
+    """Sub-byte grayscale decodes by the exact 255/(2^d−1) rescale."""
+    from vector_ai_npm_spark.multimodal.binary import (
+        decode_pixels,
+        encode_png,
+    )
+
+    for depth in (1, 2, 4):
+        levels = (1 << depth) - 1
+        vals = bytes(v % (levels + 1) for v in range(23))
+        png = encode_png(23, 1, vals, color_type=0, bit_depth=depth)
+        want = bytes(v * 255 // levels for v in vals)
+        assert decode_pixels(png) == (23, 1, want), depth
 
 
 def test_jpeg_codec_roundtrip_bounded_error():

@@ -11,17 +11,17 @@ amortizes codec startup per batch rather than per row.
 
 This container has no image codec LIBRARIES, but that gates less than
 it sounds: `decode_image` natively decodes PPM (P6) / PGM (P5),
-uncompressed 24/32-bit BMP, AND 8-bit gray/RGB PNG in pure Python —
+uncompressed 24/32-bit BMP, AND the FULL PNG matrix in pure Python —
 PNG's IDAT stream is zlib DEFLATE, which the stdlib decompresses, so
 even the compressed common case is a real decode (all five scanline
-filters reconstructed, 8/16-bit, gray/RGB/gray+alpha/RGBA; see
-_decode_png / encode_png), and baseline
+filters reconstructed; gray/RGB/gray+alpha/RGBA at 8/16-bit, palette
+via PLTE at 1/2/4/8-bit index depth, sub-byte grayscale, and Adam7
+interlacing — see _decode_png / encode_png), and baseline
 JPEG decodes through jpeg.decode_jpeg_auto — which routes to libjpeg
 (PIL) whenever that import succeeds (jpeg.has_native_jpeg) and falls
-back to the pure-Python T.81 codec here.  WebP and the remaining PNG
-variants (palette, sub-byte depths, Adam7) are the documented
-NotImplementedError seam — in a PIL-equipped deployment the same
-capability gate swallows them too. `fake_decoder=True` keeps
+back to the pure-Python T.81 codec here.  WebP/GIF are the remaining
+documented NotImplementedError seam — in a PIL-equipped deployment the
+same capability gate swallows them too. `fake_decoder=True` keeps
 the old deterministic stand-in for payloads that aren't images at all.
 """
 
@@ -154,62 +154,31 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 _PNG_NCH = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
 
+# Adam7 pass layout (spec §8.2): (x0, y0, dx, dy) per pass.  Each pass
+# is an independently-filtered sub-image; pixels scatter back on the
+# (y0 + r·dy, x0 + c·dx) grid.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Pure-Python PNG decode — PNG's IDAT stream is zlib DEFLATE, which
-    the stdlib decompresses, so 'compressed codec' here needs no library
-    at all: chunk walk (IHDR/IDAT+/IEND), zlib.decompress, then per-
-    scanline reconstruction of all five filter types (None/Sub/Up/
-    Average/Paeth).  Supports gray (0), RGB (2), gray+alpha (4) and
-    RGBA (6) at 8- or 16-bit depth, non-interlaced; filters reconstruct
-    byte-wise with the full bytes-per-pixel offset per the spec, THEN
-    the result normalizes to the (w, h, 8-bit gray-or-RGB bytes)
-    contract every downstream consumer shares: 16-bit samples keep the
-    MSB (the lossless-view PIL `convert` also takes) and alpha is
-    stripped after reconstruction (it still participates in filtering).
-    Palette (3), sub-byte depths, and Adam7 remain the documented
-    NotImplementedError seam."""
-    import struct
-    import zlib
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    i = 8
-    w = h = nch = bps = None
-    idat = bytearray()
-    while i + 8 <= len(payload):
-        ln, typ = struct.unpack_from(">I4s", payload, i)
-        data = payload[i + 8 : i + 8 + ln]
-        i += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            w, h, bitd, colort, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if bitd not in (8, 16) or colort not in _PNG_NCH or interlace:
-                raise NotImplementedError(
-                    f"PNG bit_depth={bitd} color_type={colort} "
-                    f"interlace={interlace}: palette, sub-byte depths "
-                    "and Adam7 not supported"
-                )
-            nch = _PNG_NCH[colort]
-            bps = bitd // 8
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    bpp = nch * bps  # filter offset is bytes per FULL pixel (spec §9)
-    stride = w * bpp
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG scanline data has wrong length")
-    out = bytearray()
+def _unfilter_lines(
+    raw: bytes, pos: int, stride: int, n_rows: int, bpp: int
+) -> tuple[list[bytearray], int]:
+    """Reconstruct ``n_rows`` scanlines of ``stride`` bytes from the
+    filtered stream starting at ``pos`` (all five filter types, byte-
+    wise with ``bpp`` = filter offset per spec §9 — max(1, bytes per
+    full pixel)).  Returns (rows, new position)."""
+    rows: list[bytearray] = []
     prev = bytearray(stride)
-    pos = 0
-    for _r in range(h):
+    for _r in range(n_rows):
+        if pos >= len(raw):
+            raise ValueError("PNG scanline data has wrong length")
         ftype = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        if len(line) != stride:
+            raise ValueError("PNG scanline data has wrong length")
         pos += 1 + stride
         if ftype == 1:  # Sub
             for x in range(bpp, stride):
@@ -228,66 +197,258 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
                 line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
-        out += line
+        rows.append(line)
         prev = line
-    if bps == 2:  # 16-bit: keep each sample's MSB
-        out = out[::2]
-    if nch == 2:  # gray+alpha -> gray: keep even offsets
-        out = out[::2]
-    elif nch == 4:  # RGBA -> RGB: drop every 4th byte (one slice del)
-        out = bytearray(out)
-        del out[3::4]
+    return rows, pos
+
+
+def _unpack_pixels(
+    rows: list[bytearray], w: int, spp: int, bitd: int
+) -> list[list]:
+    """Per-row pixel values from packed scanlines: bytes objects of
+    spp·(bitd/8) bytes at 8/16-bit, MSB-first bit-field ints at
+    sub-byte depths (spp == 1 there per spec)."""
+    if bitd in (8, 16):
+        psz = spp * (bitd // 8)
+        return [
+            [bytes(row[i * psz : (i + 1) * psz]) for i in range(w)]
+            for row in rows
+        ]
+    mask = (1 << bitd) - 1
+    out: list[list] = []
+    for row in rows:
+        px = []
+        for i in range(w):
+            byte = row[(i * bitd) >> 3]
+            shift = 8 - bitd - ((i * bitd) & 7)
+            px.append((byte >> shift) & mask)
+        out.append(px)
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python PNG decode — PNG's IDAT stream is zlib DEFLATE, which
+    the stdlib decompresses, so 'compressed codec' here needs no library
+    at all: chunk walk (IHDR/PLTE/IDAT+/IEND), zlib.decompress, then
+    per-scanline reconstruction of all five filter types (None/Sub/Up/
+    Average/Paeth).  Supports gray (0) at 1/2/4/8/16-bit, RGB (2),
+    gray+alpha (4) and RGBA (6) at 8/16-bit, PALETTE (3) at 1/2/4/8-bit
+    (PLTE lookup), each in both non-interlaced and Adam7-interlaced
+    layout (each interlace pass unfilters as its own sub-image, then
+    pixels scatter back on the pass grid — spec §8.2).  Filters
+    reconstruct byte-wise with the full bytes-per-pixel offset per the
+    spec (1 byte at sub-byte depths), THEN the result normalizes to the
+    (w, h, 8-bit gray-or-RGB bytes) contract every downstream consumer
+    shares: palette indices expand through PLTE to RGB, 16-bit samples
+    keep the MSB (the lossless-view PIL `convert` also takes), sub-byte
+    gray scales by 255/(2^d−1), and alpha is stripped after
+    reconstruction (it still participates in filtering).  WebP — not
+    any PNG variant — is the remaining documented codec seam."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    i = 8
+    w = h = bitd = colort = interlace = None
+    plte = b""
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, i)
+        data = payload[i + 8 : i + 8 + ln]
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, bitd, colort, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            ok = (
+                (colort in (2, 4, 6) and bitd in (8, 16))
+                or (colort == 0 and bitd in (1, 2, 4, 8, 16))
+                or (colort == 3 and bitd in (1, 2, 4, 8))
+            ) and interlace in (0, 1)
+            if not ok:
+                raise ValueError(
+                    f"invalid PNG bit_depth={bitd} color_type={colort} "
+                    f"interlace={interlace}"
+                )
+        elif typ == b"PLTE":
+            plte = bytes(data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if colort == 3 and (not plte or len(plte) % 3):
+        raise ValueError("palette PNG missing a valid PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    spp = 1 if colort == 3 else _PNG_NCH[colort]
+    bpp = max(1, (spp * bitd) // 8)  # filter offset (spec §9)
+    if not interlace and bitd in (8, 16) and colort != 3:
+        # fast path (the overwhelmingly common layout): whole-image
+        # byte-slice post-processing, no per-pixel Python objects
+        stride = w * bpp
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG scanline data has wrong length")
+        rows, _pos = _unfilter_lines(raw, 0, stride, h, bpp)
+        out = bytearray(b"".join(rows))
+        if bitd == 16:  # keep each sample's MSB
+            out = out[::2]
+        if spp == 2:  # gray+alpha -> gray: keep even offsets
+            out = out[::2]
+        elif spp == 4:  # RGBA -> RGB: drop every 4th byte
+            del out[3::4]
+        return w, h, bytes(out)
+
+    # generic path: palette / sub-byte / Adam7 — per-pixel scatter grid
+    img: list[list] = [[None] * w for _ in range(h)]
+    pos = 0
+    passes = (
+        [
+            (x0, y0, dx, dy)
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        ]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        stride = (pw * spp * bitd + 7) // 8
+        rows, pos = _unfilter_lines(raw, pos, stride, ph, bpp)
+        pix = _unpack_pixels(rows, pw, spp, bitd)
+        for r in range(ph):
+            trow = img[y0 + r * dy]
+            for c in range(pw):
+                trow[x0 + c * dx] = pix[r][c]
+    if pos != len(raw):
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray()
+    for row in img:
+        for px in row:
+            if colort == 3:
+                idx = px[0] if isinstance(px, bytes) else px
+                out += plte[3 * idx : 3 * idx + 3]
+            elif bitd < 8:  # sub-byte gray: exact integer rescale
+                out.append(px * 255 // ((1 << bitd) - 1))
+            else:
+                b = px[::2] if bitd == 16 else px
+                out += b[:1] if colort in (0, 4) else b[:3]
     return w, h, bytes(out)
+
+
+def _filter_line(
+    line: bytearray, prev: bytearray, bpp: int, ftype: int
+) -> bytearray:
+    """Apply PNG filter ``ftype`` to one packed scanline (encode side —
+    the inverse of _unfilter_lines' reconstruction)."""
+    stride = len(line)
+    if ftype == 0:
+        return line
+    enc = bytearray(stride)
+    if ftype == 1:
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            enc[x] = (line[x] - left) & 0xFF
+    elif ftype == 2:
+        for x in range(stride):
+            enc[x] = (line[x] - prev[x]) & 0xFF
+    elif ftype == 3:
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
+    else:
+        for x in range(stride):
+            a = line[x - bpp] if x >= bpp else 0
+            c = prev[x - bpp] if x >= bpp else 0
+            enc[x] = (line[x] - _paeth(a, prev[x], c)) & 0xFF
+    return enc
+
+
+def _pack_bits(values: list[int], bitd: int) -> bytearray:
+    """Pack sub-byte samples MSB-first into a scanline (spec §7.2)."""
+    buf = bytearray((len(values) * bitd + 7) // 8)
+    mask = (1 << bitd) - 1
+    for i, v in enumerate(values):
+        shift = 8 - bitd - ((i * bitd) & 7)
+        buf[(i * bitd) >> 3] |= (v & mask) << shift
+    return buf
 
 
 def encode_png(
     w: int, h: int, pixels: bytes, color_type: int = 2,
-    bit_depth: int = 8,
+    bit_depth: int = 8, palette: bytes | None = None, interlace: int = 0,
 ) -> bytes:
     """Pure-Python PNG writer (the fixture's compressed-payload
-    generator): per-scanline filter type cycles r % 5, so any image with
-    h ≥ 5 exercises ALL five filters on the decode side; IDAT is
-    stdlib zlib at level 6 with standard CRC-32 chunk framing.
-    ``color_type``: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA; ``bit_depth``
-    8 or 16 (16-bit samples are big-endian byte pairs in ``pixels``)."""
+    generator): per-scanline filter type cycles r % 5 (globally across
+    interlace passes), so any image with ≥ 5 scanlines exercises ALL
+    five filters on the decode side; IDAT is stdlib zlib at level 6
+    with standard CRC-32 chunk framing.  ``color_type``: 0 gray, 2 RGB,
+    3 palette (``pixels`` are index bytes, one per pixel, with the RGB
+    ``palette`` emitted as a PLTE chunk), 4 gray+alpha, 6 RGBA;
+    ``bit_depth`` 8/16 for the sample types (16-bit samples are
+    big-endian byte pairs in ``pixels``), 1/2/4/8 for palette and gray;
+    ``interlace=1`` writes Adam7 (each pass packed + filtered as its
+    own sub-image, spec §8.2)."""
     import struct
     import zlib
 
-    if bit_depth not in (8, 16) or color_type not in _PNG_NCH:
+    ok = (
+        (color_type in (2, 4, 6) and bit_depth in (8, 16))
+        or (color_type == 0 and bit_depth in (1, 2, 4, 8, 16))
+        or (color_type == 3 and bit_depth in (1, 2, 4, 8))
+    )
+    if not ok or interlace not in (0, 1):
         raise ValueError(
-            f"encode_png: bit_depth={bit_depth} color_type={color_type}"
+            f"encode_png: bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}"
         )
-    nch = _PNG_NCH[color_type] * (bit_depth // 8)
-    stride = w * nch
-    if len(pixels) != stride * h:
-        raise ValueError(f"want {stride * h} pixel bytes, got {len(pixels)}")
+    if color_type == 3 and (
+        palette is None or len(palette) % 3 or len(palette) > 768
+    ):
+        raise ValueError("encode_png: palette PNG needs a 3n-byte PLTE")
+    spp = 1 if color_type == 3 else _PNG_NCH[color_type]
+    # pixels arrive UNPACKED: one byte per sample value (sub-byte
+    # depths included — packing happens here), spp·ceil(bitd/8)·w·h
+    vpp = spp * (2 if bit_depth == 16 else 1)  # value-bytes per pixel
+    if len(pixels) != w * h * vpp:
+        raise ValueError(
+            f"want {w * h * vpp} pixel bytes, got {len(pixels)}"
+        )
+    bpp = max(1, (spp * bit_depth) // 8)  # filter offset
+    passes = (
+        [
+            (x0, y0, dx, dy)
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        ]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
     raw = bytearray()
-    prev = bytearray(stride)
-    for r in range(h):
-        line = bytearray(pixels[r * stride : (r + 1) * stride])
-        ftype = r % 5
-        enc = bytearray(stride)
-        if ftype == 0:
-            enc = line
-        elif ftype == 1:
-            for x in range(stride):
-                left = line[x - nch] if x >= nch else 0
-                enc[x] = (line[x] - left) & 0xFF
-        elif ftype == 2:
-            for x in range(stride):
-                enc[x] = (line[x] - prev[x]) & 0xFF
-        elif ftype == 3:
-            for x in range(stride):
-                left = line[x - nch] if x >= nch else 0
-                enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
-        else:
-            for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
-                c = prev[x - nch] if x >= nch else 0
-                enc[x] = (line[x] - _paeth(a, prev[x], c)) & 0xFF
-        raw.append(ftype)
-        raw += enc
-        prev = line
+    scanline_no = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        prev = bytearray((pw * spp * bit_depth + 7) // 8)
+        for r in range(ph):
+            src_y = y0 + r * dy
+            if bit_depth < 8:
+                vals = [
+                    pixels[src_y * w + x0 + c * dx] for c in range(pw)
+                ]
+                line = _pack_bits(vals, bit_depth)
+            else:
+                line = bytearray()
+                for c in range(pw):
+                    off = (src_y * w + x0 + c * dx) * vpp
+                    line += pixels[off : off + vpp]
+            ftype = scanline_no % 5
+            scanline_no += 1
+            raw.append(ftype)
+            raw += _filter_line(line, prev, bpp, ftype)
+            prev = line
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -297,21 +458,24 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace
+    )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(
+        b"IEND", b""
     )
 
 
 def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, RGB-or-gray pixel bytes) for the formats decodable
-    without a codec library: PPM/PGM, uncompressed BMP, and 8/16-bit
-    gray/RGB/alpha PNG (IDAT is stdlib zlib — see _decode_png), plus
-    baseline JPEG. WebP & palette/interlaced PNG remain the documented
-    production seam — swap this fallback for PIL/opencv there."""
+    without a codec library: PPM/PGM, uncompressed BMP, the full PNG
+    matrix — gray/RGB/alpha at 8/16-bit, palette at 1/2/4/8-bit,
+    sub-byte gray, Adam7 (IDAT is stdlib zlib — see _decode_png) —
+    plus baseline JPEG. WebP/GIF remain the documented production
+    seam — swap this fallback for PIL/opencv there."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
@@ -325,10 +489,10 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
         return decode_jpeg_auto(payload)
     raise NotImplementedError(
-        "image codecs beyond PPM/PGM/BMP, PNG (8/16-bit gray/RGB/alpha), "
-        "and baseline JPEG (SOF0 4:4:4) require a codec library not present "
-        "in this environment; or use fake_decoder=True for the "
-        "deterministic stand-in"
+        "image codecs beyond PPM/PGM/BMP, PNG (gray/RGB/alpha/palette, "
+        "sub-byte depths, Adam7), and baseline JPEG (SOF0 4:4:4) require "
+        "a codec library not present in this environment; or use "
+        "fake_decoder=True for the deterministic stand-in"
     )
 
 

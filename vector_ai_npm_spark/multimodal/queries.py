@@ -214,6 +214,147 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_png_palette",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INTEGER) AS w,
+             5 + CAST(doc_id % 3 AS INTEGER) AS h,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8
+             END AS bit_depth,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16
+             END AS n_colors,
+             doc_id % 2 = 1 AS interlaced,
+             sha256(text) || sha256(text || 'a') || sha256(text || 'b')
+               AS chain
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(bit_depth AS BIGINT) AS bit_depth,
+           interlaced,
+           ROUND(list_aggregate(
+                   list_transform(range(0, 3 * w * h), j ->
+                     unicode(substr(chain,
+                       3 * (unicode(substr(chain,
+                              48 + CAST(j // 3 AS INTEGER) + 1, 1))
+                            % n_colors)
+                       + CAST(j % 3 AS INTEGER) + 1, 1))),
+                   'avg'), 6) AS mean_pixel,
+           TRUE AS roundtrip_ok
+    FROM m
+    """,
+)
+def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE-PNG decode face (round-7 verdict item 5 — palette images
+    are the most common crawl asset the previous seam rejected, and the
+    codec now decodes them natively rather than behind a PIL gate):
+    per document the sha2-chain bytes build a PLTE palette (first
+    3·n_colors chars) and an index image (chars 49…48+w·h, mod
+    n_colors), written as a REAL palette PNG via binary.encode_png —
+    index bit depth cycling 1/2/4/8 by doc_id%4 (sub-byte PACKING on
+    the line), Adam7 interlacing on odd doc_ids (per-pass filtering +
+    scatter), filter type still cycling per scanline — then decoded
+    back through the shared decode_pixels route and compared
+    byte-for-byte against the palette expansion computed independently
+    in Python.
+
+    The oracle reconstructs the same palette expansion in DuckDB
+    (unicode() over the sha2 hex chain — exact integer bytes) and
+    re-derives the mean pixel as an exact-int sum ÷ 3wh in double, so
+    a palette-lookup, bit-unpack, or interlace-scatter defect flips
+    mean_pixel or roundtrip_ok and fails the hash.  Scale shape:
+    identical to `multimodal_decode_png` — encode+decode ride one
+    Arrow-batched mapInPandas; payloads never shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vector_ai_npm_spark.multimodal.binary import decode_pixels, encode_png
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(5) + F.col("doc_id") % 3).cast("int")
+    depth = F.element_at(
+        F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    n_colors = F.element_at(
+        F.array(F.lit(2), F.lit(4), F.lit(16), F.lit(16)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    chain = F.concat(
+        F.sha2(F.col("text"), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
+    )
+    src = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        w.alias("w"),
+        h.alias("h"),
+        depth.alias("depth"),
+        n_colors.alias("n_colors"),
+        (F.col("doc_id") % 2 == 1).alias("interlaced"),
+        F.encode(
+            F.substring(chain, F.lit(1), F.lit(3) * n_colors), "utf-8"
+        ).alias("palette"),
+        F.encode(F.substring(chain, F.lit(49), w * h), "utf-8").alias(
+            "idx_raw"
+        ),
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, ww, hh, d, nc, il, pal, raw in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["depth"],
+                pdf["n_colors"], pdf["interlaced"], pdf["palette"],
+                pdf["idx_raw"],
+            ):
+                pal, nc = bytes(pal), int(nc)
+                idx = bytes(b % nc for b in bytes(raw))
+                png = encode_png(
+                    int(ww), int(hh), idx, color_type=3,
+                    bit_depth=int(d), palette=pal,
+                    interlace=1 if il else 0,
+                )
+                dw, dh, dec = decode_pixels(png)
+                want = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+                rows.append(
+                    (
+                        int(aid), dw, dh, int(d), bool(il),
+                        sum(dec) / len(dec),
+                        dec == want and (dw, dh) == (int(ww), int(hh)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "bit_depth",
+                    "interlaced", "mean_pixel", "roundtrip_ok",
+                ],
+            )
+
+    out = src.mapInPandas(
+        _roundtrip,
+        schema="asset_id long, width long, height long, bit_depth long, "
+        "interlaced boolean, mean_pixel double, roundtrip_ok boolean",
+    )
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        "bit_depth",
+        "interlaced",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "roundtrip_ok",
+    )
+
+
+@query(
     "multimodal_decode_jpeg",
     oracle=f"""
     WITH m AS (
