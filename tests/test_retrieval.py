@@ -265,3 +265,66 @@ def test_hard_negatives_exclude_anchor_label(spark, sf_oracle):
         assert [r.rank for r in rs] == [1, 2, 3]
         sims = [r.similarity for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_opq_eigenvalue_allocation_balances_products():
+    """Ge et al. §4: the allocation is a valid permutation, each bucket
+    gets exactly dim/m directions, and the per-bucket log-eigenvalue-
+    product spread never exceeds the naive sorted split's spread."""
+    import numpy as np
+
+    from vector_ai_npm_spark.retrieval.opq import eigenvalue_allocation
+
+    rng = np.random.RandomState(3)
+    for dim, m in ((64, 8), (16, 4), (8, 2)):
+        ev = rng.gamma(2.0, 1.0, size=dim)
+        perm = eigenvalue_allocation(ev, m)
+        assert sorted(perm) == list(range(dim))
+        dsub = dim // m
+        lg = np.log(ev)
+        sums = lg[perm].reshape(m, dsub).sum(axis=1)
+        naive = np.sort(lg)[::-1].reshape(m, dsub).sum(axis=1)
+        assert sums.max() - sums.min() <= naive.max() - naive.min() + 1e-12
+
+
+def test_opq_rotation_is_orthogonal_and_norm_preserving(spark, sf_oracle):
+    import numpy as np
+
+    from vector_ai_npm_spark.io.sources import load_table
+    from vector_ai_npm_spark.retrieval.opq import (
+        opq_rotate,
+        train_opq_rotation,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    R = train_opq_rotation(emb, m=8)
+    assert np.abs(R.T @ R - np.eye(R.shape[0])).max() <= 1e-9
+    rot = opq_rotate(emb, R).select(
+        "vec_id", F.col("embedding").alias("r")
+    ).join(
+        load_table(spark, sf_oracle, "embeddings").select(
+            "vec_id", "embedding"
+        ),
+        "vec_id",
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0.0), lambda a, x: a + x * x
+    )
+    bad = rot.where(
+        F.abs(norm2("r") - norm2("embedding")) > 1e-6
+    ).count()
+    assert bad == 0
+
+
+def test_opq_queries_and_contract(spark, sf_oracle):
+    """similarity_search_opq puts the query's own row at rank 1 and
+    opq_recall passes its DuckDB oracle (all booleans TRUE)."""
+    from oracle_harness import compare
+
+    from vector_ai_npm_spark import registry
+
+    rows = registry.run("similarity_search_opq", spark, sf_oracle).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0].vec_id == 7 and rows[0].similarity == 1.0
+    sql = registry.all_oracles()["opq_recall"]
+    assert compare(spark, "opq_recall", sql, sf_oracle) == []
