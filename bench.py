@@ -91,6 +91,11 @@ BENCH_QUERIES = (
     "feature_rank_normalize", # mid-rank percentile transform + fact join-back
     "dq_t_closeness",         # ordered-attribute EMD per QI group
     "multimodal_channel_stats",  # corpus pixel mean/std through real decode
+    # wave-16 promotions (round-7 verdict ask #6); targets pinned from
+    # the round-8 idle best-of-5 (sf0.1, local[32])
+    "eval_average_precision", # AUPRC via distinct-score frame + 1-row fold
+    "agg_weighted_percentile", # weighted quantiles, shared two-level prefix
+    "graph_hits",             # 4 half-steps of edge-score joins (hub-proof)
 )
 
 

@@ -129,9 +129,15 @@ def _load_all_modules() -> None:
     # --- wave 16 (round 7): weighted quantiles, assortativity ---
     import vector_ai_npm_spark.operators.weighted_quantile  # noqa: F401
     import vector_ai_npm_spark.operators.graph_assortativity  # noqa: F401
-    # --- wave 17 (round 8): OPQ rotation, registered after everything
-    # above so the tier-1 FIFO keeps earlier unverified queries ahead ---
+    # --- wave 17 (round 8): OPQ rotation + agreement/calibration
+    # metrics, registered after everything above so the tier-1 FIFO
+    # keeps earlier unverified queries ahead ---
     import vector_ai_npm_spark.retrieval.opq  # noqa: F401
+    import vector_ai_npm_spark.operators.agreement_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.linkpred_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.acf_ops  # noqa: F401
+    import vector_ai_npm_spark.operators.standardize_ops  # noqa: F401
+    import vector_ai_npm_spark.embedding.negatives  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
