@@ -234,3 +234,94 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asset_id", "start_frame", "end_frame", "n_frames", "energy_sum"
         )
     )
+
+
+_HIST_BINS = 8  # intensity bins of width 32 over [0, 256)
+
+
+@query(
+    "multimodal_intensity_histogram",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INTEGER) AS w,
+             4 + CAST(doc_id % 3 AS INTEGER) AS h,
+             {_DUCK_CHAIN} AS chain
+      FROM documents
+    ), px AS (
+      SELECT CAST(unicode(substr(chain, CAST(i AS INTEGER), 1)) // 32
+                  AS BIGINT) AS bin
+      FROM m, UNNEST(range(1, w * h * 3 + 1)) AS t(i)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM px
+    )
+    SELECT b.bin, CAST(COALESCE(c.n_px, 0) AS BIGINT) AS n_px,
+           CAST(COALESCE(c.n_px, 0) AS DOUBLE)
+             / CAST(t.n_total AS DOUBLE) AS frac
+    FROM (SELECT unnest(range(0, {_HIST_BINS})) AS bin) b
+    LEFT JOIN (SELECT CAST(bin AS BIGINT) AS bin,
+                      CAST(COUNT(*) AS BIGINT) AS n_px
+               FROM px GROUP BY bin) c USING (bin)
+    CROSS JOIN tot t
+    """,
+)
+def multimodal_intensity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus intensity histogram ({_HIST_BINS} bins of width 32)
+    through the REAL decoder — the exposure/contrast distribution
+    check a vision-curation pipeline runs to catch all-black frames,
+    blown highlights, and synthetic screenshots before training (the
+    histogram-based filters of LAION-style pipelines).  Same execution
+    shape as `multimodal_channel_stats`: each asset reduces to ≤8
+    (bin, count) integer rows inside the Arrow batch, the global fold
+    is an 8-row aggregate, empty bins densify from a literal frame —
+    payloads never shuffle, counts are exact integers."""
+    from vector_ai_npm_spark.multimodal.binary import (
+        decode_pixels,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(load_table(spark, sf_dir, "documents"))
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            bins_out, n_out = [], []
+            for payload in pdf["payload"]:
+                _, _, body = decode_pixels(bytes(payload))
+                v = np.frombuffer(body, dtype=np.uint8)
+                counts = np.bincount(v >> 5, minlength=_HIST_BINS)
+                for b in range(_HIST_BINS):
+                    if counts[b]:
+                        bins_out.append(b)
+                        n_out.append(int(counts[b]))
+            yield pd.DataFrame(
+                {
+                    "bin": pd.Series(bins_out, dtype="int64"),
+                    "n_px": pd.Series(n_out, dtype="int64"),
+                }
+            )
+
+    per_asset = media.mapInPandas(_hist, schema="bin long, n_px long")
+    counts = per_asset.groupBy("bin").agg(
+        F.sum("n_px").cast("bigint").alias("n_px")
+    )
+    spark_bins = F.explode(
+        F.sequence(F.lit(0), F.lit(_HIST_BINS - 1))
+    ).alias("bin")
+    all_bins = load_table(spark, sf_dir, "documents").limit(1).select(
+        spark_bins
+    ).select(F.col("bin").cast("bigint").alias("bin"))
+    tot = counts.agg(F.sum("n_px").cast("bigint").alias("n_total"))
+    return (
+        all_bins.join(counts, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("n_px", F.lit(0)).cast("bigint").alias("n_px"),
+            (
+                F.coalesce("n_px", F.lit(0)).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("frac"),
+        )
+    )

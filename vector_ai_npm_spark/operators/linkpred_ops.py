@@ -144,3 +144,105 @@ def graph_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard"),
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+_RA_SCALE = 10**12  # fixed-point digits for the 1/deg(pivot) terms
+
+
+@query(
+    "graph_link_resource_alloc",
+    oracle=f"""
+    WITH {_O_EDGES},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY node
+    ),
+    pivots AS (
+      SELECT s.node AS pivot, s.nbr, d.deg AS pdeg FROM sym s
+      JOIN deg d ON d.node = s.node
+      WHERE d.deg <= {_PIVOT_CAP}
+    ),
+    cand AS (
+      SELECT a.nbr AS u, b.nbr AS v,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM({_RA_SCALE} // a.pdeg) AS BIGINT) AS ra_e12
+      FROM pivots a JOIN pivots b
+        ON a.pivot = b.pivot AND a.nbr < b.nbr
+      GROUP BY a.nbr, b.nbr
+    ),
+    nonedge AS (
+      SELECT c.u, c.v, c.common, c.ra_e12 FROM cand c
+      LEFT JOIN edges e ON e.src = c.u AND e.dst = c.v
+      WHERE e.src IS NULL
+    )
+    SELECT u, v, common, ra_e12, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT u, v, common, ra_e12,
+             ROW_NUMBER() OVER (
+               ORDER BY ra_e12 DESC, u ASC, v ASC
+             ) AS rank
+      FROM nonedge
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def graph_link_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link scoring (Zhou, Lü & Zhang 2009):
+    RA(u,v) = Σ_{{p ∈ N(u)∩N(v)}} 1/deg(p) — the degree-penalized
+    common-neighbor index that consistently beats raw counts and
+    Adamic-Adar in link-prediction benchmarks, and is EXACTLY
+    computable (Adamic-Adar's 1/ln deg is not): each term rides the
+    fixed-point long division ⌊10¹²/deg(p)⌋ (the `text_bm25_topk_contract`
+    idiom), so the summed score, ranking and top-k are all
+    hash-deterministic.  Same wedge-join candidate generation, hub cap
+    and anti-join as `graph_link_jaccard` — the pivot degree is
+    carried on the wedge row, so RA folds in the SAME aggregate that
+    counts common neighbors (no extra join)."""
+    edges = copurchase_edges(spark, sf_dir).select("src", "dst")
+    sym = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    pivots = (
+        sym.join(deg, "node")
+        .where(F.col("deg") <= _PIVOT_CAP)
+        .select(
+            F.col("node").alias("pivot"), "nbr", F.col("deg").alias("pdeg")
+        )
+    )
+    a = pivots.alias("a")
+    b = pivots.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pivot") == F.col("b.pivot"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            F.sum(F.expr(f"{_RA_SCALE} DIV a.pdeg"))
+            .cast("bigint")
+            .alias("ra_e12"),
+        )
+    )
+    nonedge = cand.join(
+        edges,
+        (cand.u == edges.src) & (cand.v == edges.dst),
+        "left_anti",
+    )
+    top = nonedge.orderBy(
+        F.col("ra_e12").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(_TOP_K)
+    w = Window.orderBy(
+        F.col("ra_e12").desc(), F.col("u").asc(), F.col("v").asc()
+    )
+    return top.select(
+        "u",
+        "v",
+        "common",
+        "ra_e12",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

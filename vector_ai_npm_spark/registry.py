@@ -138,6 +138,10 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.acf_ops  # noqa: F401
     import vector_ai_npm_spark.operators.standardize_ops  # noqa: F401
     import vector_ai_npm_spark.embedding.negatives  # noqa: F401
+    # --- wave 18 (round 8): reliability, Heaps, RA link scoring,
+    # intensity histogram — registered last, same FIFO reasoning ---
+    import vector_ai_npm_spark.operators.reliability_ops  # noqa: F401
+    import vector_ai_npm_spark.text.heaps  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
