@@ -142,6 +142,12 @@ def _load_all_modules() -> None:
     # intensity histogram — registered last, same FIFO reasoning ---
     import vector_ai_npm_spark.operators.reliability_ops  # noqa: F401
     import vector_ai_npm_spark.text.heaps  # noqa: F401
+    # --- wave 19 (round 8): retrieval MAP, binaryFile source, local
+    # clustering coefficient, Spearman — registered last (FIFO) ---
+    import vector_ai_npm_spark.retrieval.eval_map  # noqa: F401
+    import vector_ai_npm_spark.io.binary_source  # noqa: F401
+    import vector_ai_npm_spark.operators.graph_cc  # noqa: F401
+    import vector_ai_npm_spark.operators.spearman_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
