@@ -80,6 +80,10 @@ PLAN_QUERIES = (
     ("eval_auc_rank", "rank sums via two-level prefix + broadcast carries"),
     ("feature_target_encode_loo", "5-row category agg broadcast; fact unshuffled"),
     ("feature_hash_bucket", "vocab-keyed agg, bucket WindowGroupLimit"),
+    ("text_bm25_topk_contract", "exact-division score over the matched frame; per-query rank window"),
+    ("graph_link_jaccard", "capped wedge equi-join + anti-join + TakeOrdered top-k"),
+    ("feature_standardize", "types-row moments broadcast; fact never shuffles"),
+    ("events_autocorr", "daily frame; lag equi-join + integer folds"),
 )
 
 
