@@ -757,3 +757,55 @@ def test_no_decimal_typed_output_columns(spark, sf_smoke):
         if decs:
             offenders[name] = decs
     assert not offenders, f"decimal-typed output columns: {offenders}"
+
+
+def test_round8_wave_plans(spark, sf_smoke):
+    """Plan gates for the round-8 waves (17–19).
+
+    * text_bm25_topk_contract: ONE Generate (single tokenize — the
+      text_tfidf lesson survives composition) and a partitioned rank
+      window only.
+    * graph_link_jaccard / graph_link_resource_alloc: equi-joins only
+      (no cartesian), and the global top-k is TakeOrderedAndProject —
+      never a global sort of the candidate frame.
+    * feature_standardize: the fact never shuffles — group moments
+      attach as a BroadcastHashJoin, no SortMergeJoin, no Window.
+    * eval_spearman_corr: every window sort is partitioned (the
+      two-level prefix discipline on both rank frames).
+    * sample_negative_uniform: map-only draws + broadcast label join.
+    * eval_ece / eval_cohens_kappa: no corpus-sized join (kappa's
+      marginal join is 10-row; ECE is join-free after the bin agg).
+    """
+    plan = _plan(spark, "text_bm25_topk_contract", sf_smoke)
+    assert plan.count("Generate") == 1
+    assert "CartesianProduct" not in plan
+
+    for name in ("graph_link_jaccard", "graph_link_resource_alloc"):
+        plan = _plan(spark, name, sf_smoke)
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    plan = _plan(spark, "feature_standardize", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+    plan = _plan(spark, "eval_spearman_corr", sf_smoke)
+    # the only GLOBAL sorts (flag `true`) are the two bucket-carry
+    # windows over bucket-count-sized frames; the within-bucket rank
+    # sorts are local (`false`) under a partitioned window
+    global_sorts = [
+        line
+        for line in plan.splitlines()
+        if "+- Sort [" in line and ", true," in line
+    ]
+    assert len(global_sorts) <= 2, global_sorts
+
+    plan = _plan(spark, "sample_negative_uniform", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "eval_ece", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    plan = _plan(spark, "eval_cohens_kappa", sf_smoke)
+    assert "CartesianProduct" not in plan
