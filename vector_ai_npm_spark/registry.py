@@ -148,6 +148,9 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.io.binary_source  # noqa: F401
     import vector_ai_npm_spark.operators.graph_cc  # noqa: F401
     import vector_ai_npm_spark.operators.spearman_ops  # noqa: F401
+    # --- wave 20 (round 8): gains/lift, HHI, Fano, lag features,
+    # lang-ID confusion, domain cap — registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave20_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
