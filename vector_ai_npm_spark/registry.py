@@ -151,6 +151,10 @@ def _load_all_modules() -> None:
     # --- wave 20 (round 8): gains/lift, HHI, Fano, lag features,
     # lang-ID confusion, domain cap — registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave20_ops  # noqa: F401
+    # --- wave 21 (round 8): TVD drift, time-decay attribution,
+    # readability, Gwet AC1, Gini impurity, peak detect — registered
+    # last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave21_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
