@@ -809,3 +809,49 @@ def test_round8_wave_plans(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
     plan = _plan(spark, "eval_cohens_kappa", sf_smoke)
     assert "CartesianProduct" not in plan
+
+
+def test_wave21_plans(spark, sf_smoke):
+    """Plan gates for wave 21 (TVD / time-decay / readability / AC1 /
+    impurity / peaks).
+
+    * drift_tvd_bins / eval_gwet_ac1: the only non-equi join is the
+      broadcast-1-row scalar attach (BroadcastNestedLoopJoin), never a
+      CartesianProduct, and no corpus-sized shuffle joins at all.
+    * attribution_time_decay: the pair join is the user-keyed
+      SortMergeJoin contract (both sides corpus-scale); the direct leg
+      attaches by broadcast; the per-purchase weight window is
+      partitioned (zero global sorts).
+    * text_readability / feature_gini_impurity: map-side counts into
+      keyed aggregates — join-free, window-free, sort-free.
+    * events_peak_detect: the lag/lead window is partitioned by
+      event_type over the daily frame — zero global sorts.
+    """
+
+    def _global_sorts(plan: str) -> list[str]:
+        return [
+            line
+            for line in plan.splitlines()
+            if "+- Sort [" in line and ", true," in line
+        ]
+
+    for name in ("drift_tvd_bins", "eval_gwet_ac1"):
+        plan = _plan(spark, name, sf_smoke)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert not _global_sorts(plan)
+
+    plan = _plan(spark, "attribution_time_decay", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # direct-leg anti join
+    assert not _global_sorts(plan)
+
+    for name in ("text_readability", "feature_gini_impurity"):
+        plan = _plan(spark, name, sf_smoke)
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "Sort [" not in plan
+
+    plan = _plan(spark, "events_peak_detect", sf_smoke)
+    assert "Join" not in plan
+    assert not _global_sorts(plan)
