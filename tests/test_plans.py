@@ -855,3 +855,38 @@ def test_wave21_plans(spark, sf_smoke):
     plan = _plan(spark, "events_peak_detect", sf_smoke)
     assert "Join" not in plan
     assert not _global_sorts(plan)
+
+
+def test_wave22_plans(spark, sf_smoke):
+    """Plan gates for wave 22 (inter-arrival / stickiness / overlap).
+
+    * events_interarrival: the lag window is user-partitioned and the
+      quantile pass rides the two-level prefix — ZERO global sorts;
+      scalar totals attach as 1-row broadcasts, never a cartesian.
+    * cohort_stickiness: MAU fan-out is a JVM Generate (explode) —
+      no range join, no per-day window; zero global sorts.
+    * events_audience_overlap: user-keyed equi self-join only — no
+      CartesianProduct; type totals broadcast.
+    """
+
+    def _global_sorts(plan: str) -> list[str]:
+        return [
+            line
+            for line in plan.splitlines()
+            if "+- Sort [" in line and ", true," in line
+        ]
+
+    plan = _plan(spark, "events_interarrival", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert not _global_sorts(plan)
+
+    plan = _plan(spark, "cohort_stickiness", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+    assert "Window" not in plan
+    assert not _global_sorts(plan)
+
+    plan = _plan(spark, "events_audience_overlap", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert not _global_sorts(plan)

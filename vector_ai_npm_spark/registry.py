@@ -155,6 +155,9 @@ def _load_all_modules() -> None:
     # readability, Gwet AC1, Gini impurity, peak detect — registered
     # last (FIFO) ---
     import vector_ai_npm_spark.operators.wave21_ops  # noqa: F401
+    # --- wave 22 (round 8): inter-arrival stats, DAU/MAU stickiness,
+    # audience overlap — registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave22_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
