@@ -890,3 +890,29 @@ def test_wave22_plans(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert not _global_sorts(plan)
+
+
+def test_wave23_plans(spark, sf_smoke):
+    """Plan gates for wave 23 (centroid drift / vocab overlap).
+
+    * embedding_centroid_drift: one Generate (posexplode) feeds the
+      (label, dim)-keyed decimal aggregate; the count frame attaches
+      by broadcast; no cartesian, no window, zero global sorts.
+    * text_vocab_overlap: one Generate (tokenize) into the DISTINCT
+      collapse; the pair join is word-keyed equi; totals broadcast.
+    """
+
+    def _global_sorts(plan: str) -> list[str]:
+        return [
+            line
+            for line in plan.splitlines()
+            if "+- Sort [" in line and ", true," in line
+        ]
+
+    for name in ("embedding_centroid_drift", "text_vocab_overlap"):
+        plan = _plan(spark, name, sf_smoke)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "Generate" in plan
+        assert "Window" not in plan
+        assert not _global_sorts(plan)

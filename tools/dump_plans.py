@@ -84,6 +84,12 @@ PLAN_QUERIES = (
     ("graph_link_jaccard", "capped wedge equi-join + anti-join + TakeOrdered top-k"),
     ("feature_standardize", "types-row moments broadcast; fact never shuffles"),
     ("events_autocorr", "daily frame; lag equi-join + integer folds"),
+    ("eval_lift_gain", "two-level ntile deciles; cum windows on 10 rows"),
+    ("attribution_time_decay", "user-equi pair SMJ; micro-ledger agg"),
+    ("drift_tvd_bins", "unit-bin agg; 1-row broadcast totals"),
+    ("events_interarrival", "user lag window; prefix-bucketed quantiles"),
+    ("cohort_stickiness", "distinct (user,day) + 30x Generate fan-out"),
+    ("events_audience_overlap", "user-keyed self-join, broadcast totals"),
 )
 
 

@@ -158,6 +158,9 @@ def _load_all_modules() -> None:
     # --- wave 22 (round 8): inter-arrival stats, DAU/MAU stickiness,
     # audience overlap — registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave22_ops  # noqa: F401
+    # --- wave 23 (round 8): centroid drift, vocabulary overlap —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave23_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
