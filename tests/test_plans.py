@@ -916,3 +916,31 @@ def test_wave23_plans(spark, sf_smoke):
         assert "Generate" in plan
         assert "Window" not in plan
         assert not _global_sorts(plan)
+
+
+def test_wave24_plans(spark, sf_smoke):
+    """Plan gates for wave 24 (regression metrics / lateness profile).
+
+    * eval_regression_metrics: join-free, window-free single-pass
+      power-sum fold — the purchase scan reduces to one row map-side.
+    * events_lateness_profile: the running max is a user-partitioned
+      window; the quantile carry is prefix-bucketed — zero global
+      sorts, scalar totals attach by broadcast only.
+    """
+
+    def _global_sorts(plan: str) -> list[str]:
+        return [
+            line
+            for line in plan.splitlines()
+            if "+- Sort [" in line and ", true," in line
+        ]
+
+    plan = _plan(spark, "eval_regression_metrics", sf_smoke)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Sort [" not in plan
+
+    plan = _plan(spark, "events_lateness_profile", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert not _global_sorts(plan)
