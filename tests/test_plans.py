@@ -944,3 +944,21 @@ def test_wave24_plans(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert not _global_sorts(plan)
+
+
+def test_wave25_plans(spark, sf_smoke):
+    """Plan gates for wave 25 (knn curve / repeat cohorts).
+
+    * graph_knn_curve: the basket pair expansion is the inline
+      Generate (copurchase_edges contract — no distinct+self-join);
+      degree attachments are equi-joins, never cartesian.
+    * orders_repeat_cohorts: one per-customer aggregate feeds the
+      cohort fold — join-free, window-free.
+    """
+    plan = _plan(spark, "graph_knn_curve", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+
+    plan = _plan(spark, "orders_repeat_cohorts", sf_smoke)
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -164,6 +164,9 @@ def _load_all_modules() -> None:
     # --- wave 24 (round 8): regression metrics, lateness profile —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave24_ops  # noqa: F401
+    # --- wave 25 (round 8): knn curve, repeat cohorts — registered
+    # last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave25_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
