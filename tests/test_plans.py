@@ -962,3 +962,15 @@ def test_wave25_plans(spark, sf_smoke):
     plan = _plan(spark, "orders_repeat_cohorts", sf_smoke)
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_wave26_plans(spark, sf_smoke):
+    """Plan gate for wave 26: quarantine is map-only — encode, corrupt,
+    decode and classify ride ONE Arrow-batched python node; the only
+    exchange carries the 3-row status frame (payloads never shuffle)."""
+    plan = _plan(spark, "multimodal_decode_quarantine", sf_smoke)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("MapInPandas") == 1
+    # the aggregate below the python node is the only exchange pair
+    assert plan.count("Exchange") <= 2

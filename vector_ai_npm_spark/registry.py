@@ -167,6 +167,9 @@ def _load_all_modules() -> None:
     # --- wave 25 (round 8): knn curve, repeat cohorts — registered
     # last (FIFO) ---
     import vector_ai_npm_spark.operators.wave25_ops  # noqa: F401
+    # --- wave 26 (round 8): decode quarantine — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.multimodal.quarantine  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
