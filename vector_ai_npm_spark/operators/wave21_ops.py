@@ -19,8 +19,10 @@ agreement / feature families, each exact and oracle-checked:
   floor(value·w·10⁶/Σw + ½), which uses only correctly-rounded double
   ops + floor so both engines produce the identical int64 (the dsum
   scale-8 decimal rounding is NOT engine-identical here — power-of-two
-  weights make credits land exactly on half-way points, measured:
-  0.557890625; the ledger sidesteps the tie).  Channel totals
+  weights make credit shortest-reprs END at scale-8 half-way points
+  while the binary value sits a hair below, measured: 0.557890625 →
+  Spark's repr-rounding says …63, DuckDB's exact-binary says …62; the
+  mechanism is pinned in tests/test_ledger_properties.py).  Channel totals
   reconcile to revenue within 0.5 µ-units per touch (documented
   ledger rounding, the currency-micro convention).
 * `text_readability` — Flesch reading-ease per source from three
@@ -196,7 +198,8 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^(6−d) is an exact power of two (d = whole-day age, 0..6 inside
     the 7-day lookback) and credits fold as the exact int64
     micro-ledger (floor(x·10⁶+½) — engine-identical by construction,
-    unlike decimal scale-8 rounding of binary-exact halves)."""
+    unlike decimal scale-8 rounding where repr-vs-binary diverges at
+    half-way reprs)."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"), "user_id",
