@@ -974,3 +974,21 @@ def test_wave26_plans(spark, sf_smoke):
     assert plan.count("MapInPandas") == 1
     # the aggregate below the python node is the only exchange pair
     assert plan.count("Exchange") <= 2
+
+
+def test_wave27_plans(spark, sf_smoke):
+    """Plan gates for wave 27 (recall curve / activity audit).
+
+    * events_user_activity_audit: the top-50 is TakeOrderedAndProject
+      over the user frame — never a global sort of corpus rows; the
+      minute peak reduces before its join.
+    * vector_recall_curve: no cartesian products (query batch rides
+      broadcast); the only unpartitioned window is the 4-row level
+      frame (bounded by construction — union of 1-row aggregates).
+    """
+    plan = _plan(spark, "events_user_activity_audit", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "vector_recall_curve", sf_smoke)
+    assert "CartesianProduct" not in plan

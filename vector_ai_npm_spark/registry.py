@@ -170,6 +170,9 @@ def _load_all_modules() -> None:
     # --- wave 26 (round 8): decode quarantine — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.multimodal.quarantine  # noqa: F401
+    # --- wave 27 (round 8): recall curve, activity audit —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave27_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
