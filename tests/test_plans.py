@@ -992,3 +992,23 @@ def test_wave27_plans(spark, sf_smoke):
 
     plan = _plan(spark, "vector_recall_curve", sf_smoke)
     assert "CartesianProduct" not in plan
+
+
+def test_wave28_plans(spark, sf_smoke):
+    """Plan gates for wave 28 (IVF append / source-pair rate).
+
+    * dedup_source_pair_rate: candidate generation inherits the
+      banded equi-join contract (no cross product); source
+      attachments broadcast onto the output-bound pair frame.
+    * vector_store_ivf_append: the searched scan carries
+      PartitionFilters (appended files are inside pruned cell dirs,
+      not a second unpruned store).
+    """
+    plan = _plan(spark, "dedup_source_pair_rate", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = _plan(spark, "vector_store_ivf_append", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "PartitionFilters: [isnotnull(cell_id" in plan or \
+        "PartitionFilters: [cell_id" in plan or "cell_id IN" in plan

@@ -151,3 +151,29 @@ def ivf_similarity_join(queries: DataFrame, store: DataFrame, k: int = 5,
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def assign_to_cells(
+    store: DataFrame, centroids: "list[list[float]]",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to FROZEN centroids (the incremental-append half
+    of the index contract: new batches must join existing cells, not
+    retrain them — retraining would silently move cell boundaries and
+    invalidate every already-written partition).  Same Arrow-batched
+    nearest-centroid map as build_ivf_index, with the centroid matrix
+    supplied instead of trained."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _nearest_cell(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return store.withColumn(
+        "cell_id", _nearest_cell(F.col(vec_col).cast("array<double>"))
+    )

@@ -122,3 +122,33 @@ def fetch_by_ids_bucketed(
     only the (small) id side shuffles."""
     store = spark.table(table_name)
     return store.join(ids, "vec_id")
+
+
+def append_ivf_store(
+    new_rows: DataFrame, store_dir: str, vec_col: str = "embedding"
+) -> None:
+    """Incremental index maintenance: route a new batch into the
+    EXISTING cell layout (frozen centroids — ivf.assign_to_cells) and
+    append its parquet under the matching cell directories.  This is
+    the embed_incremental companion: re-embedded/new vectors join the
+    store without a rebuild, searches see them immediately (partition
+    listing picks up the new files), and cell boundaries never move.
+    Centroid drift from many appends is a MONITORED condition, not a
+    silent one — embedding_centroid_drift is the audit; rebuild when
+    it alarms."""
+    from vector_ai_npm_spark.retrieval.ivf import assign_to_cells
+
+    spark = new_rows.sparkSession
+    centroids = (
+        spark.read.parquet(f"{store_dir}/centroids")
+        .orderBy("cell_id")
+        .collect()
+    )
+    C = [list(r.centroid) for r in centroids]
+    assigned = assign_to_cells(new_rows, C, vec_col=vec_col)
+    (
+        assigned.repartition("cell_id")
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{store_dir}/cells")
+    )
