@@ -90,6 +90,13 @@ PLAN_QUERIES = (
     ("events_interarrival", "user lag window; prefix-bucketed quantiles"),
     ("cohort_stickiness", "distinct (user,day) + 30x Generate fan-out"),
     ("events_audience_overlap", "user-keyed self-join, broadcast totals"),
+    ("embedding_centroid_drift", "posexplode → (label,dim) decimal agg"),
+    ("eval_regression_metrics", "join-free 1-row power-sum fold"),
+    ("events_lateness_profile", "user prefix-max; bucketed quantiles"),
+    ("graph_knn_curve", "edge ⋈ degree frames on node keys"),
+    ("multimodal_decode_quarantine", "map-only Arrow decode+classify"),
+    ("events_user_activity_audit", "TakeOrdered top-50 over user frame"),
+    ("dedup_source_pair_rate", "banded pairs + broadcast source joins"),
 )
 
 
