@@ -1012,3 +1012,12 @@ def test_wave28_plans(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "PartitionFilters: [isnotnull(cell_id" in plan or \
         "PartitionFilters: [cell_id" in plan or "cell_id IN" in plan
+
+
+def test_wave29_plans(spark, sf_smoke):
+    """Plan gate for wave 29: after 3 streamed appends the search scan
+    still carries cell-partition pruning (appended files joined the
+    pruned layout, they did not become a second unpruned store)."""
+    plan = _plan(spark, "stream_ivf_append", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "cell_id" in plan

@@ -176,6 +176,9 @@ def _load_all_modules() -> None:
     # --- wave 28 (round 8): IVF append, source-pair dup rate —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave28_ops  # noqa: F401
+    # --- wave 29 (round 8): streaming IVF ingest — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.streaming.ivf_ingest  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
