@@ -1021,3 +1021,18 @@ def test_wave29_plans(spark, sf_smoke):
     plan = _plan(spark, "stream_ivf_append", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "cell_id" in plan
+
+
+def test_wave30_plans(spark, sf_smoke):
+    """Plan gate for wave 30: both group legs ride the shared prefix
+    (no unpartitioned corpus window), scalar folds attach by
+    broadcast — no cartesian, no corpus-scale global sort."""
+    plan = _plan(spark, "eval_fairness_auc_gap", sf_smoke)
+    assert "CartesianProduct" not in plan
+    gs = [
+        line
+        for line in plan.splitlines()
+        if "+- Sort [" in line and ", true," in line
+    ]
+    # only the two per-leg bucket-carry windows (bucket-count frames)
+    assert len(gs) <= 2, gs

@@ -179,6 +179,9 @@ def _load_all_modules() -> None:
     # --- wave 29 (round 8): streaming IVF ingest — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.streaming.ivf_ingest  # noqa: F401
+    # --- wave 30 (round 8): fairness AUC gap — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.operators.wave30_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
