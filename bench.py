@@ -96,11 +96,13 @@ BENCH_QUERIES = (
     "eval_average_precision", # AUPRC via distinct-score frame + 1-row fold
     "agg_weighted_percentile", # weighted quantiles, shared two-level prefix
     "graph_hits",             # 4 half-steps of edge-score joins (hub-proof)
-    # wave-20/21/22 promotions; targets pinned from the round-8 idle
+    # wave-20..24 promotions; targets pinned from the round-8 idle
     # best-of-5 (sf0.1, local[32])
     "eval_lift_gain",         # two-level ntile deciles + 10-row cum windows
     "attribution_time_decay", # user-equi pair join + exact micro-ledger
     "events_interarrival",    # user lag gaps -> prefix-bucketed quantiles
+    "embedding_centroid_drift",  # posexplode -> (label,dim) decimal agg
+    "events_lateness_profile",   # user prefix-max + bucketed quantiles
 )
 
 
