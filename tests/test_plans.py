@@ -1036,3 +1036,11 @@ def test_wave30_plans(spark, sf_smoke):
     ]
     # only the two per-leg bucket-carry windows (bucket-count frames)
     assert len(gs) <= 2, gs
+
+
+def test_wave31_plans(spark, sf_smoke):
+    """Plan gate for wave 31: frontier joins are (src, node)-keyed equi
+    joins (no cartesian), the top-50 is TakeOrderedAndProject."""
+    plan = _plan(spark, "graph_harmonic_sampled", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -182,6 +182,9 @@ def _load_all_modules() -> None:
     # --- wave 30 (round 8): fairness AUC gap — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.operators.wave30_ops  # noqa: F401
+    # --- wave 31 (round 8): sampled harmonic centrality —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave31_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
