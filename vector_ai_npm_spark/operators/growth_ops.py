@@ -155,14 +155,15 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT user_id, day,
              CAST(COUNT(*) AS BIGINT) AS n_events,
-             {o_dsum('value * (CAST(t_next - t AS DOUBLE) / 1000000.0)')}
-               AS wsum,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS DECIMAL(38,0))
+                 * (t_next - t)) AS lsum,
              CAST(SUM(t_next - t) AS BIGINT) AS span_us
       FROM x WHERE t_next IS NOT NULL
       GROUP BY user_id, day
     )
     SELECT user_id, day, n_events + 1 AS n_events,
-           wsum / (CAST(span_us AS DOUBLE) / 1000000.0) AS twap
+           CAST(CAST(lsum AS VARCHAR) AS DOUBLE)
+             / (CAST(span_us AS DOUBLE) * 100) AS twap
     FROM g
     """,
 )
@@ -199,20 +200,20 @@ def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("t_next").isNotNull())
     )
-    # weights fold in SECONDS: a µs-weighted product reaches ~1e12,
-    # where the double→DECIMAL(30,8) bridge diverges between engines
-    # (Spark casts via shortest-string repr, DuckDB via exact binary —
-    # identical only while the product stays ≲1e9)
+    # weighted terms fold EXACTLY: value_cents (floor(v·100+½) — the
+    # repo-wide cents idiom, exact for the 2-decimal fixture values)
+    # × Δt_us is a pure int64 product per row, so the numerator is
+    # exact with NO per-row rounding at all — the earlier
+    # seconds-denominated dsum diverged at sf0.1 on products whose
+    # shortest repr ends at a scale-8 half (round-8 sweep finding;
+    # same mechanism as attribution_time_decay), and a value-unit
+    # floor ledger lost resolution on µs-gap rows.  Per-row bound:
+    # 1e6 cents × 8.64e10 µs = 8.6e16 < int64; the group sum rides
+    # DECIMAL(38,0) and exits via the varchar bridge.
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(38,0)")
     g = x.groupBy("user_id", "day").agg(
         F.count(F.lit(1)).alias("n_inner"),
-        dsum(
-            F.col("value")
-            * (
-                (F.col("t_next") - F.col("t")).cast("double")
-                / F.lit(1000000.0)
-            ),
-            "wsum",
-        ),
+        F.sum(cents * (F.col("t_next") - F.col("t"))).alias("lsum"),
         F.sum(F.col("t_next") - F.col("t")).alias("span_us"),
     )
     return g.select(
@@ -220,8 +221,8 @@ def window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         (F.col("n_inner") + 1).alias("n_events"),
         (
-            F.col("wsum")
-            / (F.col("span_us").cast("double") / F.lit(1000000.0))
+            F.col("lsum").cast("string").cast("double")
+            / (F.col("span_us").cast("double") * 100)
         ).alias("twap"),
     )
 

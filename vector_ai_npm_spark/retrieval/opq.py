@@ -183,6 +183,7 @@ def opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_ai_npm_spark.retrieval.search import similarity_search_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
     m = 8
     X = _train_sample(emb, "embedding")
     Xc = X - X.mean(axis=0, keepdims=True)
@@ -267,7 +268,12 @@ def opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             dtype=np.float64,
         )
-        short = pq_adc_search(enc, books, list(qvec @ R), k=20)
+        # re-rank budget scales with the scanned code count (the
+        # round-8 pq.py lesson: a fixed shortlist starves the exact
+        # re-rank as the corpus grows — sf0.1 sweep regression)
+        short = pq_adc_search(
+            enc, books, list(qvec @ R), k=max(20, n_vecs // 5)
+        )
         qlit = F.array(*[F.lit(float(x)) for x in qvec])
         from vector_ai_npm_spark.functions.vectors import cosine_similarity
 

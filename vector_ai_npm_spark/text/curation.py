@@ -821,13 +821,16 @@ def curate_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     zlib is deterministic for a fixed input and level, but no SQL
     engine can mirror it, so the driver face is a CONTRACT: beside the
-    hash-matchable length, (a) the ratio lies in (0, 1.1] — small
-    inputs can expand slightly, never explode — and (b) the same
-    document repeated 4× compresses to a strictly LOWER ratio than the
-    original, the monotone property the screen relies on. Both run in
-    ONE Arrow batch pass (zlib over the batch's byte payloads — the
-    same mapInPandas shape as the multimodal decoders); at corpus
-    scale this is a map-only stage, no shuffle at all."""
+    hash-matchable length, (a) the compressed size respects zlib's
+    worst-case envelope — raw + 5·ceil(raw/16383) + 6 bytes (stored
+    deflate blocks + header/adler; a flat 1.1× ratio bound failed the
+    sf0.1 sweep on a 48-byte doc whose fixed overhead alone is 12.5% —
+    round-8 finding) — and (b) the same document repeated 4×
+    compresses to a strictly LOWER ratio than the original, the
+    monotone property the screen relies on. Both run in ONE Arrow
+    batch pass (zlib over the batch's byte payloads — the same
+    mapInPandas shape as the multimodal decoders); at corpus scale
+    this is a map-only stage, no shuffle at all."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -838,29 +841,35 @@ def curate_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            def ratio(s: str) -> float:
+            def stats(s: str) -> tuple[float, bool]:
                 raw = s.encode("utf-8")
-                return len(zlib.compress(raw, 6)) / max(1, len(raw))
+                n = max(1, len(raw))
+                c = len(zlib.compress(raw, 6))
+                # zlib worst case: stored blocks + header/adler
+                bound = n + 5 * (n // 16383 + 1) + 6
+                return c / n, 0 < c <= bound
 
-            r1 = pdf["text"].map(ratio)
-            r4 = pdf["text"].map(lambda s: ratio(s * 4))
+            pairs = pdf["text"].map(stats)
+            r4 = pdf["text"].map(lambda s: stats(s * 4)[0])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_chars": pdf["text"].map(len).astype("int64"),
-                    "ratio": r1.astype("float64"),
+                    "ratio": pairs.map(lambda p: p[0]).astype("float64"),
+                    "in_bounds": pairs.map(lambda p: p[1]).astype("bool"),
                     "ratio_rep4": r4.astype("float64"),
                 }
             )
 
     scored = docs.mapInPandas(
         _ratios,
-        schema="doc_id long, n_chars long, ratio double, ratio_rep4 double",
+        schema="doc_id long, n_chars long, ratio double, "
+        "in_bounds boolean, ratio_rep4 double",
     )
     return scored.select(
         "doc_id",
         "n_chars",
-        ((F.col("ratio") > 0) & (F.col("ratio") <= 1.1)).alias("ratio_in_bounds"),
+        F.col("in_bounds").alias("ratio_in_bounds"),
         (F.col("ratio_rep4") < F.col("ratio")).alias(
             "repetition_compresses_better"
         ),
