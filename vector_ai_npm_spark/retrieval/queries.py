@@ -682,8 +682,21 @@ for _d in _EVAL_DISCOUNTS:
     _acc = _acc + _d
     _EVAL_IDCG.append(_acc)
 
-_O_DISC = ", ".join(f"CAST({d!r} AS DOUBLE)" for d in _EVAL_DISCOUNTS)
-_O_IDCG = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in _EVAL_IDCG)
+# EXACT decimal expansion, not shortest repr: DuckDB's string→DOUBLE
+# parse is not correctly rounded (round-9 audit measured 2 of these 20
+# shortest reprs landing 1 ulp off — 0.38685280723454163 and
+# 2.5616063116448506).  A double's exact expansion is finite (dyadic)
+# and parses exactly in both engines; pinned by
+# tests/test_ledger_properties.py::test_exact_expansion_literals_parse_exactly.
+from decimal import Decimal as _Dec
+
+
+def _exact_double_literal(v: float) -> str:
+    return f"CAST('{format(_Dec(v), 'f')}' AS DOUBLE)"
+
+
+_O_DISC = ", ".join(_exact_double_literal(d) for d in _EVAL_DISCOUNTS)
+_O_IDCG = ", ".join(_exact_double_literal(c) for c in _EVAL_IDCG)
 
 
 @query(
