@@ -20,20 +20,73 @@ def test_stream_ivf_append_runs_real_micro_batches(
     import vector_ai_npm_spark.streaming.ivf_ingest as mod
 
     calls = []
-    real_append = store_mod.append_ivf_store
+    real_append = store_mod.append_ivf_store_batch
 
-    def counting_append(new_rows, store_dir, vec_col="embedding"):
+    def counting_append(new_rows, store_dir, batch_id, vec_col="embedding"):
         calls.append(new_rows.count())
-        return real_append(new_rows, store_dir, vec_col=vec_col)
+        return real_append(new_rows, store_dir, batch_id, vec_col=vec_col)
 
-    # the query imports append_ivf_store from retrieval.store at call
-    # time inside the function body, so patch the source module
-    monkeypatch.setattr(store_mod, "append_ivf_store", counting_append)
+    # the query imports append_ivf_store_batch from retrieval.store at
+    # call time inside the function body, so patch the source module
+    monkeypatch.setattr(store_mod, "append_ivf_store_batch", counting_append)
     got = registry.run("stream_ivf_append", spark, sf_oracle).collect()[0]
     assert len(calls) == got.n_input_files == 3
     assert sum(calls) == got.n_streamed
     assert got.n_store == got.n_base + got.n_streamed
     assert got.self_rank1_ok and got.recall_ok
+
+
+def test_batch_keyed_append_replay_is_idempotent(spark, sf_oracle, tmp_path):
+    """Crash-replay simulation: foreachBatch is at-least-once, so a
+    crash between the parquet write and the checkpoint commit
+    re-delivers the same epochId.  Deliver batch 1 TWICE through
+    append_ivf_store_batch and assert the store's logical content is
+    identical to a single delivery — row multiset (vec_id, cell_id)
+    unchanged, no duplicates, search results unchanged."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.retrieval.store import (
+        append_ivf_store_batch,
+        persist_ivf_store,
+        read_ivf_cells,
+        search_ivf_store,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    b0 = emb.where(F.col("vec_id") % 6 == 0)
+    b1 = emb.where((F.col("vec_id") % 6 == 3))
+    store_dir = str(tmp_path / "store")
+    persist_ivf_store(base, store_dir, nlist=8)
+    append_ivf_store_batch(b0, store_dir, 0)
+    append_ivf_store_batch(b1, store_dir, 1)
+
+    def snapshot():
+        return sorted(
+            (r.vec_id, r.cell_id)
+            for r in read_ivf_cells(spark, store_dir)
+            .select("vec_id", "cell_id")
+            .collect()
+        )
+
+    qvec = list(
+        emb.where(F.col("vec_id") == 42).select("embedding").first()[0]
+    )
+
+    def hits():
+        return [
+            (r.vec_id, r.rank)
+            for r in search_ivf_store(
+                spark, store_dir, qvec, k=5, nprobe=4
+            ).collect()
+        ]
+
+    before, hits_before = snapshot(), hits()
+    append_ivf_store_batch(b1, store_dir, 1)  # the replay
+    after, hits_after = snapshot(), hits()
+    assert after == before
+    assert len(after) == len(set(after)) == base.count() + b0.count() + b1.count()
+    assert hits_after == hits_before
 
 
 def test_streamed_split_covers_query_vector(spark, sf_oracle):

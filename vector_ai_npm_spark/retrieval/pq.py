@@ -158,10 +158,13 @@ def build_ivfpq_index(
 ):
     """Build the IVF-PQ index ONCE for any number of searches: returns
     (index_df = (id, cell_id, codes, recon_cos), centroids = {cell:
-    np.array}, books). Train/assign/encode each cost one pass; at scale
-    the index_df is what you persist partitioned by cell_id — queries
-    then amortize the build across the whole workload instead of
-    re-quantizing per search."""
+    np.array}, books, cell_counts = {cell: n_rows}). Train/assign/
+    encode each cost one pass; at scale the index_df is what you
+    persist partitioned by cell_id — queries then amortize the build
+    across the whole workload instead of re-quantizing per search.
+    cell_counts is the per-cell manifest (one aggregate at build time)
+    that lets each search derive its probed-scaled ADC re-rank budget
+    driver-side in O(nprobe) — no extra Spark action per query."""
     from vector_ai_npm_spark.retrieval.ivf import build_ivf_index
 
     books = train_pq(store, vec_col=vec_col, m=m, ksub=ksub)
@@ -169,7 +172,13 @@ def build_ivfpq_index(
     codes = pq_encode(store, books, vec_col=vec_col, id_col=id_col)
     index = assigned.select(id_col, "cell_id").join(codes, id_col)
     cents = {r[0]: np.asarray(r[1]) for r in centroids.collect()}
-    return index, cents, books
+    cell_counts = {
+        r.cell_id: r.n
+        for r in assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return index, cents, books, cell_counts
 
 
 def ivfpq_search_index(
@@ -183,6 +192,7 @@ def ivfpq_search_index(
     shortlist: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cell_counts: dict | None = None,
 ) -> DataFrame:
     """Search a prebuilt IVF-PQ index (see ivfpq_search for the
     pipeline shape).
@@ -192,7 +202,11 @@ def ivfpq_search_index(
     exact re-rank as the corpus grows — measured in the round-8 sf0.1
     sweep, recall@5 fell 0.73 → 0.47 at 10× corpus with shortlist 20,
     and recovered at a probed/5 re-rank budget — the FAISS-style
-    reranking-budget rule made explicit."""
+    reranking-budget rule made explicit.  The probed count comes from
+    the build-time per-cell manifest (`cell_counts`) when available —
+    summing nprobe dict entries on the driver — so the default costs
+    no Spark action; the live count() is only the fallback for callers
+    holding a bare index frame."""
     from vector_ai_npm_spark.functions.vectors import cosine_similarity
 
     q = np.asarray(query_vec, dtype=np.float64)
@@ -202,7 +216,11 @@ def ivfpq_search_index(
 
     probed = index.where(F.col("cell_id").isin(*[int(c) for c in order]))
     if shortlist is None:
-        shortlist = max(4 * k, probed.count() // 5)
+        if cell_counts is not None:
+            n_probed = sum(int(cell_counts.get(c, 0)) for c in order)
+        else:
+            n_probed = probed.count()
+        shortlist = max(4 * k, n_probed // 5)
     short = pq_adc_search(probed, books, query_vec, k=shortlist, id_col=id_col)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     w_rank = F.row_number()
@@ -258,11 +276,11 @@ def ivfpq_search(
     search. Build is deterministic (seeded quantizers), so results are
     stable per fixture. For many queries over one corpus, call
     build_ivfpq_index once and ivfpq_search_index per query."""
-    index, cents, books = build_ivfpq_index(
+    index, cents, books, cell_counts = build_ivfpq_index(
         store, nlist=nlist, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col
     )
     return ivfpq_search_index(
         index, cents, books, store, query_vec,
         k=k, nprobe=nprobe, shortlist=shortlist,
-        vec_col=vec_col, id_col=id_col,
+        vec_col=vec_col, id_col=id_col, cell_counts=cell_counts,
     )

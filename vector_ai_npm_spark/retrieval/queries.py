@@ -377,7 +377,7 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE index build amortized across all three searches (the
     # workload shape build_ivfpq_index exists for) — persisted so the
     # per-query probes re-read codes, not re-quantize the corpus
-    index, cents, books = build_ivfpq_index(emb, nlist=8)
+    index, cents, books, cell_counts = build_ivfpq_index(emb, nlist=8)
     index = index.persist(StorageLevel.MEMORY_AND_DISK)
     out = []
     total_overlap = None
@@ -386,7 +386,8 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.where(F.col("vec_id") == qid).select("embedding").first()[0]
         )
         hits = ivfpq_search_index(
-            index, cents, books, emb, qvec, k=5, nprobe=4
+            index, cents, books, emb, qvec, k=5, nprobe=4,
+            cell_counts=cell_counts,
         )
         exact = similarity_search_topk(
             emb.select("vec_id", "embedding"), qvec, threshold=-1.0, k=5

@@ -77,7 +77,7 @@ def search_ivf_store(
     unprobed directories are never listed, so this is an O(corpus *
     nprobe/nlist) scan at any corpus size."""
     cells = probe_cells_for(spark, store_dir, query_vec, nprobe)
-    store = spark.read.parquet(f"{store_dir}/cells").where(
+    store = read_ivf_cells(spark, store_dir).where(
         F.col("cell_id").isin(*cells)
     )
     q = F.lit(query_vec).cast("array<float>")
@@ -124,6 +124,27 @@ def fetch_by_ids_bucketed(
     return store.join(ids, "vec_id")
 
 
+def _frozen_centroid_matrix(spark: SparkSession, store_dir: str) -> list:
+    """Load the centroids side file as a positional matrix for
+    assign_to_cells (which returns the positional argmin into this
+    ordered list).  The layout contract is that cell_id values are
+    exactly the dense positions 0..n-1 — assert it so any future gap
+    or renumbering in cell_id fails loudly instead of silently
+    misfiling appended vectors into wrong cell directories."""
+    rows = (
+        spark.read.parquet(f"{store_dir}/centroids")
+        .orderBy("cell_id")
+        .collect()
+    )
+    for pos, r in enumerate(rows):
+        if r.cell_id != pos:
+            raise ValueError(
+                f"IVF centroids file is not densely numbered: position "
+                f"{pos} has cell_id={r.cell_id}; appends would misfile"
+            )
+    return [list(r.centroid) for r in rows]
+
+
 def append_ivf_store(
     new_rows: DataFrame, store_dir: str, vec_col: str = "embedding"
 ) -> None:
@@ -135,16 +156,17 @@ def append_ivf_store(
     listing picks up the new files), and cell boundaries never move.
     Centroid drift from many appends is a MONITORED condition, not a
     silent one — embedding_centroid_drift is the audit; rebuild when
-    it alarms."""
+    it alarms.
+
+    This append-mode write is for ONE-SHOT batch maintenance (the
+    caller owns retries).  Streaming foreachBatch replays must use
+    :func:`append_ivf_store_batch` instead — append mode has no
+    idempotence of its own, so an at-least-once re-delivery here would
+    duplicate rows."""
     from vector_ai_npm_spark.retrieval.ivf import assign_to_cells
 
     spark = new_rows.sparkSession
-    centroids = (
-        spark.read.parquet(f"{store_dir}/centroids")
-        .orderBy("cell_id")
-        .collect()
-    )
-    C = [list(r.centroid) for r in centroids]
+    C = _frozen_centroid_matrix(spark, store_dir)
     assigned = assign_to_cells(new_rows, C, vec_col=vec_col)
     (
         assigned.repartition("cell_id")
@@ -152,3 +174,55 @@ def append_ivf_store(
         .partitionBy("cell_id")
         .parquet(f"{store_dir}/cells")
     )
+
+
+def append_ivf_store_batch(
+    new_rows: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+) -> None:
+    """Replay-idempotent streaming append: write micro-batch
+    ``batch_id`` under its OWN batch-keyed subtree
+    (``appends/batch=<epochId>/cell_id=*``) in overwrite mode.
+
+    foreachBatch is at-least-once — a crash after an append but before
+    the checkpoint commit re-delivers the same epochId.  With a
+    batch-keyed overwrite, the replay overwrites its own subtree and
+    the store converges to the same rows (the TUNING round-8 remedy,
+    now code).  Readers union base cells + appends via
+    :func:`read_ivf_cells`; both sides stay cell_id-partitioned so
+    nprobe partition pruning is unchanged."""
+    from vector_ai_npm_spark.retrieval.ivf import assign_to_cells
+
+    spark = new_rows.sparkSession
+    C = _frozen_centroid_matrix(spark, store_dir)
+    assigned = assign_to_cells(new_rows, C, vec_col=vec_col)
+    (
+        assigned.repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{store_dir}/appends/batch={int(batch_id)}")
+    )
+
+
+def read_ivf_cells(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The store's read face: base cells ∪ batch-keyed appends.
+
+    Both legs are parquet scans partitioned on cell_id, and Spark
+    pushes a ``cell_id IN (...)`` filter through the Union into BOTH
+    scans' PartitionFilters, so probe cost stays ~nprobe/nlist of the
+    corpus regardless of how many appends accumulated.  (Local-FS
+    existence probe for the appends subtree — on an object store this
+    is one LIST call; compaction of old appends back into base cells
+    is the io.compaction pattern.)"""
+    import glob as _glob
+
+    base = spark.read.parquet(f"{store_dir}/cells")
+    has_appends = bool(
+        _glob.glob(f"{store_dir}/appends/batch=*/cell_id=*/*.parquet")
+    )
+    if not has_appends:
+        return base
+    appends = spark.read.parquet(f"{store_dir}/appends").drop("batch")
+    return base.unionByName(appends.select(*base.columns))

@@ -12,9 +12,11 @@ embedding pipeline keeps its ANN index fresh: embed (embed_incremental)
 
 Contract pinned (all deterministic — seeded quantizer, fixed split):
 count conservation through N real micro-batches (store rows = base +
-streamed EXACTLY — foreachBatch's at-least-once is made effectively
-exactly-once here by the availableNow+checkpoint run completing), a
-STREAMED vector's rank-1 self-search through the partition-pruned
+streamed EXACTLY — foreachBatch's at-least-once is made genuinely
+idempotent by the batch-keyed layout: each epochId overwrites its own
+`appends/batch=<id>` subtree, so a crash-replay re-delivery converges
+to the same rows; test_wave29 pins it with an explicit re-delivery),
+a STREAMED vector's rank-1 self-search through the partition-pruned
 path, and the `ivf_store_recall` ≥3/5 overlap floor vs the exact
 ranking.
 
@@ -59,8 +61,9 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vector_ai_npm_spark.functions.vectors import cosine_similarity
     from vector_ai_npm_spark.retrieval.store import (
-        append_ivf_store,
+        append_ivf_store_batch,
         persist_ivf_store,
+        read_ivf_cells,
         search_ivf_store,
     )
 
@@ -80,16 +83,20 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
+    # batch-keyed append: each epochId owns appends/batch=<id> in
+    # overwrite mode, so an at-least-once foreachBatch replay
+    # overwrites itself instead of duplicating rows (exactly-once
+    # effective semantics — pinned by test_wave29's replay test)
     q = (
         stream.writeStream.foreachBatch(
-            lambda b, i: append_ivf_store(b, store_dir)
+            lambda b, i: append_ivf_store_batch(b, store_dir, i)
         )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    stored = spark.read.parquet(f"{store_dir}/cells")
+    stored = read_ivf_cells(spark, store_dir)
     qvec = list(
         emb.where(F.col("vec_id") == 42).select("embedding").first()[0]
     )
