@@ -261,6 +261,41 @@ def test_png_palette_roundtrip_all_depths():
                 )
 
 
+def test_png_palette_index_out_of_range_raises():
+    """A palette PNG whose index exceeds the PLTE size must raise, not
+    silently return a pixel buffer shorter than w·h·3 (the short-slice
+    failure the length contract forbids — round-8 advice).  Build a
+    valid 8-bit palette PNG with a 2-entry PLTE, then reference index
+    3."""
+    from vector_ai_npm_spark.multimodal.binary import (
+        decode_pixels,
+        encode_png,
+    )
+
+    palette = bytes(range(12))  # 4 entries
+    png = encode_png(
+        2, 2, bytes([0, 1, 2, 3]), color_type=3, bit_depth=8,
+        palette=palette,
+    )
+    # valid baseline decodes fine
+    assert decode_pixels(png)[2] == palette
+    # truncate the PLTE to 2 entries (6 bytes) in-place: rebuild the
+    # chunk with a fresh length + CRC so only the palette SIZE is bad
+    import struct as _struct
+    import zlib as _zlib
+
+    i = png.index(b"PLTE") - 4
+    ln = _struct.unpack(">I", png[i : i + 4])[0]
+    short = palette[:6]
+    new_chunk = (
+        _struct.pack(">I", len(short)) + b"PLTE" + short
+        + _struct.pack(">I", _zlib.crc32(b"PLTE" + short) & 0xFFFFFFFF)
+    )
+    bad = png[:i] + new_chunk + png[i + 12 + ln :]
+    with pytest.raises(ValueError, match="palette index"):
+        decode_pixels(bad)
+
+
 def test_png_adam7_roundtrip_rgb_gray():
     """Adam7 interlacing for the sample color types: encode(interlace=1)
     → decode must be identity for 8-bit RGB/gray and strip-to-MSB for

@@ -502,7 +502,16 @@ class VectorEngine:
         # delete_data call to discard — removing it here isn't needed
         # for correctness and keeps the reader path rename-only.
         if not os.path.isdir(path) and os.path.isdir(f"{path}__pre_delete"):
-            os.rename(f"{path}__pre_delete", path)
+            # two concurrent readers can both pass the isdir checks;
+            # the rename is the atomic arbiter — the loser's OSError
+            # (or a delete that resumed mid-swap) is fine as long as
+            # SOMEONE published a directory at `path`, so swallow and
+            # re-check below instead of raising a spurious error over
+            # intact data (round-8 advice)
+            try:
+                os.rename(f"{path}__pre_delete", path)
+            except OSError:
+                pass
         if not os.path.isdir(path):
             raise ValueError(
                 f"vector store table {table!r} has no data at {path} — "

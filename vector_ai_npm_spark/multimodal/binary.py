@@ -325,10 +325,20 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if pos != len(raw):
         raise ValueError("PNG scanline data has wrong length")
     out = bytearray()
+    n_plte = len(plte) // 3
     for row in img:
         for px in row:
             if colort == 3:
                 idx = px[0] if isinstance(px, bytes) else px
+                if idx >= n_plte:
+                    # a short slice would silently return a pixel
+                    # buffer shorter than w·h·3, breaking the length
+                    # contract downstream (round-8 advice) — malformed
+                    # palettes must fail loudly into the quarantine path
+                    raise ValueError(
+                        f"PNG palette index {idx} out of range "
+                        f"(PLTE has {n_plte} entries)"
+                    )
                 out += plte[3 * idx : 3 * idx + 3]
             elif bitd < 8:  # sub-byte gray: exact integer rescale
                 out.append(px * 255 // ((1 << bitd) - 1))

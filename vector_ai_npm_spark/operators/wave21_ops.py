@@ -168,7 +168,7 @@ _US_PER_DAY = 86_400_000_000
              CAST(POWER(2, 6 - (epoch_us(p.pts) - epoch_us(t.tts))
                            // {_US_PER_DAY}) AS BIGINT) AS w
       FROM p JOIN t ON p.user_id = t.user_id
-        AND t.tts < p.pts AND t.tts >= p.pts - {_LOOKBACK}
+        AND t.tts < p.pts AND t.tts > p.pts - {_LOOKBACK}
     ), shared AS (
       SELECT pid, value, channel, w,
              CAST(SUM(w) OVER (PARTITION BY pid) AS BIGINT) AS sw
@@ -216,8 +216,14 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         p.join(t, "user_id")
         .where(
+            # STRICT lower bound: a touch EXACTLY 7 days old would get
+            # whole-day age 7 → weight 2^-1 = 0.5, which Spark's bigint
+            # cast truncates to 0 while DuckDB's CAST rounds to 1 — a
+            # cross-engine divergence on the boundary (round-8 advice).
+            # Strict > keeps age in 0..6 so every weight is an exact
+            # integer power of two in both engines.
             (F.col("tts") < F.col("pts"))
-            & (F.col("tts") >= F.col("pts") - F.expr(_LOOKBACK))
+            & (F.col("tts") > F.col("pts") - F.expr(_LOOKBACK))
         )
         .select(
             "pid", "value", "channel",
