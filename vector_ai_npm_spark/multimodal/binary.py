@@ -498,9 +498,17 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
         from vector_ai_npm_spark.multimodal.jpeg import decode_jpeg_auto
 
         return decode_jpeg_auto(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # capability-gated: libwebp (PIL) when importable; otherwise a
+        # reasoned NotImplementedError AFTER validating the container —
+        # dims/variant metadata stays available via webp.webp_dims
+        from vector_ai_npm_spark.multimodal.webp import decode_webp_auto
+
+        return decode_webp_auto(payload)
     raise NotImplementedError(
         "image codecs beyond PPM/PGM/BMP, PNG (gray/RGB/alpha/palette, "
-        "sub-byte depths, Adam7), and baseline JPEG (SOF0 4:4:4) require "
+        "sub-byte depths, Adam7), baseline JPEG (SOF0 4:4:4), and "
+        "WebP (libwebp-gated; header metadata always available) require "
         "a codec library not present in this environment; or use "
         "fake_decoder=True for the deterministic stand-in"
     )

@@ -185,6 +185,9 @@ def _load_all_modules() -> None:
     # --- wave 31 (round 8): sampled harmonic centrality —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave31_ops  # noqa: F401
+    # --- wave 32 (round 9): WebP container audit — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.multimodal.webp_queries  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
