@@ -188,6 +188,9 @@ def _load_all_modules() -> None:
     # --- wave 32 (round 9): WebP container audit — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.multimodal.webp_queries  # noqa: F401
+    # --- wave 33 (round 9): Kendall tau, seasonal MASE, bootstrap CI,
+    # Zipf ratios — registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave33_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
