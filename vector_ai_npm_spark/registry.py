@@ -191,6 +191,9 @@ def _load_all_modules() -> None:
     # --- wave 33 (round 9): Kendall tau, seasonal MASE, bootstrap CI,
     # Zipf ratios — registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave33_ops  # noqa: F401
+    # --- wave 34 (round 9): binary quantization, late interaction,
+    # top-k coverage — registered last (FIFO) ---
+    import vector_ai_npm_spark.retrieval.wave34  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
