@@ -194,6 +194,9 @@ def _load_all_modules() -> None:
     # --- wave 34 (round 9): binary quantization, late interaction,
     # top-k coverage — registered last (FIFO) ---
     import vector_ai_npm_spark.retrieval.wave34  # noqa: F401
+    # --- wave 35 (round 9): personalized PageRank — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.operators.graph_ppr  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
