@@ -498,6 +498,11 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
         from vector_ai_npm_spark.multimodal.jpeg import decode_jpeg_auto
 
         return decode_jpeg_auto(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # pure-Python LZW codec — no library gate needed (see gif.py)
+        from vector_ai_npm_spark.multimodal.gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         # capability-gated: libwebp (PIL) when importable; otherwise a
         # reasoned NotImplementedError AFTER validating the container —

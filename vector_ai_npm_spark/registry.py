@@ -197,6 +197,8 @@ def _load_all_modules() -> None:
     # --- wave 35 (round 9): personalized PageRank — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.operators.graph_ppr  # noqa: F401
+    # --- wave 36 (round 9): GIF LZW codec — registered last (FIFO) ---
+    import vector_ai_npm_spark.multimodal.gif_queries  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
