@@ -103,6 +103,14 @@ BENCH_QUERIES = (
     "events_interarrival",    # user lag gaps -> prefix-bucketed quantiles
     "embedding_centroid_drift",  # posexplode -> (label,dim) decimal agg
     "events_lateness_profile",   # user prefix-max + bucketed quantiles
+    # round-9 promotions (waves 33-36) — pinned from the round-9 idle
+    # best-of-5 (sf0.1, local[32])
+    "eval_kendall_tau",          # joint-histogram pair counting
+    "ab_bootstrap_ci",           # 101-rep deterministic multiplier bootstrap
+    "vector_quantize_binary",    # sign codes + Hamming shortlist + re-rank
+    "retrieval_late_interaction",  # 4x4 slice-cosine MaxSim scoring
+    "graph_pagerank_personalized", # 3-step PPR, floor-ledger folds
+    "multimodal_decode_gif",     # pure-Python LZW encode+decode roundtrip
 )
 
 

@@ -1044,3 +1044,49 @@ def test_wave31_plans(spark, sf_smoke):
     plan = _plan(spark, "graph_harmonic_sampled", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_wave33_plans(spark, sf_smoke):
+    """Wave-33 gates: Kendall's pair join is histogram-cell × cell with
+    a real (non-cartesian) condition and stays JVM-only; the bootstrap's
+    rep fan-out broadcasts the 101-row side; zipf's rank window runs on
+    the reduced vocabulary frame, not token rows."""
+    plan = _plan(spark, "eval_kendall_tau", sf_smoke)
+    assert "CartesianProduct" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+    plan = _plan(spark, "ab_bootstrap_ci", sf_smoke)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+    plan = _plan(spark, "text_zipf_ratio", sf_smoke)
+    # one tokenize Generate, aggregate BEFORE the window
+    assert plan.count("Generate explode") == 1
+
+
+def test_wave34_plans(spark, sf_smoke):
+    """Wave-34 gates: every retrieval face keeps the corpus scan
+    JVM-side (sign encode, Hamming, slice cosines are all codegen
+    expressions — no Python eval nodes) and broadcasts the probe
+    side."""
+    for name in (
+        "vector_quantize_binary",
+        "retrieval_late_interaction",
+        "retrieval_topk_coverage",
+    ):
+        plan = _plan(spark, name, sf_smoke)
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan, f"{name} fell off the JVM: {py}"
+        assert "Broadcast" in plan, name
+
+
+def test_wave35_plans(spark, sf_smoke):
+    """Wave-35 gate: PPR's per-step joins are node-keyed equi joins
+    (no cartesian) and the whole computation is JVM-only; the floor
+    ledger folds as a plain bigint hash aggregate (partial+final —
+    no decimal columns in flight)."""
+    plan = _plan(spark, "graph_pagerank_personalized", sf_smoke)
+    assert "CartesianProduct" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+    assert "DecimalType" not in plan

@@ -97,6 +97,14 @@ PLAN_QUERIES = (
     ("multimodal_decode_quarantine", "map-only Arrow decode+classify"),
     ("events_user_activity_audit", "TakeOrdered top-50 over user frame"),
     ("dedup_source_pair_rate", "banded pairs + broadcast source joins"),
+    ("eval_kendall_tau", "joint histogram; cell-pair join, no cartesian"),
+    ("ab_bootstrap_ci", "broadcast 101-rep fan-out over user frame"),
+    ("text_zipf_ratio", "one tokenize Generate; vocab-bounded window"),
+    ("vector_quantize_binary", "JVM sign codes; Hamming bit_count(xor)"),
+    ("retrieval_late_interaction", "16 slice-cosines in codegen"),
+    ("graph_pagerank_personalized", "node-keyed steps; bigint ledger"),
+    ("multimodal_decode_gif", "map-only Arrow LZW roundtrip"),
+    ("multimodal_webp_dims", "map-only Arrow container parse"),
 )
 
 

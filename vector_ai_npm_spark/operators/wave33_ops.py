@@ -121,8 +121,13 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("label") < 5, 300).otherwise(100)
         ).alias("y"),
     )
-    hist = scored.groupBy("x", "y").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # the histogram is consumed three times (self-join both sides +
+    # totals); checkpoint it so the corpus is scanned ONCE — without
+    # this the plan re-derives hist per consumer (3 parquet scans)
+    hist = (
+        scored.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
     tot = hist.agg(
         F.sum("n").cast("bigint").alias("big_n"),
@@ -290,12 +295,15 @@ def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one (Σw·cents, Σw) pair map-side.  The rank window runs over
     exactly 101 rows."""
     ev = load_table(spark, sf_dir, "events")
+    # consumed twice (rep fan-out + n_users); checkpoint the (small)
+    # user frame so the event corpus is scanned once
     per_user = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
             F.sum(F.expr(_CENTS)).cast("bigint").alias("cents")
         )
+        .localCheckpoint(eager=True)
     )
     reps = spark.range(_N_REPS).select(F.col("id").alias("r"))
     weighted = per_user.crossJoin(F.broadcast(reps)).select(
@@ -396,18 +404,20 @@ def text_zipf_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("freq").desc(), F.col("tok")))
         .alias("rk"),
     )
-    top = ranked.where(F.col("rk") == 1).select(
-        F.col("freq").alias("f1")
-    )
-    return (
-        ranked.where(F.col("rk").isin(*_ZIPF_RANKS))
-        .crossJoin(F.broadcast(top))
-        .select(
-            F.col("rk").cast("bigint").alias("rank_k"),
-            F.col("tok").alias("term"),
-            "freq",
-            (F.col("f1").cast("double") / F.col("freq").cast("double")).alias(
-                "ratio_to_top"
-            ),
-        )
+    # f1 via a window over the ALREADY-FILTERED ≤10-row frame (rank 1
+    # is in the rank set) — a separate rank=1 subquery would re-derive
+    # the whole tokenize pipeline and scan the corpus twice (the plan
+    # gate pins exactly one Generate)
+    picked = ranked.where(F.col("rk").isin(*_ZIPF_RANKS))
+    w_all = Window.partitionBy()
+    return picked.select(
+        F.col("rk").cast("bigint").alias("rank_k"),
+        F.col("tok").alias("term"),
+        "freq",
+        (
+            F.max(F.when(F.col("rk") == 1, F.col("freq")))
+            .over(w_all)
+            .cast("double")
+            / F.col("freq").cast("double")
+        ).alias("ratio_to_top"),
     )
