@@ -84,10 +84,21 @@ def test_truncated_and_unsupported_payloads():
         decode_pixels(b"\x89PNG\r\n\x1a\n....")  # PNG decodes now; garbage raises
     with pytest.raises(ValueError):
         decode_pixels(b"\xff\xd8\xff\xe0JFIF....")  # JPEG decodes now; garbage raises
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"RIFF\x00\x00\x00\x00WEBP")  # WebP: the remaining seam
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"GIF89a......")  # GIF: also the seam
+    # WebP/GIF route to real parsers now (waves 32/36): malformed
+    # containers raise ValueError (the quarantine signal); a VALID
+    # WebP raises NotImplementedError only when libwebp is absent
+    with pytest.raises(ValueError):
+        decode_pixels(b"RIFF\x00\x00\x00\x00WEBP")  # no image chunk
+    with pytest.raises(ValueError):
+        decode_pixels(b"GIF89a......")  # truncated/garbage container
+    from vector_ai_npm_spark.multimodal.webp import (
+        encode_webp_header,
+        has_native_webp,
+    )
+
+    if not has_native_webp():
+        with pytest.raises(NotImplementedError):
+            decode_pixels(encode_webp_header(4, 4, "vp8l"))
 
 
 def test_spark_decode_matches_local(spark, sf_smoke):

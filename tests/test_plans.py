@@ -1090,3 +1090,18 @@ def test_wave35_plans(spark, sf_smoke):
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
     assert "DecimalType" not in plan
+
+
+def test_wave37_plans(spark, sf_smoke):
+    """Wave-37 gates: schema drift is ONE corpus scan feeding one keyed
+    aggregate (JVM-only); RBO scans the corpus once against a broadcast
+    probe and stays JVM-side."""
+    plan = _plan(spark, "dq_schema_drift", sf_smoke)
+    assert plan.count("Scan parquet") == 1
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+    plan = _plan(spark, "eval_rank_rbo", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan

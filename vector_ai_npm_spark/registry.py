@@ -199,6 +199,9 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.graph_ppr  # noqa: F401
     # --- wave 36 (round 9): GIF LZW codec — registered last (FIFO) ---
     import vector_ai_npm_spark.multimodal.gif_queries  # noqa: F401
+    # --- wave 37 (round 9): schema drift, RBO, TIFF dims — registered
+    # last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave37_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
