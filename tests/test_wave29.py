@@ -88,6 +88,23 @@ def test_batch_keyed_append_replay_is_idempotent(spark, sf_oracle, tmp_path):
     assert len(after) == len(set(after)) == base.count() + b0.count() + b1.count()
     assert hits_after == hits_before
 
+    # compaction folds the appends into base cells — same logical
+    # content, same search results, appends subtree gone
+    import glob
+    import os
+
+    from vector_ai_npm_spark.retrieval.store import compact_ivf_appends
+
+    n = compact_ivf_appends(spark, store_dir)
+    assert n == b0.count() + b1.count()
+    assert not os.path.isdir(f"{store_dir}/appends")
+    assert snapshot() == before
+    assert hits() == hits_before
+    # second compaction is a no-op
+    assert compact_ivf_appends(spark, store_dir) == 0
+    # base layout stays cell-partitioned (pruning still applies)
+    assert glob.glob(f"{store_dir}/cells/cell_id=*/")
+
 
 def test_streamed_split_covers_query_vector(spark, sf_oracle):
     """The contract's rank-1 probe (vec_id 42) must be in the STREAMED

@@ -105,6 +105,8 @@ PLAN_QUERIES = (
     ("graph_pagerank_personalized", "node-keyed steps; bigint ledger"),
     ("multimodal_decode_gif", "map-only Arrow LZW roundtrip"),
     ("multimodal_webp_dims", "map-only Arrow container parse"),
+    ("dq_schema_drift", "one corpus scan, one keyed aggregate"),
+    ("eval_rank_rbo", "one scan vs broadcast probe; 10-row fold"),
 )
 
 

@@ -206,6 +206,53 @@ def append_ivf_store_batch(
     )
 
 
+def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
+    """Fold accumulated batch-keyed appends back into the base cell
+    layout — the maintenance half of the streaming-append lifecycle
+    (append_ivf_store_batch accumulates small per-batch files; read
+    cost grows with file COUNT even though partition pruning bounds
+    bytes).  Returns the number of appended rows folded (0 = no-op).
+
+    Crash-safe publish: the merged layout is written to a staging dir,
+    then swapped in with the same rename discipline as engine.delete
+    (cells__pre_compact keeps the old layout until the new one is
+    fully in place; a crash mid-swap leaves a recoverable state, and
+    the appends subtree is removed LAST so a crash before that point
+    only re-folds already-folded rows idempotently on the next
+    compaction — dedup-on-write below makes that safe)."""
+    import glob as _glob
+    import shutil
+
+    appended = _glob.glob(
+        f"{store_dir}/appends/batch=*/cell_id=*/*.parquet"
+    )
+    if not appended:
+        return 0
+    n_appended = spark.read.parquet(f"{store_dir}/appends").count()
+    merged = read_ivf_cells(spark, store_dir)
+    # a replayed-then-crashed compaction could leave the same vec_id
+    # in both base and appends; keep one row per vec_id (appends are
+    # assign-once through frozen centroids, so duplicates are exact)
+    merged = merged.dropDuplicates(["vec_id"])
+    staging = f"{store_dir}/cells__compact_staging"
+    (
+        merged.repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(staging)
+    )
+    pre = f"{store_dir}/cells__pre_compact"
+    import os
+
+    if os.path.isdir(pre):
+        shutil.rmtree(pre)
+    os.rename(f"{store_dir}/cells", pre)
+    os.rename(staging, f"{store_dir}/cells")
+    shutil.rmtree(f"{store_dir}/appends")
+    shutil.rmtree(pre)
+    return n_appended
+
+
 def read_ivf_cells(spark: SparkSession, store_dir: str) -> DataFrame:
     """The store's read face: base cells ∪ batch-keyed appends.
 
