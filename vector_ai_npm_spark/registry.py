@@ -202,6 +202,10 @@ def _load_all_modules() -> None:
     # --- wave 37 (round 9): schema drift, RBO, TIFF dims — registered
     # last (FIFO) ---
     import vector_ai_npm_spark.operators.wave37_ops  # noqa: F401
+    # --- wave 38 (round 9): grid-density clustering, streaming DLQ —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.clustering.density  # noqa: F401
+    import vector_ai_npm_spark.streaming.dlq  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
