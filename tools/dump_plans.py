@@ -107,6 +107,7 @@ PLAN_QUERIES = (
     ("multimodal_webp_dims", "map-only Arrow container parse"),
     ("dq_schema_drift", "one corpus scan, one keyed aggregate"),
     ("eval_rank_rbo", "one scan vs broadcast probe; 10-row fold"),
+    ("cluster_grid_density", "one scan; occupied-cell frames after"),
 )
 
 

@@ -166,18 +166,29 @@ def eval_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("q_emb"), 1, _PREFIX),
         ).alias("sim_b"),
     )
-    ranked = scored.select(
-        "vec_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("sim_a").desc(), F.col("vec_id")))
-        .alias("rank_a"),
-        F.row_number()
-        .over(Window.orderBy(F.col("sim_b").desc(), F.col("vec_id")))
-        .alias("rank_b"),
+
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — each
+    # partition keeps its local k, the driver merges k·parts rows),
+    # THEN rank the ≤10-row frames: ranking the corpus with an
+    # unpartitioned window would funnel every row through one task —
+    # exactly what the registry-wide window gate flags (and did, in
+    # this query's first version)
+    def topk(sim: str, rank: str):
+        top = scored.orderBy(F.col(sim).desc(), F.col("vec_id")).limit(
+            _RBO_K
+        )
+        return top.select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.col(sim).desc(), F.col("vec_id")))
+            .alias(rank),
+        )
+
+    m = (
+        topk("sim_a", "rank_a")
+        .join(topk("sim_b", "rank_b"), "vec_id")
+        .select(F.greatest("rank_a", "rank_b").alias("m"))
     )
-    m = ranked.where(
-        (F.col("rank_a") <= _RBO_K) & (F.col("rank_b") <= _RBO_K)
-    ).select(F.greatest("rank_a", "rank_b").alias("m"))
     ovs = m.agg(
         *[
             F.sum(F.when(F.col("m") <= d, 1).otherwise(0))
