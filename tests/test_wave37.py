@@ -119,3 +119,34 @@ def test_tiff_roundtrip_and_malformed():
         tiff_dims(empty)
     with pytest.raises(ValueError, match="range"):
         encode_tiff_header(1, 100_000)  # height exceeds SHORT
+
+def test_ses_matches_python_recurrence(spark, sf_oracle):
+    """Wave-39 rider: the SES fold must equal the sequential Python
+    recurrence bit-for-bit (identical fold order, α=1/2)."""
+    from collections import Counter, defaultdict
+
+    ev = load_table(spark, sf_oracle, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).collect()
+    daily = Counter((r.event_type, r.day) for r in ev)
+    series = defaultdict(list)
+    for (et, day), c in sorted(daily.items(), key=lambda kv: kv[0]):
+        series[et].append((str(day), c))
+    got = {
+        (r.event_type, r.day): r
+        for r in registry.run(
+            "events_forecast_ses", spark, sf_oracle
+        ).collect()
+    }
+    for et, rows in series.items():
+        s = None
+        for day, c in rows:
+            prev = s
+            s = float(c) if s is None else 0.5 * c + 0.5 * s
+            g = got[(et, day)]
+            assert g.ses_level == s, (et, day)
+            if prev is None:
+                assert g.forecast is None and g.abs_err is None
+            else:
+                assert g.forecast == prev
+                assert g.abs_err == abs(c - prev)
