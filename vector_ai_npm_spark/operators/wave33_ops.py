@@ -6,12 +6,17 @@ scale-shaped:
 
 * `eval_kendall_tau` — Kendall's τ_a between the shared synthetic
   model score (eval_metrics.CAL_SCORED_SQL) and a second
-  deterministic score, computed the SCALE-SAFE way: reduce the corpus
-  to the JOINT HISTOGRAM of (x, y) score cells first (one groupBy),
-  then count concordant / discordant / tied pairs over histogram-cell
-  pairs weighted by n_a·n_b.  Cell-pair work is bounded by the score
-  DOMAIN (≤ 951² cells here), independent of corpus size — the naive
-  row-pair join would be O(n²).  τ_a = (C − D) / C(N,2) is an exact
+  deterministic score, computed the SCALE-SAFE way: a FIXED-SIZE
+  deterministic sample (top-2000 by md5(id) — exactly N rows at any
+  corpus size, TakeOrderedAndProject, the same draw in both engines)
+  reduced to the JOINT HISTOGRAM of (x, y) score cells (one groupBy),
+  then concordant / discordant / tied pair counts over histogram-cell
+  pairs weighted by n_a·n_b.  Pair work is O(min(sample, domain)²),
+  constant in corpus size — the first (sample-free) version measured
+  9.6× wall at the 10× replica because cells don't saturate the 951²
+  domain until the corpus far exceeds it (round-9 scale study);
+  rank correlation over a fixed uniform sample is also how production
+  systems compute it.  τ_a = (C − D) / C(N,2) is an exact
   integer ratio; τ_b's denominator needs a sqrt, so the face reports
   the τ_b pieces (tie-corrected marginals) as exact integers and τ_a
   as the headline double.
@@ -67,15 +72,28 @@ _Y_SCORE_DUCK = (
 )
 
 
+_KT_SAMPLE = 2000  # fixed-size deterministic sample: pair work is
+# O(sample²) at ANY corpus size.  Without it the histogram-pair join
+# is quadratic until the corpus saturates the score domain — measured
+# 9.6× wall at the 10× replica (round-9 scale study), the exact
+# failure mode this cap removes.  ORDER BY md5(id) LIMIT N is the
+# engine-identical "uniform sample of exactly N" idiom
+# (TakeOrderedAndProject on the Spark side — never a global sort).
+
+
 @query(
     "eval_kendall_tau",
     oracle=f"""
-    WITH scored AS (
+    WITH sample AS (
+      SELECT vec_id, label FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || '#ktsample'), vec_id
+      LIMIT {_KT_SAMPLE}
+    ), scored AS (
       SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
              {_duck_hash_mod("vec_id", "#cal", 600)}
                + CASE WHEN label < 5 THEN 350 ELSE 50 END AS x,
              {_Y_SCORE_DUCK} AS y
-      FROM embeddings
+      FROM sample
     ), hist AS (
       SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
       FROM scored GROUP BY x, y
@@ -111,7 +129,17 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score-domain-bounded, ≤ 951² cells whatever the corpus size);
     the corpus itself is touched once by the groupBy."""
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = emb.select(
+    sample = (
+        emb.select("vec_id", "label")
+        .orderBy(
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit("#ktsample"))
+            ),
+            "vec_id",
+        )
+        .limit(_KT_SAMPLE)
+    )
+    scored = sample.select(
         (
             _spark_hash_mod(F.col("vec_id"), "#cal", 600)
             + F.when(F.col("label") < 5, 350).otherwise(50)
