@@ -111,6 +111,9 @@ BENCH_QUERIES = (
     "retrieval_late_interaction",  # 4x4 slice-cosine MaxSim scoring
     "graph_pagerank_personalized", # 3-step PPR, floor-ledger folds
     "multimodal_decode_gif",     # pure-Python LZW encode+decode roundtrip
+    "eval_rank_rbo",             # TakeOrdered top-10 frames + 10-row fold
+    "cluster_grid_density",      # cell-DBSCAN: one scan + cell frames
+    "stream_dlq_route",          # 3 micro-batches, batch-keyed legs
 )
 
 
