@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 
 import numpy as np
@@ -150,3 +151,65 @@ def test_ses_matches_python_recurrence(spark, sf_oracle):
             else:
                 assert g.forecast == prev
                 assert g.abs_err == abs(c - prev)
+
+
+def test_ngram_novelty_matches_python(spark, sf_oracle):
+    """Wave-40 rider: novelty rate equals the Python set computation."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, sf_oracle, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def grams(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if len(toks) >= 8:
+            return {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+        return {" ".join(toks)}
+
+    a, b = set(), set()
+    na = nb = 0
+    for r in docs:
+        ep = int(
+            hashlib.md5(f"{r.doc_id}#crawl".encode()).hexdigest()[:8], 16
+        ) % 2
+        if ep == 0:
+            a |= grams(r.text)
+            na += 1
+        else:
+            b |= grams(r.text)
+            nb += 1
+    got = registry.run("text_ngram_novelty", spark, sf_oracle).collect()[0]
+    assert (got.n_docs_a, got.n_docs_b) == (na, nb)
+    assert (got.n_grams_a, got.n_grams_b) == (len(a), len(b))
+    assert got.n_new_in_b == len(b - a)
+    assert got.novelty_rate == len(b - a) / len(b)
+
+
+def test_power_analysis_matches_python(spark, sf_oracle):
+    """Wave-40 rider: n_per_arm equals the textbook formula on exact
+    per-user cents."""
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_oracle, "events").where(
+        F.col("event_type") == "purchase"
+    ).collect()
+    cents = defaultdict(int)
+    for r in ev:
+        cents[r.user_id] += int(r.value * 100 + 0.5)
+    vals = list(cents.values())
+    n = len(vals)
+    s, s2 = sum(vals), sum(v * v for v in vals)
+    mean = s / n
+    var = (n * s2 - s * s) / (n * (n - 1))
+    z = 1.959963984540054 + 0.8416212335729143
+    mde = 0.05 * mean
+    got = registry.run(
+        "events_power_analysis", spark, sf_oracle
+    ).collect()[0]
+    assert got.n_users == n
+    assert abs(got.mean_cents - mean) < 1e-9
+    assert abs(got.var_cents2 - var) < max(1e-6, var * 1e-12)
+    assert got.n_per_arm == math.ceil(2.0 * (z * z) * var / (mde * mde))
+    assert got.n_per_arm > 0

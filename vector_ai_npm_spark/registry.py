@@ -208,6 +208,9 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.streaming.dlq  # noqa: F401
     # --- wave 39 (round 9): SES forecast QA — registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave39_ops  # noqa: F401
+    # --- wave 40 (round 9): crawl novelty, power analysis — registered
+    # last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave40_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
