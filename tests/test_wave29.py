@@ -113,3 +113,73 @@ def test_streamed_split_covers_query_vector(spark, sf_oracle):
     emb = load_table(spark, sf_oracle, "embeddings")
     assert emb.where((F.col("vec_id") == 42)).count() == 1
     assert 42 % 3 == 0  # streamed side by the fixture split
+
+
+def test_compaction_crash_states_converge(spark, sf_oracle, tmp_path):
+    """Simulate the two compaction crash windows and assert the
+    dir-existence recovery protocol keeps reads exact:
+
+      (a) crash mid-swap (cells renamed away, merged not yet
+          published) → the reader restores the pre-compact layout;
+      (b) crash after publish but before appends retirement → cells
+          already contains the appended rows; the reader must IGNORE
+          appends (no double count) and a compaction re-run converges.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.retrieval.store import (
+        append_ivf_store_batch,
+        compact_ivf_appends,
+        persist_ivf_store,
+        read_ivf_cells,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    store_dir = str(tmp_path / "store")
+    persist_ivf_store(base, store_dir, nlist=8)
+    append_ivf_store_batch(batch, store_dir, 0)
+
+    def snapshot():
+        return sorted(
+            r.vec_id
+            for r in read_ivf_cells(spark, store_dir)
+            .select("vec_id")
+            .collect()
+        )
+
+    want = snapshot()
+    assert len(want) == emb.count()
+
+    # --- (a) crash mid-swap: cells renamed away, nothing published --
+    os.rename(f"{store_dir}/cells", f"{store_dir}/cells__pre_compact")
+    assert snapshot() == want  # reader restored the layout
+    assert os.path.isdir(f"{store_dir}/cells")
+    assert not os.path.isdir(f"{store_dir}/cells__pre_compact")
+
+    # --- (b) crash after publish, appends not retired ---------------
+    merged = read_ivf_cells(spark, store_dir).dropDuplicates(["vec_id"])
+    staging = f"{store_dir}/cells__staging_test"
+    (
+        merged.repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(staging)
+    )
+    os.rename(f"{store_dir}/cells", f"{store_dir}/cells__pre_compact")
+    os.rename(staging, f"{store_dir}/cells")
+    # cells is merged; appends still present; pre marker present
+    assert os.path.isdir(f"{store_dir}/appends")
+    assert snapshot() == want  # appends ignored — no double count
+    # re-run compaction from the crashed state: converges + cleans up
+    n = compact_ivf_appends(spark, store_dir)
+    assert n == batch.count()
+    assert snapshot() == want
+    assert not os.path.isdir(f"{store_dir}/appends")
+    assert not os.path.isdir(f"{store_dir}/cells__pre_compact")
+    assert not os.path.isdir(f"{store_dir}/appends__folded")
+    shutil.rmtree(store_dir)

@@ -214,14 +214,28 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
     bytes).  Returns the number of appended rows folded (0 = no-op).
 
     Crash-safe publish: the merged layout is written to a staging dir,
-    then swapped in with the same rename discipline as engine.delete
-    (cells__pre_compact keeps the old layout until the new one is
-    fully in place; a crash mid-swap leaves a recoverable state, and
-    the appends subtree is removed LAST so a crash before that point
-    only re-folds already-folded rows idempotently on the next
-    compaction — dedup-on-write below makes that safe)."""
+    then swapped in with the same rename discipline as engine.delete.
+    Dir existence IS the recovery protocol read_ivf_cells understands
+    (no manifest — the honest hand-rolled-layout version of what a
+    table format's transaction log would give):
+
+      cells missing + cells__pre_compact present → crashed mid-swap;
+        the reader restores the pre-compact layout (rename-atomic);
+      cells__pre_compact present + appends present → crashed after
+        publishing the merged layout; cells already CONTAINS the
+        appended rows, so readers ignore appends until a compaction
+        re-run clears them;
+      appends__folded → retired subtree awaiting deletion; never read.
+
+    Every interleaving converges because the merge itself reads
+    cells ∪ appends with dropDuplicates(vec_id) — double-counted rows
+    are exact duplicates (frozen-centroid assignment is deterministic),
+    so re-folding is idempotent and nothing is ever lost.  Pinned by
+    the crash-simulation tests in tests/test_wave29.py."""
     import glob as _glob
     import shutil
+
+    import os
 
     appended = _glob.glob(
         f"{store_dir}/appends/batch=*/cell_id=*/*.parquet"
@@ -229,11 +243,19 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
     if not appended:
         return 0
     n_appended = spark.read.parquet(f"{store_dir}/appends").count()
-    merged = read_ivf_cells(spark, store_dir)
-    # a replayed-then-crashed compaction could leave the same vec_id
-    # in both base and appends; keep one row per vec_id (appends are
-    # assign-once through frozen centroids, so duplicates are exact)
-    merged = merged.dropDuplicates(["vec_id"])
+    # read BOTH sides explicitly (not read_ivf_cells — its crash rule
+    # ignores appends while a pre_compact marker lingers, but a re-run
+    # here must still fold any batches streamed since the crash) and
+    # dedup by vec_id: appends are assign-once through frozen
+    # centroids, so any double-counted row is exact — dedup makes
+    # every crash/replay interleaving converge instead of lose rows
+    base = spark.read.parquet(f"{store_dir}/cells")
+    apps = (
+        spark.read.parquet(f"{store_dir}/appends")
+        .drop("batch")
+        .select(*base.columns)
+    )
+    merged = base.unionByName(apps).dropDuplicates(["vec_id"])
     staging = f"{store_dir}/cells__compact_staging"
     (
         merged.repartition("cell_id")
@@ -242,14 +264,19 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
         .parquet(staging)
     )
     pre = f"{store_dir}/cells__pre_compact"
-    import os
-
     if os.path.isdir(pre):
         shutil.rmtree(pre)
     os.rename(f"{store_dir}/cells", pre)
     os.rename(staging, f"{store_dir}/cells")
-    shutil.rmtree(f"{store_dir}/appends")
+    # retire the folded appends ATOMICALLY (rename, not rmtree) so no
+    # reader ever sees a half-deleted subtree; actual deletion of the
+    # retired dirs happens after the pre marker is gone
+    folded = f"{store_dir}/appends__folded"
+    if os.path.isdir(folded):
+        shutil.rmtree(folded)
+    os.rename(f"{store_dir}/appends", folded)
     shutil.rmtree(pre)
+    shutil.rmtree(folded)
     return n_appended
 
 
@@ -264,12 +291,30 @@ def read_ivf_cells(spark: SparkSession, store_dir: str) -> DataFrame:
     is one LIST call; compaction of old appends back into base cells
     is the io.compaction pattern.)"""
     import glob as _glob
+    import os as _os
 
+    # crash-state protocol with compact_ivf_appends (dir existence IS
+    # the marker — its steps run in a fixed order: publish merged
+    # cells, THEN rmtree(appends), THEN rmtree(pre_compact)):
+    #   * cells missing + pre_compact present → compaction crashed
+    #     mid-swap; restore the pre-compact layout (appends still
+    #     present, union path below stays correct);
+    #   * cells present + pre_compact present + appends present →
+    #     compaction crashed AFTER publishing the merged layout but
+    #     before clearing appends; cells already CONTAINS the appended
+    #     rows, so unioning appends would double-count — ignore them
+    #     (the next compaction clears the leftovers idempotently).
+    pre = f"{store_dir}/cells__pre_compact"
+    if not _os.path.isdir(f"{store_dir}/cells") and _os.path.isdir(pre):
+        try:  # racers: the rename is the atomic arbiter (engine.py idiom)
+            _os.rename(pre, f"{store_dir}/cells")
+        except OSError:
+            pass
     base = spark.read.parquet(f"{store_dir}/cells")
     has_appends = bool(
         _glob.glob(f"{store_dir}/appends/batch=*/cell_id=*/*.parquet")
     )
-    if not has_appends:
+    if not has_appends or _os.path.isdir(pre):
         return base
     appends = spark.read.parquet(f"{store_dir}/appends").drop("batch")
     return base.unionByName(appends.select(*base.columns))
