@@ -211,6 +211,9 @@ def _load_all_modules() -> None:
     # --- wave 40 (round 9): crawl novelty, power analysis — registered
     # last (FIFO) ---
     import vector_ai_npm_spark.operators.wave40_ops  # noqa: F401
+    # --- wave 41 (round 9): IVF compaction contract — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.operators.wave41_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
