@@ -214,6 +214,9 @@ def _load_all_modules() -> None:
     # --- wave 41 (round 9): IVF compaction contract — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.operators.wave41_ops  # noqa: F401
+    # --- wave 42 (round 9): corrupt-JSONL scan, grouped-agg UDF —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave42_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
