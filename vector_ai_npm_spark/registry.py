@@ -217,6 +217,9 @@ def _load_all_modules() -> None:
     # --- wave 42 (round 9): corrupt-JSONL scan, grouped-agg UDF —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave42_ops  # noqa: F401
+    # --- wave 43 (round 9): IVF nlist tuning curve — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.operators.wave43_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
