@@ -130,7 +130,11 @@ def vector_ivf_nlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("full_cover_hits"),
             F.min(
                 F.when(F.col("prev_scanned").isNull(), True).otherwise(
-                    F.col("n_scanned") < F.col("prev_scanned")
+                    # <= not <: two adjacent nlist levels can probe
+                    # cells covering EQUAL row counts under an unlucky
+                    # seeded clustering — the real regressions are the
+                    # floor and the full-cover identity, not strictness
+                    F.col("n_scanned") <= F.col("prev_scanned")
                 )
             ).alias("scan_monotone_ok"),
             F.min(

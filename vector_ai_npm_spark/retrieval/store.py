@@ -206,6 +206,45 @@ def append_ivf_store_batch(
     )
 
 
+# Test-only interleaving hook: called after the staging write and
+# before the publish swap.  Lets tests land a concurrent streaming
+# append inside compaction's stage→publish window (the interleaving
+# the round-9 crash protocol left untested).  Never set in production.
+_test_after_staging = None
+
+
+def _restore_pre_compact(store_dir: str) -> None:
+    """Mid-swap crash recovery: if a compaction died between renaming
+    cells away and publishing the merged layout, restore the
+    pre-compact cells (rename is the atomic arbiter — racers lose the
+    OSError, same idiom as engine.delete's reader-side recovery)."""
+    import os
+
+    pre = f"{store_dir}/cells__pre_compact"
+    if not os.path.isdir(f"{store_dir}/cells") and os.path.isdir(pre):
+        try:
+            os.rename(pre, f"{store_dir}/cells")
+        except OSError:
+            pass
+
+
+def _clear_stale_markers(store_dir: str) -> None:
+    """Clear leftovers of a compaction that crashed AFTER publishing:
+    a lingering cells__pre_compact (cells already contains the merged
+    rows — safe to drop) and/or a retired appends__folded subtree.
+    Only called when cells exists, so the pre marker cannot be the
+    mid-swap state (that is restored first)."""
+    import os
+    import shutil
+
+    pre = f"{store_dir}/cells__pre_compact"
+    if os.path.isdir(f"{store_dir}/cells") and os.path.isdir(pre):
+        shutil.rmtree(pre)
+    folded = f"{store_dir}/appends__folded"
+    if os.path.isdir(folded):
+        shutil.rmtree(folded)
+
+
 def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
     """Fold accumulated batch-keyed appends back into the base cell
     layout — the maintenance half of the streaming-append lifecycle
@@ -213,49 +252,74 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
     cost grows with file COUNT even though partition pruning bounds
     bytes).  Returns the number of appended rows folded (0 = no-op).
 
-    Crash-safe publish: the merged layout is written to a staging dir,
-    then swapped in with the same rename discipline as engine.delete.
-    Dir existence IS the recovery protocol read_ivf_cells understands
-    (no manifest — the honest hand-rolled-layout version of what a
-    table format's transaction log would give):
+    Concurrency + crash protocol (round 10 — closes the
+    append-during-compact interleaving):
 
-      cells missing + cells__pre_compact present → crashed mid-swap;
-        the reader restores the pre-compact layout (rename-atomic);
-      cells__pre_compact present + appends present → crashed after
-        publishing the merged layout; cells already CONTAINS the
-        appended rows, so readers ignore appends until a compaction
-        re-run clears them;
-      appends__folded → retired subtree awaiting deletion; never read.
+      * The fold set is PINNED at entry: only the ``appends/batch=*``
+        directories listed now are merged and retired, each by its own
+        rename into ``appends__folded/``.  A streaming append landing
+        mid-compaction keeps its subtree untouched and is picked up by
+        the next read/compaction — never swept into the retirement
+        rmtree (the data-loss window the whole-dir rename had).
+      * Mid-swap crash (cells missing + cells__pre_compact present) is
+        self-recovered at entry — compaction no longer needs a read to
+        happen first.
+      * Post-publish crash leftovers (stale pre marker, retired
+        __folded subtree) are cleared on EVERY run, including the
+        no-appends early exit — a stale marker can no longer persist
+        and silently shadow future appends.
+      * The merge dedups on the full row, then ASSERTS one row per
+        vec_id: the layout's precondition is that appends are exact
+        replays or new vectors (frozen-centroid assignment is
+        deterministic).  A vec_id re-ingested with a DIFFERENT
+        embedding is an update this layout does not arbitrate — raise
+        loudly instead of keeping an arbitrary version.
 
-    Every interleaving converges because the merge itself reads
-    cells ∪ appends with dropDuplicates(vec_id) — double-counted rows
-    are exact duplicates (frozen-centroid assignment is deterministic),
-    so re-folding is idempotent and nothing is ever lost.  Pinned by
-    the crash-simulation tests in tests/test_wave29.py."""
+    Pinned by the crash/interleaving tests in tests/test_wave29.py and
+    tests/test_wave44.py."""
     import glob as _glob
+    import os
+    import re as _re
     import shutil
 
-    import os
-
-    appended = _glob.glob(
-        f"{store_dir}/appends/batch=*/cell_id=*/*.parquet"
+    _restore_pre_compact(store_dir)
+    batch_dirs = sorted(
+        d
+        for d in _glob.glob(f"{store_dir}/appends/batch=*")
+        if _glob.glob(f"{d}/cell_id=*/*.parquet")
     )
-    if not appended:
+    if not batch_dirs:
+        _clear_stale_markers(store_dir)
         return 0
-    n_appended = spark.read.parquet(f"{store_dir}/appends").count()
-    # read BOTH sides explicitly (not read_ivf_cells — its crash rule
-    # ignores appends while a pre_compact marker lingers, but a re-run
-    # here must still fold any batches streamed since the crash) and
-    # dedup by vec_id: appends are assign-once through frozen
-    # centroids, so any double-counted row is exact — dedup makes
-    # every crash/replay interleaving converge instead of lose rows
+    batch_ids = [
+        int(_re.search(r"batch=(\d+)$", d).group(1)) for d in batch_dirs
+    ]
     base = spark.read.parquet(f"{store_dir}/cells")
     apps = (
         spark.read.parquet(f"{store_dir}/appends")
+        .where(F.col("batch").isin(batch_ids))
         .drop("batch")
         .select(*base.columns)
     )
-    merged = base.unionByName(apps).dropDuplicates(["vec_id"])
+    n_appended = apps.count()
+    # full-row dedup first (replayed/crash-double-counted rows are
+    # bit-exact), then the update-conflict assert: any vec_id still
+    # carrying >1 distinct row is a real update, not a replay
+    merged = base.unionByName(apps).dropDuplicates()
+    conflicts = (
+        merged.groupBy("vec_id")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if conflicts:
+        raise ValueError(
+            f"IVF append for vec_id={conflicts[0]['vec_id']} carries a "
+            "different row than the store: this layout assumes appends "
+            "are exact replays or new vectors (frozen centroids); "
+            "updates need a delete+rebuild or a real table format"
+        )
     staging = f"{store_dir}/cells__compact_staging"
     (
         merged.repartition("cell_id")
@@ -263,20 +327,31 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
         .partitionBy("cell_id")
         .parquet(staging)
     )
+    if _test_after_staging is not None:
+        _test_after_staging()
     pre = f"{store_dir}/cells__pre_compact"
     if os.path.isdir(pre):
         shutil.rmtree(pre)
     os.rename(f"{store_dir}/cells", pre)
     os.rename(staging, f"{store_dir}/cells")
-    # retire the folded appends ATOMICALLY (rename, not rmtree) so no
-    # reader ever sees a half-deleted subtree; actual deletion of the
-    # retired dirs happens after the pre marker is gone
+    # retire ONLY the folded batch subtrees, each atomically (rename,
+    # not rmtree) — concurrently-landed batches stay in appends/
     folded = f"{store_dir}/appends__folded"
-    if os.path.isdir(folded):
-        shutil.rmtree(folded)
-    os.rename(f"{store_dir}/appends", folded)
+    os.makedirs(folded, exist_ok=True)
+    for d in batch_dirs:
+        dest = f"{folded}/{os.path.basename(d)}"
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        if os.path.isdir(d):  # a replay may have overwritten mid-fold
+            os.rename(d, dest)
     shutil.rmtree(pre)
     shutil.rmtree(folded)
+    # drop the appends dir only if nothing new landed meanwhile
+    appends_dir = f"{store_dir}/appends"
+    if os.path.isdir(appends_dir) and not _glob.glob(
+        f"{appends_dir}/batch=*"
+    ):
+        shutil.rmtree(appends_dir)
     return n_appended
 
 
@@ -291,30 +366,30 @@ def read_ivf_cells(spark: SparkSession, store_dir: str) -> DataFrame:
     is one LIST call; compaction of old appends back into base cells
     is the io.compaction pattern.)"""
     import glob as _glob
-    import os as _os
 
-    # crash-state protocol with compact_ivf_appends (dir existence IS
-    # the marker — its steps run in a fixed order: publish merged
-    # cells, THEN rmtree(appends), THEN rmtree(pre_compact)):
-    #   * cells missing + pre_compact present → compaction crashed
-    #     mid-swap; restore the pre-compact layout (appends still
-    #     present, union path below stays correct);
-    #   * cells present + pre_compact present + appends present →
-    #     compaction crashed AFTER publishing the merged layout but
-    #     before clearing appends; cells already CONTAINS the appended
-    #     rows, so unioning appends would double-count — ignore them
-    #     (the next compaction clears the leftovers idempotently).
-    pre = f"{store_dir}/cells__pre_compact"
-    if not _os.path.isdir(f"{store_dir}/cells") and _os.path.isdir(pre):
-        try:  # racers: the rename is the atomic arbiter (engine.py idiom)
-            _os.rename(pre, f"{store_dir}/cells")
-        except OSError:
-            pass
+    # mid-swap crash recovery (cells missing + pre marker → restore);
+    # all OTHER crash/replay interleavings are converged by the
+    # dedup below rather than by trusting markers: a post-publish
+    # crash leaves appends whose rows are ALREADY in cells, and a
+    # stream replay can recreate an already-folded batch subtree — in
+    # both cases the duplicate rows are bit-exact (frozen-centroid
+    # assignment is deterministic, replays overwrite their own batch
+    # subtree), so (cell_id, vec_id) dedup restores exactness without
+    # ever shadowing FRESH batches the way the old
+    # ignore-appends-while-marked rule did.
+    _restore_pre_compact(store_dir)
     base = spark.read.parquet(f"{store_dir}/cells")
     has_appends = bool(
         _glob.glob(f"{store_dir}/appends/batch=*/cell_id=*/*.parquet")
     )
-    if not has_appends or _os.path.isdir(pre):
+    if not has_appends:
         return base
     appends = spark.read.parquet(f"{store_dir}/appends").drop("batch")
-    return base.unionByName(appends.select(*base.columns))
+    # dedup keys include cell_id (same vec_id ⇒ same cell under frozen
+    # centroids) so a cell_id predicate above still pushes through the
+    # Deduplicate into BOTH scans' PartitionFilters — nprobe pruning
+    # survives the dedup (pinned in tests/test_retrieval.py).
+    return (
+        base.unionByName(appends.select(*base.columns))
+        .dropDuplicates(["cell_id", "vec_id"])
+    )
