@@ -132,6 +132,43 @@ def test_round6_debt_window_pin():
     )
 
 
+# Every query added in round 10 (wave 44+), pinned BY NAME (the round-9
+# verdict's rotation invariant: new waves must front the next window —
+# re-greening old rows is what the rest of the window is for, but a new
+# query with no driver row yet is this round's debt and must clear NOW).
+ROUND10_ADDITIONS = frozenset({
+    "eval_kendall_tau_exact",
+    "multimodal_decode_tiff",
+    "multimodal_decode_jpeg_progressive",
+    "similarity_search_knn_graph",
+    "knn_graph_recall_contract",
+})
+
+
+def test_round10_additions_front_the_window():
+    """Every round-10 query that has no driver row yet must hold a slot
+    in the upcoming 50-query window — wave-44+ additions may never sit
+    behind green-tier re-verification."""
+    qs = list(registry.all_queries())
+    _verified, attempted, _ = registry._driver_history()
+    debt = [n for n in ROUND10_ADDITIONS if n in registry._QUERIES and n not in attempted]
+    window = set(qs[:50])
+    outside = [n for n in debt if n not in window]
+    assert not outside, (
+        f"round-10 additions fell outside the 50-slot window: {outside}"
+    )
+
+
+def test_round10_additions_registered():
+    """The pin above is vacuous if a name is misspelled — every
+    ROUND10_ADDITIONS entry that claims to exist must actually be
+    registered once its module lands (names registered so far)."""
+    registry._load_all_modules()
+    known = set(registry._QUERIES)
+    landed = ROUND10_ADDITIONS & known
+    assert "eval_kendall_tau_exact" in landed
+
+
 def test_never_attempted_tier_is_fifo():
     """Within the never-attempted tier the window must fill oldest-
     registration-first: no never-attempted query may sit outside the

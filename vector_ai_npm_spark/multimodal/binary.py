@@ -503,6 +503,12 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
         from vector_ai_npm_spark.multimodal.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # pure-Python PackBits/LZW/none, grayscale 8-bit strips; the
+        # JPEG-in-TIFF variant raises ValueError → quarantine (tiff.py)
+        from vector_ai_npm_spark.multimodal.tiff import decode_tiff
+
+        return decode_tiff(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         # capability-gated: libwebp (PIL) when importable; otherwise a
         # reasoned NotImplementedError AFTER validating the container —

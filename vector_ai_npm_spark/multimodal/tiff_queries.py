@@ -1,0 +1,149 @@
+"""Wave 46 (round 10): TIFF pixel decode — PackBits + TIFF-LZW on real
+payload bytes, value-oracled (the round-9 verdict's item 2).
+
+`multimodal_decode_tiff` — per document, the sha2-chain hex chars ARE
+the grayscale pixels (one byte per char, w·h ≤ 100 of the 256-char
+chain), written as a REAL multi-strip grayscale TIFF via
+tiff.encode_tiff — compression cycling none/PackBits/LZW by doc_id%3,
+byte order alternating little/big by doc_id%2, 3 rows per strip
+(strip offset/count arrays stored out-of-line — the real scanner-TIFF
+layout), horizontal-differencing predictor on the doc_id%6==2 LZW
+subset — then decoded back through the shared decode_pixels route
+(TIFF magic dispatch) and compared byte-for-byte against the chain
+substring computed independently.
+
+The oracle reconstructs the same pixel bytes in DuckDB (unicode()
+over the sha2 hex chain — exact integer bytes) and re-derives the
+mean pixel, so a PackBits run defect, an LZW width-change/KwKwK/clear
+defect, a predictor cumsum slip, a strip-boundary misread, or an
+endianness bug flips mean_pixel or roundtrip_ok and fails the hash.
+
+Scale shape: encode+decode ride one Arrow-batched mapInPandas;
+payloads never shuffle (the multimodal_decode contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+
+@query(
+    "multimodal_decode_tiff",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             6 + CAST(doc_id % 5 AS INTEGER) AS w,
+             7 + CAST(doc_id % 4 AS INTEGER) AS h,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'none' WHEN 1 THEN 'packbits' ELSE 'lzw'
+             END AS compression,
+             CASE WHEN doc_id % 2 = 0 THEN 'little' ELSE 'big' END
+               AS byte_order,
+             doc_id % 6 = 2 AS predicted,
+             sha256(text) || sha256(text || 'a') || sha256(text || 'b')
+               || sha256(text || 'c') AS chain
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           compression,
+           byte_order,
+           predicted,
+           ROUND(list_aggregate(
+                   list_transform(range(0, w * h), j ->
+                     unicode(substr(chain, CAST(j AS INTEGER) + 1, 1))),
+                   'avg'), 6) AS mean_pixel,
+           TRUE AS roundtrip_ok
+    FROM m
+    """,
+)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode face — see module docstring."""
+    from vector_ai_npm_spark.multimodal.binary import decode_pixels
+    from vector_ai_npm_spark.multimodal.tiff import encode_tiff
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(6) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(7) + F.col("doc_id") % 4).cast("int")
+    compression = F.element_at(
+        F.array(F.lit("none"), F.lit("packbits"), F.lit("lzw")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    chain = F.concat(
+        F.sha2(F.col("text"), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("c")), 256),
+    )
+    src = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        w.alias("w"),
+        h.alias("h"),
+        compression.alias("compression"),
+        (F.col("doc_id") % 2 == 0).alias("little"),
+        (F.col("doc_id") % 6 == 2).alias("predicted"),
+        F.encode(F.substring(chain, F.lit(1), w * h), "utf-8").alias(
+            "px_raw"
+        ),
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        comp_codes = {"none": 1, "packbits": 32773, "lzw": 5}
+        for pdf in batches:
+            rows = []
+            for aid, ww, hh, comp, little, pred, raw in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["compression"],
+                pdf["little"], pdf["predicted"], pdf["px_raw"],
+            ):
+                px = bytes(raw)
+                tif = encode_tiff(
+                    int(ww), int(hh), px,
+                    compression=comp_codes[comp],
+                    little=bool(little),
+                    rows_per_strip=3,
+                    predictor=2 if bool(pred) else 1,
+                )
+                dw, dh, dec = decode_pixels(tif)
+                rows.append(
+                    (
+                        int(aid), dw, dh, comp,
+                        "little" if bool(little) else "big",
+                        bool(pred),
+                        sum(dec) / len(dec),
+                        dec == px and (dw, dh) == (int(ww), int(hh)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "compression",
+                    "byte_order", "predicted", "mean_pixel",
+                    "roundtrip_ok",
+                ],
+            )
+
+    out = src.mapInPandas(
+        _roundtrip,
+        schema="asset_id long, width long, height long, "
+        "compression string, byte_order string, predicted boolean, "
+        "mean_pixel double, roundtrip_ok boolean",
+    )
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        "compression",
+        "byte_order",
+        "predicted",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "roundtrip_ok",
+    )

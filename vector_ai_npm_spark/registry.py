@@ -220,6 +220,12 @@ def _load_all_modules() -> None:
     # --- wave 43 (round 9): IVF nlist tuning curve — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.operators.wave43_ops  # noqa: F401
+    # --- wave 45 (round 10): exact Kendall tau opt-in face —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave45_ops  # noqa: F401
+    # --- wave 46 (round 10): TIFF pixel decode — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.multimodal.tiff_queries  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
