@@ -394,12 +394,23 @@ def test_jpeg_codec_roundtrip_bounded_error():
     assert len(lo) < len(hi)
     assert mae(pix, decode_jpeg(lo)[2]) > mae(pix, decode_jpeg(hi)[2])
 
-    # progressive SOF2 must refuse
+    # SOF2 now routes to the progressive decoder (wave 47); a baseline
+    # stream whose SOF marker is FORGED to SOF2 is malformed progressive
+    # (interleaved full-band scan) and must refuse loudly…
     sof2 = bytearray(encode_jpeg(8, 8, bytes(192)))
     idx = bytes(sof2).find(b"\xff\xc0")
     sof2[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(sof2))
+    # …while a genuine progressive stream decodes through the same entry
+    from vector_ai_npm_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    gpx = bytes((x * 5 + y) % 256 for y in range(10) for x in range(9))
+    assert decode_jpeg(
+        encode_jpeg_progressive(9, 10, gpx, color=False)
+    ) == decode_jpeg(encode_jpeg(9, 10, gpx, color=False))
 
     # truncated entropy stream must raise, not loop
     full = encode_jpeg(16, 16, bytes(768))

@@ -19,10 +19,13 @@ via PLTE at 1/2/4/8-bit index depth, sub-byte grayscale, and Adam7
 interlacing — see _decode_png / encode_png), and baseline
 JPEG decodes through jpeg.decode_jpeg_auto — which routes to libjpeg
 (PIL) whenever that import succeeds (jpeg.has_native_jpeg) and falls
-back to the pure-Python T.81 codec here.  WebP/GIF are the remaining
-documented NotImplementedError seam — in a PIL-equipped deployment the
-same capability gate swallows them too. `fake_decoder=True` keeps
-the old deterministic stand-in for payloads that aren't images at all.
+back to the pure-Python T.81 codec here, progressive SOF2 included
+(jpeg_progressive.py, round 10).  GIF (full LZW, round 9) and TIFF
+(PackBits/LZW strips, round 10) decode natively too.  WebP pixels are
+the remaining documented NotImplementedError seam (VP8 entropy coding
+genuinely needs libwebp) — in a PIL-equipped deployment the same
+capability gate swallows it. `fake_decoder=True` keeps the old
+deterministic stand-in for payloads that aren't images at all.
 """
 
 from __future__ import annotations
@@ -484,7 +487,7 @@ def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
     without a codec library: PPM/PGM, uncompressed BMP, the full PNG
     matrix — gray/RGB/alpha at 8/16-bit, palette at 1/2/4/8-bit,
     sub-byte gray, Adam7 (IDAT is stdlib zlib — see _decode_png) —
-    plus baseline JPEG. WebP/GIF remain the documented production
+    plus baseline + progressive JPEG. WebP remains the documented production
     seam — swap this fallback for PIL/opencv there."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)

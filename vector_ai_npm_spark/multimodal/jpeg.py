@@ -7,10 +7,12 @@ a library seam — but baseline JPEG, like PNG (see binary._decode_png),
 needs nothing this container lacks: the entropy layer is canonical
 Huffman (pure Python), the transform is an 8×8 DCT-II (one numpy
 einsum), and the color transform is three affine maps. So the common
-case of real-world training images decodes natively; only the exotic
-rungs (progressive SOF2, arithmetic coding, restart markers, 12-bit,
-chroma subsampling other than the 4:4:4 this encoder emits) raise the
-documented NotImplementedError.
+case of real-world training images decodes natively — including
+progressive SOF2 (round 10, multimodal/jpeg_progressive.py: spectral
+selection + successive approximation, routed transparently from this
+module's marker walk); only the remaining exotic rungs (arithmetic
+coding, restart markers, 12-bit, chroma subsampling other than the
+4:4:4 this encoder emits) raise the documented NotImplementedError.
 
 Encoder and decoder share the standard tables, so the pair is
 self-consistent by construction and the roundtrip contract (dims exact,
@@ -400,7 +402,8 @@ def encode_jpeg(
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, RGB-or-gray pixel bytes) for baseline sequential
     JPEG with 4:4:4 sampling (what encode_jpeg emits, and the common
-    full-resolution case). Progressive (SOF2), arithmetic coding,
+    full-resolution case); progressive SOF2 streams route to
+    jpeg_progressive.decode_jpeg_progressive. Arithmetic coding,
     subsampled chroma, 12-bit, and restart intervals raise
     NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
@@ -442,9 +445,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 if samp != 0x11:
                     raise NotImplementedError("subsampled chroma (not 4:4:4)")
                 comps.append((cid, samp, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:
+            # progressive DCT: its own multi-scan decode loop
+            from vector_ai_npm_spark.multimodal.jpeg_progressive import (
+                decode_jpeg_progressive,
+            )
+
+            return decode_jpeg_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (only baseline SOF0 supported)"
+                f"JPEG SOF{marker - 0xC0} (only baseline SOF0 and "
+                "progressive SOF2 supported)"
             )
         elif marker == 0xC4:
             j = 0

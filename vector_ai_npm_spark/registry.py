@@ -226,6 +226,12 @@ def _load_all_modules() -> None:
     # --- wave 46 (round 10): TIFF pixel decode — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.multimodal.tiff_queries  # noqa: F401
+    # --- wave 47 (round 10): progressive JPEG decode — registered
+    # last (FIFO) ---
+    import vector_ai_npm_spark.multimodal.jpeg_progressive_queries  # noqa: F401
+    # --- wave 48 (round 10): kNN-graph ANN (NN-descent build + beam
+    # search) — registered last (FIFO) ---
+    import vector_ai_npm_spark.retrieval.knn_graph  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:

