@@ -114,6 +114,14 @@ BENCH_QUERIES = (
     "eval_rank_rbo",             # TakeOrdered top-10 frames + 10-row fold
     "cluster_grid_density",      # cell-DBSCAN: one scan + cell frames
     "stream_dlq_route",          # 3 micro-batches, batch-keyed legs
+    # round-10 promotions (verdict ask #7: track the MAINTENANCE path's
+    # cost round-over-round like the query path's) — pinned from the
+    # round-10 idle best-of-5 (sf0.1, local[32])
+    "vector_store_ivf_compact",  # build + 2 appends + fold + self-search
+    "stream_ivf_append",         # availableNow stream -> batch-keyed appends
+    "scan_jsonl_corrupt",        # PERMISSIVE JSONL + quarantine split
+    "udf_grouped_agg",           # GROUPED_AGG pandas UDF micro-ledger
+    "multimodal_webp_dims",      # no-codec container audit (map-only)
 )
 
 

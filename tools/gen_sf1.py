@@ -169,6 +169,109 @@ def _gen(spark) -> None:
         print(f"wrote {name} (fixture domain)")
 
 
+
+
+def _gen_nonrel(spark) -> None:
+    """The non-relational 10x tables (round-10 verdict item 5: the sf1
+    confidence sweep covers ALL 81 headline queries, not just the
+    relational core): documents 50k / embeddings 20k / events 1M, drawn
+    fresh from the sf0.1 fixture's observed domains (31-word vocab,
+    5 langs, 20 sources, 64-dim unit vectors, 5 event types over the
+    same 30-day window) with the same deterministic xxhash64 draws."""
+    from pyspark.sql import functions as F
+
+    if Path(f"{DST}/events.parquet").exists():
+        print(f"sf1 non-relational tables exist at {DST}")
+        return
+
+    def u(salt: str, mod: int, *extra):
+        return F.pmod(F.xxhash64(F.col("id"), *extra, F.lit(salt)), F.lit(mod))
+
+    def pick(salt: str, options, *extra):
+        return F.element_at(
+            F.array(*[F.lit(o) for o in options]),
+            (u(salt, len(options), *extra) + 1).cast("int"),
+        )
+
+    VOCAB = (
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+    )
+    LANGS = ("en", "en", "de", "es", "fr", "zh")  # ~en-heavy like sf0.1
+    docs = (
+        spark.range(50_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), (u("ndw", 51) + F.lit(29)).cast("int")),
+                    lambda i: F.element_at(
+                        F.array(*[F.lit(w) for w in VOCAB]),
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("id"), i, F.lit("dw")),
+                                F.lit(len(VOCAB)),
+                            )
+                            + 1
+                        ).cast("int"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+            pick("dlang", LANGS).alias("lang"),
+            F.concat(F.lit("src"), (u("dsrc", 20)).cast("string")).alias(
+                "source"
+            ),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id"), i, F.lit("ev")), F.lit(2001))
+            - F.lit(1000)
+        ).cast("double")
+        / 1000.0,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            raw, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    emb = spark.range(20_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(raw, lambda x: (x / norm).cast("float")).alias(
+            "embedding"
+        ),
+        u("elab", 10).cast("int").alias("label"),
+    )
+    ts0 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    events = spark.range(1_000_000).select(
+        F.col("id").alias("event_id"),
+        (ts0 + F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0),
+            u("ets", 2_592_000) + u("eus", 1_000_000) / 1e6,
+        )).cast("timestamp_ntz").alias("ts"),
+        u("eu", 15_000).alias("user_id"),
+        pick("etype", ("view", "view", "view", "click", "click",
+                       "signup", "error", "purchase")).alias("event_type"),
+        F.when(
+            pick("etype", ("view", "view", "view", "click", "click",
+                           "signup", "error", "purchase"))
+            == F.lit("purchase"),
+            u("eval", 56_022).cast("double") / 100.0,
+        ).otherwise(F.lit(0.0)).alias("value"),
+        F.concat(F.lit('{"k": '), u("eprop", 100).cast("string"),
+                 F.lit("}")).alias("props"),
+    )
+    for name, df in (("documents", docs), ("embeddings", emb),
+                     ("events", events)):
+        df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        print(f"wrote {name}")
+
+
 def _force(df) -> int:
     from pyspark.sql import functions as F
 
@@ -185,6 +288,7 @@ def main() -> None:
 
     spark = get_spark("sf1-study")
     _gen(spark)
+    _gen_nonrel(spark)
     if "--gen-only" in sys.argv:
         spark.stop()
         return
