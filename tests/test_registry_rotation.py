@@ -142,6 +142,7 @@ ROUND10_ADDITIONS = frozenset({
     "multimodal_decode_jpeg_progressive",
     "similarity_search_knn_graph",
     "knn_graph_recall_contract",
+    "multimodal_decode_webp",
 })
 
 

@@ -71,15 +71,22 @@ def test_capability_gate_routes_and_reasons():
     variant and dims; the native route must refuse with RuntimeError.
     With libwebp present the header-only fixture has no pixel data, so
     native decode failing with a codec error is the expected shape."""
+    # Since wave 49 VP8L decodes natively, so a header-only VP8L
+    # container is a MALFORMED asset (truncated bitstream → ValueError
+    # quarantine), not a capability rejection.
     payload = encode_webp_header(12, 8, "vp8l")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp_auto(payload)
+    # The capability seam is now exactly the lossy VP8 variant.
+    lossy = encode_webp_header(12, 8, "vp8")
     if has_native_webp():
         with pytest.raises(Exception):
-            decode_webp_native(payload)  # header-only: no bitstream
+            decode_webp_native(lossy)  # header-only: no bitstream
     else:
         with pytest.raises(RuntimeError, match="requires PIL"):
-            decode_webp_native(payload)
-        with pytest.raises(NotImplementedError, match="vp8l, 12x8"):
-            decode_webp_auto(payload)
+            decode_webp_native(lossy)
+        with pytest.raises(NotImplementedError, match="vp8, 12x8"):
+            decode_webp_auto(lossy)
         # a malformed container must fail the VALIDATION path, not
         # reach the capability rejection
         with pytest.raises(ValueError):

@@ -1,0 +1,1138 @@
+"""Pure-Python VP8L (WebP lossless) codec — wave 49.
+
+Closes the round-9/10 verdict's remaining WebP seam: `webp.py` already
+parses RIFF containers and VP8L dims natively, but pixel decode rode
+the libwebp capability gate (absent in this environment), so every
+lossless-WebP crawl asset quarantined.  VP8L is a fully specified
+entropy-coded format (RFC 9649 / the public "WebP Lossless Bitstream
+Specification") built from the same ingredients the repo's other
+codecs already proved in budget — canonical DEFLATE-style prefix
+codes (png path), LSB-first bit IO and LZW-family loops (gif.py),
+spec-exact integer transforms (jpeg.py/tiff.py):
+
+  * LSB-first bit reader/writer; canonical prefix codes read
+    MSB-first bit-by-bit (DEFLATE convention, per the spec);
+  * "simple" (1/2-symbol) and "normal" (code-length-coded) prefix
+    code headers, including the 16/17/18 repeat protocol, the
+    `kCodeLengthCodeOrder` permutation, and the optional max_symbol
+    shortcut;
+  * the five-tree token layer (green+length+cache / red / blue /
+    alpha / distance), LZ77 with the prefix-coded length/distance
+    value scheme, the 120-entry short-distance 2D neighborhood map,
+    and the 0x1E35A7BD color cache;
+  * all four transforms, decoded inverse in reverse stream order:
+    PREDICTOR (14 modes incl. Select and the clamped add/subtract
+    pair), CROSS-COLOR (signed 3.5 fixed-point channel deltas),
+    SUBTRACT-GREEN, and COLOR-INDEXING with sub-byte pixel bundling
+    (1/2/4-bit packed indices) — out-of-range palette indices RAISE
+    (the PNG palette precedent from the round-8 advice) rather than
+    silently producing black pixels.
+
+The encoder half exists so fixtures exercise the decoder over REAL
+spec-shaped bitstreams (the gif.py pattern): it is spec-true but
+deliberately simple — greedy LZ77 over a candidate-distance probe
+set, package-merge length-limited Huffman, optional per-feature knobs
+(cache bits, subtract-green, predictor tiles, cross-color tiles,
+palette bundling, two-group meta prefix images) so property tests can
+walk every decoder path including degenerate single-symbol trees.
+
+Honesty note on the distance map: the spec defines codes 1..120 as
+the 120 closest (dx, dy) offsets in a short window above/left of the
+current pixel, ordered by increasing Euclidean distance (ties: |dx|
+ascending, positive dx before negative).  The table here is GENERATED
+from that ordering rule over the dy 0..7 / dx -8..8 window and
+verified against the first ~60 published entries; encoder and decoder
+share it, so roundtrips are exact either way, and a cross-check test
+against libwebp runs whenever PIL+libwebp is importable (skipped in
+this environment — see tests/test_wave49.py).
+
+Scale shape: decode runs entirely in executors via the shared
+`decode_pixels` mapInPandas route (payload bytes never shuffle); this
+module is plain CPU-bound Python over one asset at a time.
+
+Reference scope: the reference client (vector-client.ts) has no image
+path at all — this is §2B north-star surface (multimodal columns).
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------- constants
+
+_CODE_LENGTH_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+)
+_CACHE_MULT = 0x1E35A7BD
+_MAX_CACHE_BITS = 11
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+_GREEN_LITERALS = 256
+_CACHE_BASE = _GREEN_LITERALS + _NUM_LENGTH_CODES  # 280
+_MAX_CODE_LENGTH = 15
+_MAX_CL_LENGTH = 7  # code-length-code lengths are 3-bit values 0..7
+
+
+def _build_distance_map() -> tuple[tuple[int, int], ...]:
+    """Codes 1..120 → (dx, dy) neighborhood offsets, generated from the
+    spec's proximity ordering (see module docstring honesty note)."""
+    cand = [
+        (dx, dy)
+        for dy in range(0, 8)
+        for dx in range(-8, 9)
+        if dy > 0 or dx > 0
+    ]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+    return tuple(cand[:120])
+
+
+_DISTANCE_MAP = _build_distance_map()
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ----------------------------------------------------------------- bit I/O
+
+
+class _BitReader:
+    """LSB-first bit reader (VP8L convention, same as gif.py/DEFLATE)."""
+
+    __slots__ = ("data", "byte", "bit")
+
+    def __init__(self, data: bytes, start: int = 0) -> None:
+        self.data = data
+        self.byte = start
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        data, byte, bit = self.data, self.byte, self.bit
+        for i in range(n):
+            if byte >= len(data):
+                raise ValueError("truncated VP8L stream")
+            v |= ((data[byte] >> bit) & 1) << i
+            bit += 1
+            if bit == 8:
+                bit = 0
+                byte += 1
+        self.byte, self.bit = byte, bit
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        self.acc |= (val & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix codes go MSB-first (the first bit read is the MSB)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+# ----------------------------------------------------------- prefix codes
+
+
+class _Prefix:
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, single, table, max_len) -> None:
+        self.single = single
+        self.table = table
+        self.max_len = max_len
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        table = self.table
+        while length < self.max_len:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code in VP8L stream")
+
+
+def _build_prefix(lengths: list[int]) -> _Prefix:
+    """Canonical prefix decoder from per-symbol code lengths.  Exactly
+    one nonzero length → a 0-bit single-symbol code (the spec's
+    degenerate-tree rule); otherwise the Kraft sum must be exact."""
+    nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if not nz:
+        raise ValueError("prefix code with no symbols")
+    if len(nz) == 1:
+        return _Prefix(nz[0][1], None, 0)
+    max_len = max(ln for ln, _ in nz)
+    if max_len > _MAX_CODE_LENGTH:
+        raise ValueError("prefix code length exceeds 15")
+    kraft = sum(1 << (max_len - ln) for ln, _ in nz)
+    if kraft != (1 << max_len):
+        raise ValueError("prefix code is not complete (Kraft violation)")
+    nz.sort()
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    prev_len = nz[0][0]
+    for ln, s in nz:
+        code <<= ln - prev_len
+        prev_len = ln
+        table[(ln, code)] = s
+        code += 1
+    return _Prefix(None, table, max_len)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), canonical (sorted by length then symbol)."""
+    nz = sorted((ln, s) for s, ln in lengths.items() if ln > 0)
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = nz[0][0] if nz else 0
+    for ln, s in nz:
+        code <<= ln - prev_len
+        prev_len = ln
+        out[s] = (code, ln)
+        code += 1
+    return out
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Prefix:
+    if br.read(1):  # simple code: symbols + lengths inline
+        num_symbols = br.read(1) + 1
+        if br.read(1):
+            first = br.read(8)
+        else:
+            first = br.read(1)
+        lengths = [0] * alphabet_size
+        if first >= alphabet_size:
+            raise ValueError("simple-code symbol outside alphabet")
+        lengths[first] = 1
+        if num_symbols == 2:
+            second = br.read(8)
+            if second >= alphabet_size:
+                raise ValueError("simple-code symbol outside alphabet")
+            if second == first:
+                raise ValueError("simple-code repeats a symbol")
+            lengths[second] = 1
+        return _build_prefix(lengths)
+    num_codes = br.read(4) + 4
+    if num_codes > len(_CODE_LENGTH_ORDER):
+        raise ValueError("too many code-length codes")
+    cl_lengths = [0] * len(_CODE_LENGTH_ORDER)
+    for i in range(num_codes):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = br.read(3)
+    cl_tree = _build_prefix(cl_lengths)
+    if br.read(1):  # max_symbol shortcut
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_code_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_tree.decode(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_code_len = code_len
+        else:
+            if code_len == 16:
+                repeat = br.read(2) + 3
+                fill = prev_code_len
+            elif code_len == 17:
+                repeat = br.read(3) + 3
+                fill = 0
+            else:
+                repeat = br.read(7) + 11
+                fill = 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("code-length repeat overruns alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _build_prefix(lengths)
+
+
+# ------------------------------------------------------- LZ77 value codes
+
+
+def _lz77_read_value(code: int, br: _BitReader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _lz77_write_value(value: int) -> tuple[int, int, int]:
+    """value (≥1) → (prefix code, extra bits value, extra bits count)."""
+    x = value - 1
+    if x < 4:
+        return x, 0, 0
+    h = x.bit_length() - 1
+    second = (x >> (h - 1)) & 1
+    return 2 * h + second, x & ((1 << (h - 1)) - 1), h - 1
+
+
+def _plane_code_to_distance(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DISTANCE_MAP[code - 1]
+    return max(1, dy * xsize + dx)
+
+
+# ----------------------------------------------------- pixel channel math
+
+
+def _add_px(a: int, b: int) -> int:
+    return (
+        (((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00)
+        | (((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF)
+    )
+
+
+def _sub_px(a: int, b: int) -> int:
+    return (
+        ((a >> 24) - (b >> 24)) % 256 << 24
+        | (((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) % 256 << 16
+        | (((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) % 256 << 8
+        | ((a & 0xFF) - (b & 0xFF)) % 256
+    )
+
+
+def _avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _clamped_add_subtract_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for shift in (24, 16, 8, 0):
+        out |= _clamp255(
+            ((a >> shift) & 0xFF) + ((b >> shift) & 0xFF) - ((c >> shift) & 0xFF)
+        ) << shift
+    return out
+
+
+def _clamped_add_subtract_half(a: int, b: int, c: int) -> int:
+    ave = _avg2(a, b)
+    out = 0
+    for shift in (24, 16, 8, 0):
+        x = (ave >> shift) & 0xFF
+        d = x - ((c >> shift) & 0xFF)
+        # (x - c) / 2 with C truncation toward zero, not Python floor
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= _clamp255(x + half) << shift
+    return out
+
+
+def _select(top: int, left: int, top_left: int) -> int:
+    diff = 0
+    for shift in (24, 16, 8, 0):
+        l_c = (left >> shift) & 0xFF
+        t_c = (top >> shift) & 0xFF
+        tl_c = (top_left >> shift) & 0xFF
+        diff += abs(l_c - tl_c) - abs(t_c - tl_c)
+    return top if diff <= 0 else left
+
+
+def _predict(mode: int, left: int, top: int, top_left: int, top_right: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return top_right
+    if mode == 4:
+        return top_left
+    if mode == 5:
+        return _avg2(_avg2(left, top_right), top)
+    if mode == 6:
+        return _avg2(left, top_left)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(top_left, top)
+    if mode == 9:
+        return _avg2(top, top_right)
+    if mode == 10:
+        return _avg2(_avg2(left, top_left), _avg2(top, top_right))
+    if mode == 11:
+        return _select(top, left, top_left)
+    if mode == 12:
+        return _clamped_add_subtract_full(left, top, top_left)
+    if mode == 13:
+        return _clamped_add_subtract_half(left, top, top_left)
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _color_delta(t: int, c: int) -> int:
+    return (_s8(t & 0xFF) * _s8(c & 0xFF)) >> 5
+
+
+# ------------------------------------------------------------------ decode
+
+
+def _cache_slot(px: int, cache_bits: int) -> int:
+    return ((_CACHE_MULT * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _decode_image_stream(
+    br: _BitReader, xsize: int, ysize: int, is_level0: bool
+) -> list[int]:
+    """The spatially-coded image decode shared by the main image and
+    every sub-image (entropy/meta image, transform tiles, palette)."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= _MAX_CACHE_BITS:
+            raise ValueError(f"invalid color-cache bits {cache_bits}")
+    meta = None
+    num_groups = 1
+    if is_level0 and br.read(1):
+        mbits = br.read(3) + 2
+        mx = _subsample_size(xsize, mbits)
+        my = _subsample_size(ysize, mbits)
+        meta_img = _decode_image_stream(br, mx, my, False)
+        num_groups = max((p >> 8) & 0xFFFF for p in meta_img) + 1
+        meta = (mbits, mx, meta_img)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(num_groups):
+        groups.append((
+            _read_prefix_code(br, _CACHE_BASE + cache_size),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, _NUM_DISTANCE_CODES),
+        ))
+    cache = [0] * cache_size
+    n = xsize * ysize
+    out = [0] * n
+    pos = 0
+    grp = groups[0]
+    while pos < n:
+        if meta is not None:
+            mbits, mx, meta_img = meta
+            mp = meta_img[(pos // xsize >> mbits) * mx + ((pos % xsize) >> mbits)]
+            grp = groups[(mp >> 8) & 0xFFFF]
+        s = grp[0].decode(br)
+        if s < _GREEN_LITERALS:
+            red = grp[1].decode(br)
+            blue = grp[2].decode(br)
+            alpha = grp[3].decode(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_bits:
+                cache[_cache_slot(px, cache_bits)] = px
+        elif s < _CACHE_BASE:
+            length = _lz77_read_value(s - _GREEN_LITERALS, br)
+            dist_code = _lz77_read_value(grp[4].decode(br), br)
+            dist = _plane_code_to_distance(dist_code, xsize)
+            if dist > pos:
+                raise ValueError("LZ77 distance reaches before image start")
+            if pos + length > n:
+                raise ValueError("LZ77 copy overruns image")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache_bits:
+                    cache[_cache_slot(px, cache_bits)] = px
+        else:
+            idx = s - _CACHE_BASE
+            if idx >= cache_size:
+                raise ValueError("color-cache index outside cache")
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+def _inv_subtract_green(pix: list[int]) -> None:
+    for i, p in enumerate(pix):
+        g = (p >> 8) & 0xFF
+        r = (((p >> 16) & 0xFF) + g) & 0xFF
+        b = ((p & 0xFF) + g) & 0xFF
+        pix[i] = (p & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_predictor(
+    pix: list[int], w: int, h: int, bits: int, sub: list[int]
+) -> None:
+    sub_w = _subsample_size(w, bits)
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            i = row + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pix[i - 1]
+            elif x == 0:
+                pred = pix[i - w]
+            else:
+                mode = (sub[(y >> bits) * sub_w + (x >> bits)] >> 8) & 0xFF
+                # i - w + 1 for the last column lands on (0, y): decoded,
+                # and exactly what a raster-buffer decoder reads there.
+                pred = _predict(
+                    mode, pix[i - 1], pix[i - w], pix[i - w - 1], pix[i - w + 1]
+                )
+            pix[i] = _add_px(pix[i], pred)
+
+
+def _inv_color_transform(
+    pix: list[int], w: int, h: int, bits: int, sub: list[int]
+) -> None:
+    sub_w = _subsample_size(w, bits)
+    for y in range(h):
+        row = y * w
+        srow = (y >> bits) * sub_w
+        for x in range(w):
+            i = row + x
+            tile = sub[srow + (x >> bits)]
+            g2r = tile & 0xFF
+            g2b = (tile >> 8) & 0xFF
+            r2b = (tile >> 16) & 0xFF
+            p = pix[i]
+            g = (p >> 8) & 0xFF
+            r = (((p >> 16) & 0xFF) + _color_delta(g2r, g)) & 0xFF
+            b = ((p & 0xFF) + _color_delta(g2b, g) + _color_delta(r2b, r)) & 0xFF
+            pix[i] = (p & 0xFF00FF00) | (r << 16) | b
+
+
+def _palette_width_bits(n_colors: int) -> int:
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def _inv_color_indexing(
+    pix: list[int], full_w: int, h: int, palette: list[int]
+) -> list[int]:
+    n = len(palette)
+    wb = _palette_width_bits(n)
+    packed_w = _subsample_size(full_w, wb)
+    bpp = 8 >> wb
+    mask = (1 << bpp) - 1
+    out = [0] * (full_w * h)
+    for y in range(h):
+        prow = y * packed_w
+        orow = y * full_w
+        for x in range(full_w):
+            green = (pix[prow + (x >> wb)] >> 8) & 0xFF
+            idx = (green >> ((x & ((1 << wb) - 1)) * bpp)) & mask
+            if idx >= n:
+                raise ValueError(
+                    f"palette index {idx} outside {n}-entry palette"
+                )
+            out[orow + x] = palette[idx]
+    return out
+
+
+def decode_vp8l_chunk(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a VP8L chunk payload (starting at the 0x2F signature) to
+    (width, height, RGB bytes).  Alpha is decoded but dropped in the
+    returned buffer (the decode_pixels RGB contract); truncated or
+    spec-violating streams raise ValueError → the quarantine path."""
+    if not data or data[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(data, start=1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms: list[tuple] = []
+    seen: set[int] = set()
+    cur_w = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("transform declared twice")
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / cross-color
+            bits = br.read(3) + 2
+            sub = _decode_image_stream(
+                br, _subsample_size(cur_w, bits), _subsample_size(h, bits),
+                False,
+            )
+            transforms.append((ttype, bits, sub, cur_w))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None, None, cur_w))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal = _decode_image_stream(br, n_colors, 1, False)
+            for i in range(1, n_colors):
+                pal[i] = _add_px(pal[i], pal[i - 1])
+            transforms.append((3, None, pal, cur_w))
+            cur_w = _subsample_size(cur_w, _palette_width_bits(n_colors))
+
+    pix = _decode_image_stream(br, cur_w, h, True)
+
+    for ttype, bits, sub, t_w in reversed(transforms):
+        if ttype == 0:
+            _inv_predictor(pix, t_w, h, bits, sub)
+        elif ttype == 1:
+            _inv_color_transform(pix, t_w, h, bits, sub)
+        elif ttype == 2:
+            _inv_subtract_green(pix)
+        else:
+            pix = _inv_color_indexing(pix, t_w, h, sub)
+
+    rgb = bytearray(w * h * 3)
+    for i, p in enumerate(pix):
+        rgb[3 * i] = (p >> 16) & 0xFF
+        rgb[3 * i + 1] = (p >> 8) & 0xFF
+        rgb[3 * i + 2] = p & 0xFF
+    return w, h, bytes(rgb)
+
+
+# ------------------------------------------------------------------ encode
+
+
+def _package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Length-limited (≤ limit) complete prefix code lengths."""
+    items = sorted((f, s) for s, f in freqs.items())
+    if len(items) == 1:
+        return {items[0][1]: 1}
+    if len(items) == 2:
+        return {items[0][1]: 1, items[1][1]: 1}
+    if len(items) > (1 << limit):
+        raise ValueError("alphabet too large for length limit")
+    leaves = [(f, (s,)) for f, s in items]
+    prev: list[tuple[int, tuple[int, ...]]] = []
+    for _ in range(limit):
+        merged = [
+            (prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1])
+            for i in range(0, len(prev) - 1, 2)
+        ]
+        prev = sorted(leaves + merged)
+    lengths = {s: 0 for _, s in items}
+    for _, syms in prev[: 2 * len(items) - 2]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def _rle_lengths(
+    lengths: list[int], full: bool
+) -> list[tuple[int, int, int]]:
+    """Code-length sequence → (symbol, extra value, extra bits) tokens
+    using the 16/17/18 repeat protocol.  `full` emits coverage to the
+    end of the alphabet (required when the max_symbol shortcut is not
+    written); otherwise the sequence stops after the last nonzero."""
+    last_nz = max((i for i, ln in enumerate(lengths) if ln), default=0)
+    seq = lengths if full else lengths[: last_nz + 1]
+    tokens: list[tuple[int, int, int]] = []
+    i = 0
+    while i < len(seq):
+        ln = seq[i]
+        if ln == 0:
+            run = 0
+            while i < len(seq) and seq[i] == 0:
+                run += 1
+                i += 1
+            while run:
+                if run >= 11:
+                    take = min(run, 138)
+                    tokens.append((18, take - 11, 7))
+                elif run >= 3:
+                    take = min(run, 10)
+                    tokens.append((17, take - 3, 3))
+                else:
+                    take = 1
+                    tokens.append((0, 0, 0))
+                run -= take
+        else:
+            tokens.append((ln, 0, 0))
+            i += 1
+            run = 0
+            while i < len(seq) and seq[i] == ln:
+                run += 1
+                i += 1
+            while run >= 3:
+                take = min(run, 6)
+                tokens.append((16, take - 3, 2))
+                run -= take
+            for _ in range(run):
+                tokens.append((ln, 0, 0))
+    return tokens
+
+
+def _write_prefix_code(
+    bw: _BitWriter,
+    freqs: dict[int, int],
+    alphabet_size: int,
+    use_max_symbol: bool,
+) -> dict[int, tuple[int, int]]:
+    """Write one prefix-code header; return symbol → (code, length)."""
+    used = sorted(freqs)
+    if not used:
+        used = [0]
+        freqs = {0: 1}
+    if len(used) <= 2 and used[-1] <= 255:
+        bw.write(1, 1)  # simple
+        bw.write(len(used) - 1, 1)
+        first = used[0]
+        if first <= 1:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.write(0, 1)  # normal
+    lengths_map = _package_merge(freqs, _MAX_CODE_LENGTH)
+    lengths = [0] * alphabet_size
+    for s, ln in lengths_map.items():
+        lengths[s] = ln
+    use_ms = use_max_symbol and len(used) >= 2
+    tokens = _rle_lengths(lengths, full=not use_ms)
+    cl_freqs: dict[int, int] = {}
+    for sym, _, _ in tokens:
+        cl_freqs[sym] = cl_freqs.get(sym, 0) + 1
+    cl_lengths_map = _package_merge(cl_freqs, _MAX_CL_LENGTH)
+    cl_arr = [0] * len(_CODE_LENGTH_ORDER)
+    for s, ln in cl_lengths_map.items():
+        cl_arr[s] = ln
+    order_vals = [cl_arr[s] for s in _CODE_LENGTH_ORDER]
+    num = max(4, max(i + 1 for i, v in enumerate(order_vals) if v))
+    bw.write(num - 4, 4)
+    for i in range(num):
+        bw.write(order_vals[i], 3)
+    if len(cl_lengths_map) == 1:
+        # single-symbol code-length tree: decoder reads 0 bits per token
+        cl_codes = {next(iter(cl_lengths_map)): (0, 0)}
+    else:
+        cl_codes = _canonical_codes(cl_lengths_map)
+    if use_ms:
+        max_symbol = len(tokens)
+        if max_symbol < 2:
+            raise AssertionError("max_symbol shortcut needs ≥2 tokens")
+        k = 0
+        while (1 << (2 + 2 * k)) <= max_symbol - 2:
+            k += 1
+        bw.write(1, 1)
+        bw.write(k, 3)
+        bw.write(max_symbol - 2, 2 + 2 * k)
+    else:
+        bw.write(0, 1)
+    for sym, extra_val, extra_bits in tokens:
+        code, ln = cl_codes[sym]
+        if ln:
+            bw.write_code(code, ln)
+        if extra_bits:
+            bw.write(extra_val, extra_bits)
+    if len(lengths_map) == 1:
+        # the decoder's degenerate single-symbol tree reads 0 bits
+        return {next(iter(lengths_map)): (0, 0)}
+    return _canonical_codes(lengths_map)
+
+
+def _reverse_distance_map(xsize: int) -> dict[int, int]:
+    """actual pixel distance → smallest 2D plane code for this width."""
+    rev: dict[int, int] = {}
+    for i, (dx, dy) in enumerate(_DISTANCE_MAP):
+        d = dy * xsize + dx
+        if d >= 1 and d not in rev:
+            rev[d] = i + 1
+    return rev
+
+
+def _tokenize(
+    pixels: list[int],
+    xsize: int,
+    cache_bits: int,
+    use_lz77: bool,
+) -> list[tuple]:
+    """Greedy LZ77 + color-cache tokenization, mirroring decoder cache
+    state exactly.  Tokens: ('lit', px, pos) / ('copy', length,
+    dist_value, pos) / ('cache', idx, pos)."""
+    n = len(pixels)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size  # None ≠ any pixel: slot never written
+    rev_map = _reverse_distance_map(xsize)
+    last_pos: dict[int, int] = {}
+    tokens: list[tuple] = []
+    pos = 0
+    while pos < n:
+        best_len = 0
+        best_dist = 0
+        if use_lz77:
+            cands = {1, 2, xsize}
+            if xsize > 1:
+                cands.update((xsize - 1, xsize + 1))
+            prev = last_pos.get(pixels[pos])
+            if prev is not None:
+                cands.add(pos - prev)
+            for dist in cands:
+                if dist < 1 or dist > pos:
+                    continue
+                length = 0
+                while (
+                    pos + length < n
+                    and length < 4096
+                    and pixels[pos + length] == pixels[pos - dist + length]
+                ):
+                    length += 1
+                if length > best_len:
+                    best_len = length
+                    best_dist = dist
+        if best_len >= 3:
+            tokens.append(("copy", best_len, rev_map.get(best_dist, best_dist + 120), pos))
+            for k in range(best_len):
+                px = pixels[pos + k]
+                last_pos[px] = pos + k
+                if cache_size:
+                    cache[_cache_slot(px, cache_bits)] = px
+            pos += best_len
+            continue
+        px = pixels[pos]
+        if cache_size and cache[_cache_slot(px, cache_bits)] == px:
+            tokens.append(("cache", _cache_slot(px, cache_bits), pos))
+        else:
+            tokens.append(("lit", px, pos))
+            if cache_size:
+                cache[_cache_slot(px, cache_bits)] = px
+        last_pos[px] = pos
+        pos += 1
+    return tokens
+
+
+def _encode_image_stream(
+    bw: _BitWriter,
+    pixels: list[int],
+    xsize: int,
+    ysize: int,
+    is_level0: bool,
+    *,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    meta_bits: int | None = None,
+    use_max_symbol: bool = False,
+) -> None:
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    group_of: list[int] = [0] * (xsize * ysize)
+    num_groups = 1
+    if is_level0:
+        if meta_bits is not None:
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            mx = _subsample_size(xsize, meta_bits)
+            my = _subsample_size(ysize, meta_bits)
+            num_groups = 2 if mx * my > 1 else 1
+            meta_pixels = [
+                0xFF000000 | ((((tx + ty) % num_groups) & 0xFFFF) << 8)
+                for ty in range(my)
+                for tx in range(mx)
+            ]
+            for y in range(ysize):
+                for x in range(xsize):
+                    mp = meta_pixels[(y >> meta_bits) * mx + (x >> meta_bits)]
+                    group_of[y * xsize + x] = (mp >> 8) & 0xFFFF
+            _encode_image_stream(bw, meta_pixels, mx, my, False)
+        else:
+            bw.write(0, 1)
+
+    tokens = _tokenize(pixels, xsize, cache_bits, use_lz77)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    freqs = [
+        [dict() for _ in range(5)] for _ in range(num_groups)
+    ]  # green/red/blue/alpha/distance
+
+    def bump(d: dict[int, int], s: int) -> None:
+        d[s] = d.get(s, 0) + 1
+
+    for tok in tokens:
+        g = group_of[tok[-1]]
+        f = freqs[g]
+        if tok[0] == "lit":
+            px = tok[1]
+            bump(f[0], (px >> 8) & 0xFF)
+            bump(f[1], (px >> 16) & 0xFF)
+            bump(f[2], px & 0xFF)
+            bump(f[3], (px >> 24) & 0xFF)
+        elif tok[0] == "copy":
+            lc, _, _ = _lz77_write_value(tok[1])
+            dc, _, _ = _lz77_write_value(tok[2])
+            bump(f[0], _GREEN_LITERALS + lc)
+            bump(f[4], dc)
+        else:
+            bump(f[0], _CACHE_BASE + tok[1])
+
+    green_alpha = _CACHE_BASE + cache_size
+    codes = []
+    for g in range(num_groups):
+        codes.append((
+            _write_prefix_code(bw, freqs[g][0], green_alpha, use_max_symbol),
+            _write_prefix_code(bw, freqs[g][1], 256, use_max_symbol),
+            _write_prefix_code(bw, freqs[g][2], 256, use_max_symbol),
+            _write_prefix_code(bw, freqs[g][3], 256, use_max_symbol),
+            _write_prefix_code(bw, freqs[g][4], _NUM_DISTANCE_CODES, use_max_symbol),
+        ))
+
+    def put(codemap: dict[int, tuple[int, int]], sym: int) -> None:
+        code, ln = codemap[sym]
+        if ln:
+            bw.write_code(code, ln)
+
+    for tok in tokens:
+        c = codes[group_of[tok[-1]]]
+        if tok[0] == "lit":
+            px = tok[1]
+            put(c[0], (px >> 8) & 0xFF)
+            put(c[1], (px >> 16) & 0xFF)
+            put(c[2], px & 0xFF)
+            put(c[3], (px >> 24) & 0xFF)
+        elif tok[0] == "copy":
+            lc, lev, leb = _lz77_write_value(tok[1])
+            put(c[0], _GREEN_LITERALS + lc)
+            if leb:
+                bw.write(lev, leb)
+            dc, dev, deb = _lz77_write_value(tok[2])
+            put(c[4], dc)
+            if deb:
+                bw.write(dev, deb)
+        else:
+            put(c[0], _CACHE_BASE + tok[1])
+
+
+def _forward_predictor(
+    pixels: list[int], w: int, h: int, bits: int
+) -> tuple[list[int], list[int]]:
+    """Per-tile best-mode predictor residuals (forward transform)."""
+    sub_w = _subsample_size(w, bits)
+    sub_h = _subsample_size(h, bits)
+    modes = [0] * (sub_w * sub_h)
+    for ty in range(sub_h):
+        for tx in range(sub_w):
+            best_mode, best_cost = 1, None
+            for mode in range(14):
+                cost = 0
+                for y in range(ty << bits, min((ty + 1) << bits, h)):
+                    if y == 0:
+                        continue
+                    for x in range(tx << bits, min((tx + 1) << bits, w)):
+                        if x == 0:
+                            continue
+                        i = y * w + x
+                        pred = _predict(
+                            mode, pixels[i - 1], pixels[i - w],
+                            pixels[i - w - 1], pixels[i - w + 1],
+                        )
+                        res = _sub_px(pixels[i], pred)
+                        for shift in (24, 16, 8, 0):
+                            v = (res >> shift) & 0xFF
+                            cost += min(v, 256 - v)
+                if best_cost is None or cost < best_cost:
+                    best_cost, best_mode = cost, mode
+            modes[ty * sub_w + tx] = best_mode
+    out = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - w]
+            else:
+                mode = modes[(y >> bits) * sub_w + (x >> bits)]
+                pred = _predict(
+                    mode, pixels[i - 1], pixels[i - w],
+                    pixels[i - w - 1], pixels[i - w + 1],
+                )
+            out[i] = _sub_px(pixels[i], pred)
+    sub_pixels = [0xFF000000 | (m << 8) for m in modes]
+    return out, sub_pixels
+
+
+def _forward_color_transform(
+    pixels: list[int], w: int, h: int, bits: int
+) -> tuple[list[int], list[int]]:
+    """Fixed deterministic per-tile cross-color deltas (forward)."""
+    sub_w = _subsample_size(w, bits)
+    sub_h = _subsample_size(h, bits)
+    tiles = []
+    for ty in range(sub_h):
+        for tx in range(sub_w):
+            g2r = (tx * 17 + ty * 29 + 3) & 0xFF
+            g2b = (tx * 23 + ty * 13 + 101) & 0xFF
+            r2b = (tx * 7 + ty * 31 + 59) & 0xFF
+            tiles.append(0xFF000000 | (r2b << 16) | (g2b << 8) | g2r)
+    out = [0] * (w * h)
+    for y in range(h):
+        srow = (y >> bits) * sub_w
+        for x in range(w):
+            i = y * w + x
+            tile = tiles[srow + (x >> bits)]
+            g2r = tile & 0xFF
+            g2b = (tile >> 8) & 0xFF
+            r2b = (tile >> 16) & 0xFF
+            p = pixels[i]
+            g = (p >> 8) & 0xFF
+            r_orig = (p >> 16) & 0xFF
+            b_orig = p & 0xFF
+            r = (r_orig - _color_delta(g2r, g)) & 0xFF
+            b = (b_orig - _color_delta(g2b, g) - _color_delta(r2b, r_orig)) & 0xFF
+            out[i] = (p & 0xFF00FF00) | (r << 16) | b
+    return out, tiles
+
+
+def encode_vp8l(
+    w: int,
+    h: int,
+    rgb: bytes,
+    *,
+    palette: bool = False,
+    subtract_green: bool = False,
+    predictor_bits: int | None = None,
+    color_transform_bits: int | None = None,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    meta_bits: int | None = None,
+    use_max_symbol: bool = False,
+) -> bytes:
+    """RGB bytes → VP8L chunk payload (spec-true, lossless).
+
+    Knobs exist to steer fixtures through specific decoder paths;
+    `palette` is mutually exclusive with the pixel transforms."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb length must be 3*w*h")
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dims must fit 14 bits")
+    if palette and (subtract_green or predictor_bits or color_transform_bits):
+        raise ValueError("palette mode excludes pixel transforms")
+    if cache_bits and not 1 <= cache_bits <= _MAX_CACHE_BITS:
+        raise ValueError("cache_bits must be 1..11")
+    pixels = [
+        0xFF000000 | (rgb[3 * i] << 16) | (rgb[3 * i + 1] << 8) | rgb[3 * i + 2]
+        for i in range(w * h)
+    ]
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    cur_w = w
+    if palette:
+        pal: list[int] = []
+        pal_index: dict[int, int] = {}
+        for p in pixels:
+            if p not in pal_index:
+                pal_index[p] = len(pal)
+                pal.append(p)
+        if len(pal) > 256:
+            raise ValueError("palette mode requires ≤256 distinct colors")
+        n = len(pal)
+        wb = _palette_width_bits(n)
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(n - 1, 8)
+        deltas = [pal[0]] + [
+            _sub_px(pal[i], pal[i - 1]) for i in range(1, n)
+        ]
+        _encode_image_stream(bw, deltas, n, 1, False)
+        packed_w = _subsample_size(w, wb)
+        packed = [0] * (packed_w * h)
+        bpp = 8 >> wb
+        for y in range(h):
+            for x in range(w):
+                idx = pal_index[pixels[y * w + x]]
+                shift = (x & ((1 << wb) - 1)) * bpp
+                packed[y * packed_w + (x >> wb)] |= idx << shift
+        pixels = [0xFF000000 | ((v & 0xFF) << 8) for v in packed]
+        cur_w = packed_w
+    else:
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)
+            for i, p in enumerate(pixels):
+                g = (p >> 8) & 0xFF
+                r = (((p >> 16) & 0xFF) - g) & 0xFF
+                b = ((p & 0xFF) - g) & 0xFF
+                pixels[i] = (p & 0xFF00FF00) | (r << 16) | b
+        if predictor_bits is not None:
+            if not 2 <= predictor_bits <= 9:
+                raise ValueError("predictor_bits must be 2..9")
+            bw.write(1, 1)
+            bw.write(0, 2)
+            bw.write(predictor_bits - 2, 3)
+            pixels, sub = _forward_predictor(pixels, w, h, predictor_bits)
+            _encode_image_stream(
+                bw, sub,
+                _subsample_size(w, predictor_bits),
+                _subsample_size(h, predictor_bits),
+                False,
+            )
+        if color_transform_bits is not None:
+            if not 2 <= color_transform_bits <= 9:
+                raise ValueError("color_transform_bits must be 2..9")
+            bw.write(1, 1)
+            bw.write(1, 2)
+            bw.write(color_transform_bits - 2, 3)
+            pixels, tiles = _forward_color_transform(
+                pixels, w, h, color_transform_bits
+            )
+            _encode_image_stream(
+                bw, tiles,
+                _subsample_size(w, color_transform_bits),
+                _subsample_size(h, color_transform_bits),
+                False,
+            )
+    bw.write(0, 1)  # end of transforms
+    _encode_image_stream(
+        bw, pixels, cur_w, h, True,
+        cache_bits=cache_bits, use_lz77=use_lz77, meta_bits=meta_bits,
+        use_max_symbol=use_max_symbol,
+    )
+    return bw.done()

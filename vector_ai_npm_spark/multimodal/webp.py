@@ -121,19 +121,51 @@ def decode_webp_native(payload: bytes) -> tuple[int, int, bytes]:
     return img.width, img.height, img.tobytes()
 
 
+def _find_chunk(payload: bytes, want: bytes) -> bytes | None:
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if fourcc == want:
+            return payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def decode_webp_auto(payload: bytes) -> tuple[int, int, bytes]:
-    """Native route when libwebp is present; otherwise a REASONED
-    rejection (NotImplementedError) that the quarantine face isolates
-    per-asset.  The dims/variant metadata pass (webp_dims) stays
-    available either way."""
+    """VP8L (lossless) decodes via the pure-Python codec (wave 49 —
+    vp8l.py), including inside VP8X extended containers; VP8 lossy
+    stays capability-gated on libwebp (VP8's boolean arithmetic coder
+    + loop filter is the seam the quarantine contract documents) with
+    a REASONED NotImplementedError otherwise.  The dims/variant
+    metadata pass (webp_dims) stays available either way."""
+    w, h, variant = webp_dims(payload)  # validates the container first
+    chunk = _find_chunk(payload, b"VP8L")
+    if chunk is not None:
+        from vector_ai_npm_spark.multimodal.vp8l import decode_vp8l_chunk
+
+        return decode_vp8l_chunk(chunk)
     if has_native_webp():
         return decode_webp_native(payload)
-    w, h, variant = webp_dims(payload)  # validates the container first
     raise NotImplementedError(
-        f"WebP pixel decode ({variant}, {w}x{h}) requires libwebp "
-        "(PIL), not present in this environment; header metadata via "
-        "webp_dims is still available — see multimodal_webp_dims"
+        f"WebP lossy pixel decode ({variant}, {w}x{h}) requires libwebp "
+        "(PIL), not present in this environment; lossless (VP8L) decodes "
+        "natively, and header metadata via webp_dims is always available "
+        "— see multimodal_webp_dims"
     )
+
+
+def encode_webp_lossless(w: int, h: int, rgb: bytes, **vp8l_opts) -> bytes:
+    """RGB bytes → a complete lossless WebP file (RIFF + VP8L chunk),
+    spec-true via vp8l.encode_vp8l; the fixture source for the
+    multimodal_decode_webp value oracle."""
+    from vector_ai_npm_spark.multimodal.vp8l import encode_vp8l
+
+    data = encode_vp8l(w, h, rgb, **vp8l_opts)
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunk += b"\x00"
+    return _RIFF + struct.pack("<I", 4 + len(chunk)) + _WEBP + chunk
 
 
 def encode_webp_header(w: int, h: int, variant: str) -> bytes:

@@ -95,3 +95,139 @@ def multimodal_webp_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("height").cast("bigint").alias("sum_height"),
         F.bool_and("ok").alias("all_parsed"),
     )
+
+
+@query(
+    "multimodal_decode_webp",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INTEGER) AS w,
+             5 + CAST(doc_id % 3 AS INTEGER) AS h,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 4 WHEN 1 THEN 16 ELSE 64
+             END AS n_colors,
+             CAST(doc_id % 4 AS BIGINT) AS enc_path,
+             sha256(text) || sha256(text || 'w') || sha256(text || 'x')
+               || sha256(text || 'y') AS chain
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           enc_path,
+           ROUND(list_aggregate(
+                   list_transform(range(0, 3 * w * h), j ->
+                     unicode(substr(chain,
+                       3 * (unicode(substr(chain,
+                              192 + CAST(j // 3 AS INTEGER) + 1, 1))
+                            % n_colors)
+                       + CAST(j % 3 AS INTEGER) + 1, 1))),
+                   'avg'), 6) AS mean_pixel,
+           TRUE AS roundtrip_ok
+    FROM m
+    """,
+)
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave 49: VP8L (WebP lossless) PIXEL decode — closes the WebP
+    half of the round-9 verdict's remaining codec seam (lossy VP8 stays
+    honestly gated on libwebp).
+
+    Per document the sha2-chain builds an n-color palette (n cycling
+    4/16/64 — 2-bit-bundled / 4-bit-bundled / unbundled color-indexing
+    widths) and a w×h index image, expanded to RGB and written as a
+    REAL lossless WebP via webp.encode_webp_lossless, with the encoder
+    path cycling by doc_id%4 so the corpus exercises every decoder
+    stage: 0 = COLOR_INDEXING (palette + pixel bundling), 1 =
+    SUBTRACT_GREEN + 4-bit color cache, 2 = PREDICTOR tiles + the
+    max_symbol shortcut, 3 = CROSS-COLOR tiles + two-group meta prefix
+    image + cache.  Decode goes back through the SHARED decode_pixels
+    route (RIFF dispatch → vp8l.decode_vp8l_chunk) and is compared
+    byte-for-byte against the palette expansion computed independently.
+
+    The oracle reconstructs the same expansion in DuckDB (unicode()
+    over the sha2 hex chain) and re-derives the mean pixel, so a prefix
+    -code, LZ77-distance, cache, transform, or bundling defect flips
+    mean_pixel or roundtrip_ok and fails the hash.
+
+    Scale shape: encode+decode ride one Arrow-batched mapInPandas;
+    payloads never shuffle (the multimodal_decode contract)."""
+    from vector_ai_npm_spark.multimodal.binary import decode_pixels
+    from vector_ai_npm_spark.multimodal.webp import encode_webp_lossless
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(5) + F.col("doc_id") % 3).cast("int")
+    n_colors = F.element_at(
+        F.array(F.lit(4), F.lit(16), F.lit(64)),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    chain = F.concat(
+        F.sha2(F.col("text"), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("w")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("x")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("y")), 256),
+    )
+    src = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        w.alias("w"),
+        h.alias("h"),
+        n_colors.alias("n_colors"),
+        (F.col("doc_id") % 4).alias("enc_path"),
+        F.encode(
+            F.substring(chain, F.lit(1), F.lit(3) * n_colors), "utf-8"
+        ).alias("palette"),
+        F.encode(F.substring(chain, F.lit(193), w * h), "utf-8").alias(
+            "idx_raw"
+        ),
+    )
+
+    _CONFIGS = (
+        dict(palette=True),
+        dict(subtract_green=True, cache_bits=4),
+        dict(predictor_bits=2, use_max_symbol=True),
+        dict(color_transform_bits=2, meta_bits=2, cache_bits=3),
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, ww, hh, nc, path, pal, raw in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"], pdf["n_colors"],
+                pdf["enc_path"], pdf["palette"], pdf["idx_raw"],
+            ):
+                pal, nc = bytes(pal), int(nc)
+                idx = bytes(b % nc for b in bytes(raw))
+                rgb = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+                webp = encode_webp_lossless(
+                    int(ww), int(hh), rgb, **_CONFIGS[int(path)]
+                )
+                dw, dh, dec = decode_pixels(webp)
+                rows.append(
+                    (
+                        int(aid), dw, dh, int(path),
+                        sum(dec) / len(dec),
+                        dec == rgb and (dw, dh) == (int(ww), int(hh)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "enc_path",
+                    "mean_pixel", "roundtrip_ok",
+                ],
+            )
+
+    out = src.mapInPandas(
+        _roundtrip,
+        schema="asset_id long, width long, height long, enc_path long, "
+        "mean_pixel double, roundtrip_ok boolean",
+    )
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        "enc_path",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "roundtrip_ok",
+    )
