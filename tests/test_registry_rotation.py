@@ -143,6 +143,9 @@ ROUND10_ADDITIONS = frozenset({
     "similarity_search_knn_graph",
     "knn_graph_recall_contract",
     "multimodal_decode_webp",
+    "similarity_search_ivf_filtered",
+    "ivf_filtered_recall_contract",
+    "multimodal_exif_orientation",
 })
 
 

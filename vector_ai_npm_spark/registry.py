@@ -232,6 +232,9 @@ def _load_all_modules() -> None:
     # --- wave 48 (round 10): kNN-graph ANN (NN-descent build + beam
     # search) — registered last (FIFO) ---
     import vector_ai_npm_spark.retrieval.knn_graph  # noqa: F401
+    # --- wave 50 (round 10): filtered ANN (predicate pushdown into the
+    # IVF probe), EXIF orientation audit — registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave50_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:

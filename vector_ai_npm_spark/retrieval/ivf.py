@@ -116,16 +116,15 @@ def build_ivf_index(store: DataFrame, vec_col: str = "embedding",
     return assigned, centroids
 
 
-def ivf_similarity_join(queries: DataFrame, store: DataFrame, k: int = 5,
-                        nlist: int = 16, nprobe: int = 4,
-                        q_id: str = "q_vec_id", q_vec: str = "q_embedding",
-                        s_vec: str = "embedding",
-                        tiebreak: str = "vec_id") -> DataFrame:
-    """Same output contract as search.similarity_join, scanning only the
-    nprobe nearest cells per query instead of the whole store."""
-    assigned, centroids = build_ivf_index(store, s_vec, nlist=nlist)
-
-    # rank centroids per query (queries × nlist is tiny; broadcast NLJ)
+def _cell_probe_topk(queries: DataFrame, assigned: DataFrame,
+                     centroids: DataFrame, k: int, nprobe: int,
+                     q_id: str, q_vec: str, s_vec: str,
+                     tiebreak: str) -> DataFrame:
+    """The probe half shared by the plain and filtered joins: rank
+    centroids per query (queries × nlist is tiny; broadcast NLJ), then
+    equi-join queries to ONLY their nprobe nearest cells — the store
+    side shuffles on cell_id once (or not at all when pre-partitioned
+    by cell_id on disk) — and exact-cosine window top-k inside."""
     cw = Window.partitionBy(q_id).orderBy(
         F.col("c_sim").desc(), F.col("cell_id").asc()
     )
@@ -138,9 +137,6 @@ def ivf_similarity_join(queries: DataFrame, store: DataFrame, k: int = 5,
         .where(F.col("c_rank") <= nprobe)
         .select(q_id, q_vec, "cell_id")
     )
-
-    # probe: equi-join on cell_id — the store side shuffles on cell_id
-    # once (or not at all when pre-partitioned by cell_id on disk)
     sim = cosine_similarity(F.col(s_vec), F.col(q_vec)).alias("similarity")
     w = Window.partitionBy(q_id).orderBy(
         F.col("similarity").desc(), F.col(tiebreak).asc()
@@ -150,6 +146,62 @@ def ivf_similarity_join(queries: DataFrame, store: DataFrame, k: int = 5,
         .select(q_id, tiebreak, sim)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivf_similarity_join(queries: DataFrame, store: DataFrame, k: int = 5,
+                        nlist: int = 16, nprobe: int = 4,
+                        q_id: str = "q_vec_id", q_vec: str = "q_embedding",
+                        s_vec: str = "embedding",
+                        tiebreak: str = "vec_id") -> DataFrame:
+    """Same output contract as search.similarity_join, scanning only the
+    nprobe nearest cells per query instead of the whole store."""
+    assigned, centroids = build_ivf_index(store, s_vec, nlist=nlist)
+    return _cell_probe_topk(
+        queries, assigned, centroids, k, nprobe, q_id, q_vec, s_vec, tiebreak
+    )
+
+
+def ivf_similarity_join_filtered(
+    queries: DataFrame, store: DataFrame, predicate, k: int = 5,
+    nlist: int = 16, nprobe: int = 4,
+    q_id: str = "q_vec_id", q_vec: str = "q_embedding",
+    s_vec: str = "embedding", tiebreak: str = "vec_id",
+) -> DataFrame:
+    """Wave 50: FILTERED ANN — top-k under a metadata predicate, the
+    production vector-search shape (FAISS IDSelector / pgvector WHERE).
+
+    Two scale decisions, both the 100 TB-correct side of the known
+    pre-vs-post-filter trade:
+
+      * the predicate is applied INSIDE the probed cells (pre-filter),
+        never as a post-filter on an unfiltered top-k — post-filtering
+        under-fills k whenever selectivity < 1 and silently biases
+        results toward predicate-dense cells.  The index itself stays
+        predicate-agnostic (one shared quantizer; filters vary per
+        query), and on a parquet-backed cell store the `.where` pushes
+        down into the scan, so pruning and filtering compose.
+      * nprobe is WIDENED by estimated selectivity — probing the same
+        nprobe cells as unfiltered search scans ~sel× fewer candidates
+        and recall collapses (the round-8 fixed-budget lesson, third
+        appearance).  eff_nprobe = min(nlist, ceil(nprobe / sel)),
+        never below the unfiltered nprobe.  The estimate here is one
+        bounded two-scalar aggregate over the store; at warehouse
+        scale it comes free from catalog column stats.
+    """
+    assigned, centroids = build_ivf_index(store, s_vec, nlist=nlist)
+    stats = store.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(predicate, 1).otherwise(0)).alias("n_pass"),
+    ).first()
+    import math
+
+    sel = max(float(stats["n_pass"] or 0) / max(float(stats["n"]), 1.0),
+              1.0 / max(float(stats["n"]), 1.0))
+    eff_nprobe = int(min(nlist, max(nprobe, math.ceil(nprobe / sel))))
+    return _cell_probe_topk(
+        queries, assigned.where(predicate), centroids, k, eff_nprobe,
+        q_id, q_vec, s_vec, tiebreak,
     )
 
 
