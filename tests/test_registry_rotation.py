@@ -146,6 +146,8 @@ ROUND10_ADDITIONS = frozenset({
     "similarity_search_ivf_filtered",
     "ivf_filtered_recall_contract",
     "multimodal_exif_orientation",
+    "vector_quantize_rq",
+    "graph_ktruss",
 })
 
 

@@ -1,0 +1,255 @@
+"""Wave 51: residual quantization (the additive FAISS family member)
+and k-truss decomposition (the edge-cohesion step past k-core).
+
+* `vector_quantize_rq` — retrieval/rq.py's stage-wise residual codes
+  as oracle-pinnable booleans, including the family-vs-family gate:
+  at EQUAL code count (4 codes of 4 bits), RQ's whole-vector stages
+  must reconstruct better than PQ's fixed subspace split — the
+  measurable reason the additive member exists.
+* `graph_ktruss` — the 3-truss of the co-purchase graph: maximal
+  subgraph where every EDGE closes ≥ k−2 triangles (Cohen 2008).
+  k-core bounds node degree; k-truss bounds edge embeddedness, the
+  standard next notch of community cohesion (a k-truss is always a
+  subgraph of the (k−1)-core).  Peeling alternates per-edge triangle
+  support with a support filter to fixpoint.
+
+Scale shape: each truss round is ONE degree-oriented triangle pass
+(compact-forward wedges, fan-out O(√m) per node — the
+graph_triangles machinery reused on the shrinking edge set) + one
+edge-keyed aggregate; rounds localCheckpoint (the k-core lineage
+discipline — the plan references each round's edges three ways).
+Fixed-unroll discipline (graph_kcore's): _ROUNDS=3 > the measured
+fixpoint depth 2 at every fixture sf, and the final support pass is
+emitted so the answer carries per-edge embeddedness, not just
+membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.operators.graph_ops import (
+    _O_EDGES,
+    _degree_oriented_wedges,
+    copurchase_edges,
+)
+from vector_ai_npm_spark.registry import query
+
+_K = 3
+_ROUNDS = 3  # > measured fixpoint depth (2 at sf0.001/0.01/0.1)
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """(lo, hi, support): per-canonical-edge triangle participation.
+
+    Triangles enumerate once each via the degree-oriented wedge+close
+    join (graph_ops._degree_oriented_wedges); each (x, y, z) then
+    credits its three id-canonicalized edges — orientation affects the
+    enumeration order only, never the support totals."""
+    wedges, oriented = _degree_oriented_wedges(edges)
+    closing = oriented.select(
+        F.col("lo").alias("c_lo"), F.col("hi").alias("c_hi")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("a.hi") == F.col("c_lo")) & (F.col("b.hi") == F.col("c_hi")),
+    ).select(
+        F.col("a.lo").alias("x"),
+        F.col("a.hi").alias("y"),
+        F.col("b.hi").alias("z"),
+    )
+    legs = tri.select(
+        F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
+    ).unionAll(
+        tri.select(F.least("x", "z").alias("lo"), F.greatest("x", "z").alias("hi"))
+    ).unionAll(
+        tri.select(F.least("y", "z").alias("lo"), F.greatest("y", "z").alias("hi"))
+    )
+    return legs.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("support"))
+
+
+def ktruss_edges(edges: DataFrame, k: int = _K,
+                 rounds: int = _ROUNDS) -> DataFrame:
+    """(src, dst, support) of the k-truss fixpoint, support computed in
+    the FINAL subgraph.  Production form loops on a per-round
+    `dropped == 0` scalar; the registry face unrolls a proven-
+    sufficient round count (the graph_kcore decision)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        sup = edge_support(e)
+        e = (
+            sup.where(F.col("support") >= k - 2)
+            .select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edge_support(e)
+        .where(F.col("support") >= k - 2)
+        .select(
+            F.col("lo").alias("src"),
+            F.col("hi").alias("dst"),
+            F.col("support").cast("long").alias("support"),
+        )
+    )
+
+
+def _o_ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled DuckDB peeling.  MATERIALIZED throughout: each round's
+    edge set feeds the next round's three triangle-join legs — inlined
+    CTEs would re-derive the whole peel per leg (the graph_kcore
+    oracle's lesson)."""
+    parts = [f"WITH {_O_EDGES},",
+             "e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    r = 0
+    for r in range(rounds + 1):
+        parts.append(f"""
+    t{r} AS MATERIALIZED (
+      SELECT x1.src AS a, x1.dst AS b, x2.dst AS c
+      FROM e{r} x1
+      JOIN e{r} x2 ON x2.src = x1.dst
+      JOIN e{r} x3 ON x3.src = x1.src AND x3.dst = x2.dst
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT lo, hi, COUNT(*) AS sup FROM (
+        SELECT a AS lo, b AS hi FROM t{r}
+        UNION ALL SELECT a, c FROM t{r}
+        UNION ALL SELECT b, c FROM t{r}
+      ) GROUP BY lo, hi
+    )""")
+        if r < rounds:
+            parts.append(
+                f"""
+    e{r + 1} AS MATERIALIZED (
+      SELECT lo AS src, hi AS dst FROM s{r} WHERE sup >= {k - 2}
+    )"""
+            )
+    body = ",".join(parts[1:])
+    return (
+        parts[0] + body
+        + f"""
+    SELECT lo AS src, hi AS dst, CAST(sup AS BIGINT) AS support
+    FROM s{r} WHERE sup >= {k - 2}
+    """
+    )
+
+
+@query("graph_ktruss", oracle=_o_ktruss_sql(_K, _ROUNDS))
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the repeat-co-purchase graph — see module docstring.
+    Output: every surviving edge with its fixpoint triangle support
+    (2244 / 181 / 3 edges at sf0.001 / 0.01 / 0.1 — truss peeling is
+    sharp on sparse graphs, which is the point of the metric)."""
+    return ktruss_edges(copurchase_edges(spark, sf_dir).select("src", "dst"))
+
+
+@query(
+    "vector_quantize_rq",
+    oracle="""
+    SELECT scope, ok FROM (VALUES
+      ('nstages_codes_per_vec', TRUE), ('codes_in_range', TRUE),
+      ('compression_64x', TRUE), ('recon_mean_floor', TRUE),
+      ('recon_min_floor', TRUE), ('recon_beats_rank0', TRUE),
+      ('rq_beats_equal_code_pq', TRUE), ('adc_self_top1', TRUE)
+    ) t(scope, ok)
+    """,
+)
+def vector_quantize_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual quantization (retrieval.rq) as oracle-pinnable booleans
+    — the 64× ANN memory path (4 stage bytes vs dim×4 float bytes):
+
+      * every vector gets exactly nstages=4 codes, each in [0, 16)
+      * compression is 64× by construction, derived from the DATA
+        (size(embedding)×4 bytes vs size(codes) bytes), not constants
+      * mean/min reconstruction cosine ≥ 0.45 / 0.30 on the
+        uniform-random (quantization-hostile) fixture — measured
+        0.616/0.415 at sf0.01, 0.533/0.378 at sf0.1 — and the mean
+        must beat the global-mean rank-0 baseline
+      * the additive-family gate: RQ's mean recon cosine must EXCEED
+        equal-code-count PQ (m=4, ksub=16, same 4 codes) — measured
+        +0.082 at sf0.01, +0.043 at sf0.1; whole-vector residual
+        stages spend bits where variance lives, subspace splits can't
+      * stage-LUT ADC search (dot-product lookups over CODES plus the
+        stored recon norm, no decode) puts the query's own row at
+        rank 1
+
+    Training is the capped deterministic hash-sample + driver Lloyd
+    recipe (retrieval/ivf.py) run stage-wise on residuals; encoding
+    and ADC are single Arrow passes, so every boolean is stable per
+    fixture."""
+    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+    from vector_ai_npm_spark.retrieval.pq import pq_encode, train_pq
+    from vector_ai_npm_spark.retrieval.rq import (
+        rq_adc_search,
+        rq_encode,
+        train_rq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_rq(emb, nstages=4, ksub=16)
+    enc = rq_encode(emb, books).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    pq_mean = (
+        pq_encode(emb, train_pq(emb, m=4, ksub=16))
+        .agg(F.avg("recon_cos").alias("pq_mean"))
+    )
+    qvec = list(emb.where(F.col("vec_id") == 7).select("embedding").first()[0])
+    adc_self = (
+        rq_adc_search(rq_encode(emb, books), books, qvec, k=1)
+        .agg(F.bool_and(F.col("vec_id") == 7).alias("ok"))
+        .select(F.lit("adc_self_top1").alias("scope"), "ok")
+    )
+    mean_vec = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg((F.sum(F.col("x").cast("decimal(30,8)")) / F.count(F.lit(1)))
+             .cast("double").alias("mu"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("s"))
+        .select(F.transform("s", lambda e: e["mu"]).alias("mean_vec"))
+    )
+    rank0 = (
+        emb.crossJoin(F.broadcast(mean_vec))
+        .select(cosine_similarity(F.col("embedding"), F.col("mean_vec")).alias("c0"))
+        .agg(F.avg("c0").alias("mean_c0"))
+    )
+    agg = (
+        enc.crossJoin(F.broadcast(rank0))
+        .crossJoin(F.broadcast(pq_mean))
+        .agg(
+            F.bool_and(F.size("codes") == 4).alias("m_ok"),
+            F.bool_and(
+                (F.array_min("codes") >= 0) & (F.array_max("codes") < 16)
+            ).alias("range_ok"),
+            F.bool_and(
+                F.size("embedding") * 4 == F.size("codes") * 64
+            ).alias("comp_ok"),
+            (F.avg("recon_cos") >= 0.45).alias("mean_ok"),
+            (F.min("recon_cos") >= 0.30).alias("min_ok"),
+            (F.avg("recon_cos") > F.first("mean_c0")).alias("rank0_ok"),
+            (F.avg("recon_cos") > F.first("pq_mean")).alias("beats_pq_ok"),
+        )
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("nstages_codes_per_vec").alias("scope"),
+                         F.col("m_ok").alias("ok")),
+                F.struct(F.lit("codes_in_range").alias("scope"),
+                         F.col("range_ok").alias("ok")),
+                F.struct(F.lit("compression_64x").alias("scope"),
+                         F.col("comp_ok").alias("ok")),
+                F.struct(F.lit("recon_mean_floor").alias("scope"),
+                         F.col("mean_ok").alias("ok")),
+                F.struct(F.lit("recon_min_floor").alias("scope"),
+                         F.col("min_ok").alias("ok")),
+                F.struct(F.lit("recon_beats_rank0").alias("scope"),
+                         F.col("rank0_ok").alias("ok")),
+                F.struct(F.lit("rq_beats_equal_code_pq").alias("scope"),
+                         F.col("beats_pq_ok").alias("ok")),
+            )
+        ).alias("r")
+    ).select("r.scope", "r.ok")
+    return rows.unionByName(adc_self)

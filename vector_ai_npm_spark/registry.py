@@ -235,6 +235,9 @@ def _load_all_modules() -> None:
     # --- wave 50 (round 10): filtered ANN (predicate pushdown into the
     # IVF probe), EXIF orientation audit — registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave50_ops  # noqa: F401
+    # --- wave 51 (round 10): residual quantization, k-truss —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave51_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
