@@ -148,6 +148,8 @@ ROUND10_ADDITIONS = frozenset({
     "multimodal_exif_orientation",
     "vector_quantize_rq",
     "graph_ktruss",
+    "multimodal_pdf_pages",
+    "scan_jsonl_gzip",
 })
 
 

@@ -1,0 +1,150 @@
+"""Wave 52: PDF structure audit + gzip-compressed JSONL ingest.
+
+* `multimodal_pdf_pages` — the PDF member of the no-codec container
+  audit family (webp/tiff dims, EXIF orientation): per-version doc
+  counts, TOTAL PAGE VOLUME (the unit OCR/text-extraction capacity is
+  provisioned in), and the encrypted share, parsed from real
+  xref-skeleton bytes in the executors (multimodal/pdf.py).  The
+  two-level pages-tree fixtures pin the spec rule that the ROOT
+  ``/Count`` is authoritative — a parser that counts leaf objects
+  gets nested documents wrong.
+* `scan_jsonl_gzip` — B1+ source coverage: the same JSONL contract as
+  `scan_jsonl_corrupt` but through gzip-compressed part files (how
+  public LLM corpora actually ship).  Scale note, which is the point
+  of the face: gzip is NOT splittable — one task per .gz file no
+  matter its size, so at 100 TB the parallelism is the FILE COUNT,
+  not maxPartitionBytes; the fixture writes 4 parts and the face
+  pins that the scan planned exactly 4 input files.  (zstd/bzip2 or
+  many medium files are the production fixes; the audit makes the
+  constraint visible.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.registry import query
+
+_VERSIONS = ("1.4", "1.5", "1.7", "2.0")
+
+
+@query(
+    "multimodal_pdf_pages",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN '1.4' WHEN 1 THEN '1.5'
+               WHEN 2 THEN '1.7' ELSE '2.0'
+             END AS version,
+             1 + CAST(doc_id % 20 AS INTEGER) AS n_pages,
+             doc_id % 5 = 0 AS encrypted
+      FROM documents
+    )
+    SELECT version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pages) AS BIGINT) AS total_pages,
+           CAST(SUM(CASE WHEN encrypted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_encrypted,
+           TRUE AS all_parsed
+    FROM m GROUP BY version
+    """,
+)
+def multimodal_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF corpus audit — see module docstring.  Version cycles over
+    four header strings, page counts 1..20, a third of the docs use a
+    TWO-LEVEL pages tree (root Count ≠ any single node's Kids length),
+    a fifth carry an /Encrypt trailer entry.  The Spark side gets every
+    number ONLY by building the skeleton bytes and parsing them back
+    (the encode_webp_header discipline), so a header, object-walk,
+    catalog-chain, or Count defect flips a sum → hash red."""
+    from vector_ai_npm_spark.multimodal.pdf import encode_pdf, pdf_audit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for did in pdf_batch["doc_id"]:
+                did = int(did)
+                version = _VERSIONS[did % 4]
+                n_pages = 1 + did % 20
+                enc = did % 5 == 0
+                payload = encode_pdf(
+                    n_pages, version,
+                    two_level=did % 3 == 0, encrypted=enc,
+                )
+                pv, pn, pe = pdf_audit(payload)
+                rows.append(
+                    (pv, pn, pe, (pv, pn, pe) == (version, n_pages, enc))
+                )
+            yield pd.DataFrame(
+                rows, columns=["version", "n_pages", "encrypted", "ok"]
+            )
+
+    parsed = docs.mapInPandas(
+        _audit,
+        schema="version string, n_pages long, encrypted boolean, ok boolean",
+    )
+    return parsed.groupBy("version").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_pages").cast("bigint").alias("total_pages"),
+        F.sum(F.when(F.col("encrypted"), 1).otherwise(0))
+        .cast("bigint").alias("n_encrypted"),
+        F.bool_and("ok").alias("all_parsed"),
+    )
+
+
+_N_GZ_PARTS = 4
+
+
+@query(
+    "scan_jsonl_gzip",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, CAST({_N_GZ_PARTS} AS BIGINT) AS n_gz_files
+    FROM documents
+    """,
+)
+def scan_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip JSONL round-trip — see module docstring.  The per-row
+    contract matches scan_jsonl_corrupt's clean half; n_gz_files pins
+    that the scan really planned one task per compressed file (the
+    non-splittability audit: 4 parts in → exactly 4 input files seen,
+    each read whole)."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_gz_") + "/data"
+    (
+        docs.select(
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line")
+        )
+        # repartition, not coalesce: the fixture frame may already be a
+        # single partition, and coalesce can only shrink
+        .repartition(_N_GZ_PARTS)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )
+    n_files = len(glob.glob(path + "/part-*.gz"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    scanned = spark.read.schema(schema).json(path)
+    return scanned.select(
+        "doc_id", "lang", "n_chars",
+        F.lit(n_files).cast("bigint").alias("n_gz_files"),
+    )
