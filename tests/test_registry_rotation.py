@@ -150,6 +150,8 @@ ROUND10_ADDITIONS = frozenset({
     "graph_ktruss",
     "multimodal_pdf_pages",
     "scan_jsonl_gzip",
+    "stream_join_left_outer",
+    "scan_csv_dialect",
 })
 
 

@@ -241,6 +241,9 @@ def _load_all_modules() -> None:
     # --- wave 52 (round 10): PDF structure audit, gzip JSONL scan —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave52_ops  # noqa: F401
+    # --- wave 53 (round 10): left-outer stream join, CSV dialect
+    # sniffing — registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave53_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:

@@ -62,3 +62,39 @@ def attribute_purchases(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         "purchase_ts",
         "amount",
     )
+
+
+def attribute_clicks_left_outer(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Wave 53: the LEFT OUTER attribution — every click, with NULL
+    purchase columns for clicks that never converted inside the
+    window.  The conversion-rate denominator an inner join silently
+    drops.
+
+    Streaming semantics (why this face exists beyond the inner join):
+    outer null results can only emit once the watermark proves no
+    matching purchase can still arrive — i.e. rows are held in state
+    until click_ts + window + delay < watermark, then evicted WITH
+    their verdict.  The batch face here is the oracle-checked
+    fixpoint; tests/test_streaming.py runs the real double-watermarked
+    stream and proves it converges to this result once the watermark
+    is pushed past the tail (the flush-sentinel pattern — a stream
+    that simply stops never emits its last unmatched clicks, which is
+    exactly the eviction semantics worth pinning)."""
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        )
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "amount",
+    )
