@@ -152,6 +152,7 @@ ROUND10_ADDITIONS = frozenset({
     "scan_jsonl_gzip",
     "stream_join_left_outer",
     "scan_csv_dialect",
+    "scan_python_datasource",
 })
 
 
