@@ -122,6 +122,20 @@ BENCH_QUERIES = (
     "scan_jsonl_corrupt",        # PERMISSIVE JSONL + quarantine split
     "udf_grouped_agg",           # GROUPED_AGG pandas UDF micro-ledger
     "multimodal_webp_dims",      # no-codec container audit (map-only)
+    # round-10 wave promotions (waves 45-54) — pinned from the
+    # round-10 idle best-of-5 (sf0.1, local[32])
+    "eval_kendall_tau_exact",    # guarded unsampled tau (opt-in exact face)
+    "multimodal_decode_tiff",    # PackBits/TIFF-LZW pixel decode roundtrip
+    "multimodal_decode_webp",    # VP8L lossless codec, 4 encoder paths
+    "multimodal_exif_orientation",  # APP1/IFD orientation audit
+    "multimodal_pdf_pages",      # xref-skeleton page-volume audit
+    "similarity_search_ivf_filtered",  # predicate-widened IVF probe
+    "vector_quantize_rq",        # residual stages + stage-LUT ADC
+    "graph_ktruss",              # edge-support peel to fixpoint
+    "scan_jsonl_gzip",           # non-splittable gzip member scan
+    "scan_csv_dialect",          # sniffed-dialect CSV scans
+    "scan_python_datasource",    # Spark 4 Python source write/read/pushdown
+    "stream_join_left_outer",    # outer interval join (eviction batch face)
 )
 
 
