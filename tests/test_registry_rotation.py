@@ -153,6 +153,8 @@ ROUND10_ADDITIONS = frozenset({
     "stream_join_left_outer",
     "scan_csv_dialect",
     "scan_python_datasource",
+    "events_forecast_holt",
+    "multimodal_apng_frames",
 })
 
 

@@ -247,6 +247,9 @@ def _load_all_modules() -> None:
     # --- wave 54 (round 10): Spark 4 Python DataSource lifecycle —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave54_ops  # noqa: F401
+    # --- wave 55 (round 10): Holt trend forecast, APNG audit —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave55_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
