@@ -155,6 +155,8 @@ ROUND10_ADDITIONS = frozenset({
     "scan_python_datasource",
     "events_forecast_holt",
     "multimodal_apng_frames",
+    "similarity_search_ivfrq",
+    "ivfrq_recall_contract",
 })
 
 

@@ -250,6 +250,9 @@ def _load_all_modules() -> None:
     # --- wave 55 (round 10): Holt trend forecast, APNG audit —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave55_ops  # noqa: F401
+    # --- wave 56 (round 10): IVF-RQ two-stage index — registered
+    # last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave56_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:

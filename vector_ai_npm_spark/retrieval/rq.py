@@ -159,3 +159,86 @@ def rq_adc_search(
         .limit(k)
         .select(id_col, "adc_cos")
     )
+
+
+def build_ivfrq_index(
+    store: DataFrame,
+    nlist: int = 8,
+    nstages: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-RQ: cell pruning over residual codes — the additive twin of
+    build_ivfpq_index (pq.py), same build economics: train/assign/
+    encode one pass each, index persisted partitioned by cell_id at
+    scale, per-cell manifest collected once so searches derive their
+    probed-scaled re-rank budget driver-side."""
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.retrieval.ivf import build_ivf_index
+
+    books = train_rq(store, vec_col=vec_col, nstages=nstages, ksub=ksub)
+    assigned, centroids = build_ivf_index(store, vec_col, nlist=nlist)
+    codes = rq_encode(store, books, vec_col=vec_col, id_col=id_col)
+    index = assigned.select(id_col, "cell_id").join(codes, id_col)
+    cents = {r[0]: np.asarray(r[1]) for r in centroids.collect()}
+    cell_counts = {
+        r.cell_id: r.n
+        for r in assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return index, cents, books, cell_counts
+
+
+def ivfrq_search_index(
+    index: DataFrame,
+    cents: dict,
+    books: np.ndarray,
+    store: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_counts: dict | None = None,
+) -> DataFrame:
+    """Probe the nprobe nearest cells, stage-LUT ADC shortlist
+    (probed-scaled budget — the round-8 fixed-budget lesson, same
+    max(4k, probed/5) rule as IVF-PQ), exact cosine re-rank of the
+    survivors, top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        cents, key=lambda c: float(((q - cents[c]) ** 2).sum())
+    )[:nprobe]
+    probed = index.where(F.col("cell_id").isin(*[int(c) for c in order]))
+    if shortlist is None:
+        if cell_counts is not None:
+            n_probed = sum(int(cell_counts.get(c, 0)) for c in order)
+        else:
+            n_probed = probed.count()
+        shortlist = max(4 * k, n_probed // 5)
+    short = rq_adc_search(probed, books, query_vec, k=shortlist, id_col=id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    rescored = (
+        short.join(store.select(id_col, vec_col), id_col)
+        .select(
+            id_col,
+            cosine_similarity(F.col(vec_col), qlit).alias("similarity"),
+        )
+        .orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return rescored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+        ).cast("long"),
+    )
