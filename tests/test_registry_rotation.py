@@ -157,6 +157,7 @@ ROUND10_ADDITIONS = frozenset({
     "multimodal_apng_frames",
     "similarity_search_ivfrq",
     "ivfrq_recall_contract",
+    "stream_checkpoint_restart",
 })
 
 

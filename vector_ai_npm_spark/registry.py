@@ -253,6 +253,9 @@ def _load_all_modules() -> None:
     # --- wave 56 (round 10): IVF-RQ two-stage index — registered
     # last (FIFO) ---
     import vector_ai_npm_spark.operators.wave56_ops  # noqa: F401
+    # --- wave 57 (round 10): streaming checkpoint restart —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave57_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
