@@ -158,6 +158,8 @@ ROUND10_ADDITIONS = frozenset({
     "similarity_search_ivfrq",
     "ivfrq_recall_contract",
     "stream_checkpoint_restart",
+    "join_geo_radius",
+    "multimodal_wav_dims",
 })
 
 

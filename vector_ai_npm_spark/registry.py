@@ -256,6 +256,9 @@ def _load_all_modules() -> None:
     # --- wave 57 (round 10): streaming checkpoint restart —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave57_ops  # noqa: F401
+    # --- wave 58 (round 10): grid-cell spatial radius join, WAV
+    # audit — registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave58_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
