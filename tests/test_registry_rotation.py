@@ -160,6 +160,7 @@ ROUND10_ADDITIONS = frozenset({
     "stream_checkpoint_restart",
     "join_geo_radius",
     "multimodal_wav_dims",
+    "er_cluster_mentions",
 })
 
 

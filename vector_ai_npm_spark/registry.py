@@ -259,6 +259,9 @@ def _load_all_modules() -> None:
     # --- wave 58 (round 10): grid-cell spatial radius join, WAV
     # audit — registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave58_ops  # noqa: F401
+    # --- wave 59 (round 10): entity resolution — registered last
+    # (FIFO) ---
+    import vector_ai_npm_spark.operators.wave59_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
