@@ -161,6 +161,7 @@ ROUND10_ADDITIONS = frozenset({
     "join_geo_radius",
     "multimodal_wav_dims",
     "er_cluster_mentions",
+    "store_time_travel_diff",
 })
 
 

@@ -262,6 +262,9 @@ def _load_all_modules() -> None:
     # --- wave 59 (round 10): entity resolution — registered last
     # (FIFO) ---
     import vector_ai_npm_spark.operators.wave59_ops  # noqa: F401
+    # --- wave 60 (round 10): versioned-store time travel —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave60_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
