@@ -96,9 +96,14 @@ def test_truncated_and_unsupported_payloads():
         has_native_webp,
     )
 
+    # since wave 49 VP8L decodes natively: a header-only VP8L stream is
+    # MALFORMED (truncated bitstream → ValueError quarantine); the
+    # libwebp capability seam is exactly the lossy VP8 variant
+    with pytest.raises(ValueError):
+        decode_pixels(encode_webp_header(4, 4, "vp8l"))
     if not has_native_webp():
         with pytest.raises(NotImplementedError):
-            decode_pixels(encode_webp_header(4, 4, "vp8l"))
+            decode_pixels(encode_webp_header(4, 4, "vp8"))
 
 
 def test_spark_decode_matches_local(spark, sf_smoke):

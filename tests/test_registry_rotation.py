@@ -162,6 +162,8 @@ ROUND10_ADDITIONS = frozenset({
     "multimodal_wav_dims",
     "er_cluster_mentions",
     "store_time_travel_diff",
+    "scan_xml",
+    "xml_funcs",
 })
 
 

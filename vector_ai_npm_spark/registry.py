@@ -265,6 +265,9 @@ def _load_all_modules() -> None:
     # --- wave 60 (round 10): versioned-store time travel —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave60_ops  # noqa: F401
+    # --- wave 61 (round 10): XML ingest (source + xpath exprs) —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave61_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
