@@ -108,6 +108,16 @@ PLAN_QUERIES = (
     ("dq_schema_drift", "one corpus scan, one keyed aggregate"),
     ("eval_rank_rbo", "one scan vs broadcast probe; 10-row fold"),
     ("cluster_grid_density", "one scan; occupied-cell frames after"),
+    # round-10 wave
+    ("similarity_search_ivf_filtered",
+     "predicate below the probe join; widened cell scan"),
+    ("graph_ktruss", "equi-join wedge rounds; checkpointed lineage"),
+    ("join_geo_radius", "cell equi-join + 9x probe fan-out, no NLJ"),
+    ("stream_join_left_outer", "sort-merge LeftOuter, range residual"),
+    ("events_forecast_holt", "day-frame paired-state folds, JVM-only"),
+    ("er_cluster_mentions", "block-keyed pair join + min-label rounds"),
+    ("multimodal_decode_webp", "map-only Arrow VP8L roundtrip"),
+    ("scan_python_datasource", "Python BatchScan, filters absorbed"),
 )
 
 
