@@ -164,6 +164,7 @@ ROUND10_ADDITIONS = frozenset({
     "store_time_travel_diff",
     "scan_xml",
     "xml_funcs",
+    "dedup_exact_substring",
 })
 
 

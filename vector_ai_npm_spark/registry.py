@@ -268,6 +268,9 @@ def _load_all_modules() -> None:
     # --- wave 61 (round 10): XML ingest (source + xpath exprs) —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave61_ops  # noqa: F401
+    # --- wave 62 (round 10): cross-doc exact-substring dedup —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave62_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
