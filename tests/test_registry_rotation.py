@@ -165,6 +165,7 @@ ROUND10_ADDITIONS = frozenset({
     "scan_xml",
     "xml_funcs",
     "dedup_exact_substring",
+    "multimodal_mp4_dims",
 })
 
 

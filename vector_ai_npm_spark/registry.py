@@ -271,6 +271,8 @@ def _load_all_modules() -> None:
     # --- wave 62 (round 10): cross-doc exact-substring dedup —
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave62_ops  # noqa: F401
+    # --- wave 63 (round 10): MP4 box audit — registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave63_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
