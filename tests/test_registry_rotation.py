@@ -166,6 +166,7 @@ ROUND10_ADDITIONS = frozenset({
     "xml_funcs",
     "dedup_exact_substring",
     "multimodal_mp4_dims",
+    "udtf_dynamic_schema",
 })
 
 

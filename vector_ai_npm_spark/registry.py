@@ -273,6 +273,9 @@ def _load_all_modules() -> None:
     import vector_ai_npm_spark.operators.wave62_ops  # noqa: F401
     # --- wave 63 (round 10): MP4 box audit — registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave63_ops  # noqa: F401
+    # --- wave 64 (round 10): polymorphic (dynamic-schema) UDTF —
+    # registered last (FIFO) ---
+    import vector_ai_npm_spark.operators.wave64_ops  # noqa: F401
 
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
