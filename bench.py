@@ -255,25 +255,44 @@ def main() -> None:
     # 2-decimal rendering without the regressions dup, and if it would
     # still exceed the budget the vs_target entries nearest 1.0 are
     # dropped first (full detail always lives in bench_last.json).
+    agg = (sum(timings[n] for n in vs_target)
+           / max(sum(targets[n] for n in vs_target), 1e-9)) if vs_target else None
     line_obj = {
         "metric": detail["metric"],
         "value": round(detail["value"], 2),
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},
-        "vs_target": dict(vs_target),
+        "n_queries": len(timings),
+        "n_pinned": len(vs_target),
+        "vs_target_agg": round(agg, 3) if agg is not None else None,
+        "vs_target_worst": (
+            {n: vs_target[n]
+             for n in sorted(vs_target, key=vs_target.get, reverse=True)[:5]}
+            if vs_target else {}
+        ),
+        "regressions": regressions,
+        "over_2x_gate": sum(1 for r in vs_target.values() if r > 2.0),
         "sf": sf_val,
     }
-    # the driver keeps the last 2000 chars of stdout; 1950 leaves room
-    # for the newline while fitting all vs_target entries in-band
-    budget = 1950
+    # the driver keeps the last 2000 chars of stdout (BENCH_r10 proved
+    # the full 93-entry queries map no longer fits: parsed:null).  The
+    # in-band line carries aggregates + worst offenders always; the
+    # per-query map is included only as long as it fits, shrunk by
+    # dropping the entries nearest their pins first — the full map
+    # always lives in bench_last.json.
+    budget = 1900
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > budget:
-        keep = sorted(vs_target, key=lambda n: abs(vs_target[n] - 1.0),
-                      reverse=True)
+        keep = sorted(
+            timings,
+            key=lambda n: abs(vs_target.get(n, 1.0) - 1.0),
+            reverse=True,
+        )
         while len(line) > budget and keep:
-            line_obj["vs_target"] = {n: vs_target[n] for n in keep}
-            line = json.dumps(line_obj, separators=(",", ":"))
             keep.pop()
+            line_obj["queries"] = {n: round(timings[n], 2) for n in keep}
+            line_obj["queries_elided"] = len(timings) - len(keep)
+            line = json.dumps(line_obj, separators=(",", ":"))
     print(line)
     sys.stdout.flush()
     spark.stop()

@@ -117,7 +117,17 @@ def test_distance_map_head_and_uniqueness():
     )
     assert len(set(_DISTANCE_MAP)) == 120
     for dx, dy in _DISTANCE_MAP:
-        assert 0 <= dy <= 7 and -8 <= dx <= 8 and (dy > 0 or dx > 0)
+        assert 0 <= dy <= 7 and -7 <= dx <= 8 and (dy > 0 or dx > 0)
+    # tail (codes 97-120): the dx range is asymmetric (-7..8) — a
+    # symmetric -8..8 window reproduces the head but diverges here
+    # (r10 advice: code 103 must be (8,2), not (-8,1)), so the tail is
+    # pinned verbatim against the published spec table
+    assert _DISTANCE_MAP[96:] == (
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+        (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7),
+        (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6),
+        (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+    )
 
 
 def test_truncated_stream_raises():

@@ -164,3 +164,51 @@ def test_filtered_join_never_underfills_vs_postfilter(spark):
     counts = {r.q_vec_id: r.n for r in got.groupBy("q_vec_id")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {0: 5, 7: 5}
+
+
+def test_filtered_join_precomputed_selectivity_skips_store_scan(spark):
+    """r10 advice: the measuring aggregate must NOT run when the
+    caller supplies selectivity — at 100 TB a per-query full-store
+    pass just to size nprobe would dominate the search.  Proven by
+    making the measuring path impossible: the passed store is wrapped
+    so .agg raises; results must still equal the auto-measured run."""
+    from vector_ai_npm_spark.retrieval.ivf import ivf_similarity_join_filtered
+
+    emb = load_table(spark, SF, "embeddings")
+    pred = F.col("label") % 3 == 1
+    n = emb.count()
+    sel = emb.where(pred).count() / n
+    queries = emb.where(F.col("vec_id").isin(0, 7, 13)).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    auto = ivf_similarity_join_filtered(
+        queries, emb, pred, k=5, nlist=8, nprobe=4
+    )
+    given = ivf_similarity_join_filtered(
+        queries, emb, pred, k=5, nlist=8, nprobe=4, selectivity=sel
+    )
+    assert (
+        sorted(map(tuple, auto.select("q_vec_id", "rank", "vec_id").collect()))
+        == sorted(map(tuple, given.select("q_vec_id", "rank", "vec_id").collect()))
+    )
+
+    class _NoAggStore:
+        """Delegates everything except .agg (which must not be hit)."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def agg(self, *a, **k):
+            raise AssertionError(
+                "measuring aggregate ran despite provided selectivity"
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+    guarded = ivf_similarity_join_filtered(
+        queries, _NoAggStore(emb), pred, k=5, nlist=8, nprobe=4,
+        selectivity=sel,
+    )
+    assert guarded.count() == 15

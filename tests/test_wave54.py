@@ -120,3 +120,37 @@ def test_reader_errors_without_shards(tmp_path):
         r.partitions()
     with pytest.raises(ValueError, match="path option"):
         RecJournalReader({})
+
+
+def test_overwrite_clears_stale_shards_and_append_accumulates(
+    spark, tmp_path
+):
+    """r10 advice: overwriting a directory that previously committed
+    MORE shards must not leave the old higher-numbered shards behind
+    (the fixed shard-%04d namespace did, and the reader glob silently
+    mixed two commits).  Shards are now per-commit-UUID-prefixed:
+    overwrite drops every prior-commit shard; append accumulates
+    without clobbering."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "ow")
+    register_recjournal(spark)
+    docs.repartition(5).write.format("recjournal").option(
+        "path", path
+    ).mode("append").save()
+    assert len(glob.glob(path + "/*.recj")) == 5
+    # overwrite with FEWER shards: stale shards must vanish
+    docs.repartition(2).write.format("recjournal").option(
+        "path", path
+    ).mode("overwrite").save()
+    assert len(glob.glob(path + "/*.recj")) == 2
+    back = spark.read.format("recjournal").option("path", path).load()
+    assert back.count() == docs.count()
+    # append on top: rows double, nothing clobbered
+    docs.repartition(2).write.format("recjournal").option(
+        "path", path
+    ).mode("append").save()
+    assert len(glob.glob(path + "/*.recj")) == 4
+    back2 = spark.read.format("recjournal").option("path", path).load()
+    assert back2.count() == 2 * docs.count()

@@ -140,10 +140,20 @@ class RecJournalWriter(DataSourceWriter):
     never reach commit leave only `.staged` files the reader ignores:
     the same publish-by-rename atomicity the IVF store uses."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("recjournal requires a path option")
+        self.overwrite = overwrite
+        # per-commit prefix: shards from distinct commits can never
+        # collide, so append mode accumulates instead of clobbering
+        # shard-0000, and overwrite mode can identify stale shards
+        # from prior commits by prefix (r10 advice: a fixed shard-%04d
+        # namespace left old higher-numbered shards behind and the
+        # reader glob silently mixed two commits)
+        self.commit_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _ShardCommit:
         import uuid
@@ -162,8 +172,27 @@ class RecJournalWriter(DataSourceWriter):
         return _ShardCommit(staged, n)
 
     def commit(self, messages) -> None:
+        import glob as _glob
+
+        stale = (
+            set(_glob.glob(os.path.join(self.path, "*.recj")))
+            if self.overwrite
+            else set()
+        )
         for i, m in enumerate(sorted(messages, key=lambda m: m.path)):
-            os.replace(m.path, os.path.join(self.path, f"shard-{i:04d}.recj"))
+            dest = os.path.join(
+                self.path, f"shard-{self.commit_id}-{i:04d}.recj"
+            )
+            os.replace(m.path, dest)
+            stale.discard(dest)
+        # overwrite: drop every shard from prior commits once the new
+        # ones are published (new shards first so a concurrent reader
+        # never sees an empty directory mid-swap)
+        for old in stale:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -185,7 +214,7 @@ class RecJournalDataSource(DataSource):
         return RecJournalReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> RecJournalWriter:
-        return RecJournalWriter(self.options)
+        return RecJournalWriter(self.options, overwrite=overwrite)
 
 
 def register_recjournal(spark) -> None:

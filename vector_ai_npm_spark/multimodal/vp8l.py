@@ -40,11 +40,12 @@ Honesty note on the distance map: the spec defines codes 1..120 as
 the 120 closest (dx, dy) offsets in a short window above/left of the
 current pixel, ordered by increasing Euclidean distance (ties: |dx|
 ascending, positive dx before negative).  The table here is GENERATED
-from that ordering rule over the dy 0..7 / dx -8..8 window and
-verified against the first ~60 published entries; encoder and decoder
-share it, so roundtrips are exact either way, and a cross-check test
-against libwebp runs whenever PIL+libwebp is importable (skipped in
-this environment — see tests/test_wave49.py).
+from that ordering rule over the dy 0..7 / dx -7..8 window — the
+asymmetric dx range matters: a symmetric -8..8 window reproduces the
+head but diverges at codes 103-120 (r10 advice) — and all 120 entries
+are now pinned verbatim against the published table in
+tests/test_wave49.py; a cross-check test against libwebp runs
+whenever PIL+libwebp is importable (skipped in this environment).
 
 Scale shape: decode runs entirely in executors via the shared
 `decode_pixels` mapInPandas route (payload bytes never shuffle); this
@@ -77,11 +78,12 @@ def _build_distance_map() -> tuple[tuple[int, int], ...]:
     cand = [
         (dx, dy)
         for dy in range(0, 8)
-        for dx in range(-8, 9)
+        for dx in range(-7, 9)
         if dy > 0 or dx > 0
     ]
     cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
-    return tuple(cand[:120])
+    assert len(cand) == 120, len(cand)
+    return tuple(cand)
 
 
 _DISTANCE_MAP = _build_distance_map()

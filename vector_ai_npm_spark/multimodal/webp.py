@@ -140,13 +140,16 @@ def decode_webp_auto(payload: bytes) -> tuple[int, int, bytes]:
     a REASONED NotImplementedError otherwise.  The dims/variant
     metadata pass (webp_dims) stays available either way."""
     w, h, variant = webp_dims(payload)  # validates the container first
+    if has_native_webp():
+        # battle-tested libwebp takes priority for EVERY variant —
+        # including VP8L — so real assets never depend on the pure-
+        # Python decoder when the native path exists (r10 advice)
+        return decode_webp_native(payload)
     chunk = _find_chunk(payload, b"VP8L")
     if chunk is not None:
         from vector_ai_npm_spark.multimodal.vp8l import decode_vp8l_chunk
 
         return decode_vp8l_chunk(chunk)
-    if has_native_webp():
-        return decode_webp_native(payload)
     raise NotImplementedError(
         f"WebP lossy pixel decode ({variant}, {w}x{h}) requires libwebp "
         "(PIL), not present in this environment; lossless (VP8L) decodes "

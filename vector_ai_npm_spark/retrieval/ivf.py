@@ -167,6 +167,7 @@ def ivf_similarity_join_filtered(
     nlist: int = 16, nprobe: int = 4,
     q_id: str = "q_vec_id", q_vec: str = "q_embedding",
     s_vec: str = "embedding", tiebreak: str = "vec_id",
+    selectivity: float | None = None,
 ) -> DataFrame:
     """Wave 50: FILTERED ANN — top-k under a metadata predicate, the
     production vector-search shape (FAISS IDSelector / pgvector WHERE).
@@ -185,19 +186,26 @@ def ivf_similarity_join_filtered(
         nprobe cells as unfiltered search scans ~sel× fewer candidates
         and recall collapses (the round-8 fixed-budget lesson, third
         appearance).  eff_nprobe = min(nlist, ceil(nprobe / sel)),
-        never below the unfiltered nprobe.  The estimate here is one
-        bounded two-scalar aggregate over the store; at warehouse
-        scale it comes free from catalog column stats.
+        never below the unfiltered nprobe.  Callers that know the
+        predicate's selectivity (catalog column stats, a prior call on
+        the same store+predicate, or an index-build-time profile) pass
+        it via ``selectivity`` and the store is scanned ONCE; only
+        when absent does the measuring two-scalar aggregate run — at
+        100 TB an extra full-store pass per query would dominate the
+        search itself (r10 advice low).
     """
     assigned, centroids = build_ivf_index(store, s_vec, nlist=nlist)
-    stats = store.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(predicate, 1).otherwise(0)).alias("n_pass"),
-    ).first()
     import math
 
-    sel = max(float(stats["n_pass"] or 0) / max(float(stats["n"]), 1.0),
-              1.0 / max(float(stats["n"]), 1.0))
+    if selectivity is not None:
+        sel = min(1.0, max(float(selectivity), 1e-9))
+    else:
+        stats = store.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(predicate, 1).otherwise(0)).alias("n_pass"),
+        ).first()
+        sel = max(float(stats["n_pass"] or 0) / max(float(stats["n"]), 1.0),
+                  1.0 / max(float(stats["n"]), 1.0))
     eff_nprobe = int(min(nlist, max(nprobe, math.ceil(nprobe / sel))))
     return _cell_probe_topk(
         queries, assigned.where(predicate), centroids, k, eff_nprobe,
