@@ -178,6 +178,10 @@ def main() -> None:
         pass  # non-log4j2 deployment: keep the warnings
     queries = registry.all_queries()
     names = [n for n in BENCH_QUERIES if n in queries]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
 
     if not os.environ.get("SPARK_GRAFT_NO_WARMUP"):
         # warm the JVM (whole-stage codegen compile), the Python worker

@@ -20,10 +20,12 @@ under test.
 Cross-engine determinism: cell keys are floor(x/ε) over identical
 doubles; all counts integers; component labels are min cell keys
 propagated to a fixed point (16 unrolled rounds in the oracle ≥ the
-occupied-grid diameter; the Spark side reuses the pointer-jumping
-connected_components verified against union-find).  Border cells
-adjacent to several clusters tie-break to the MIN cluster label in
-both engines.
+occupied-grid diameter; the Spark side runs min-label union-find on
+the DRIVER over the collected core-cell frame — grid-extent-bounded
+model state, never corpus-sized; distributed pointer-jumping on a
+≤400-row frame was ~2 s of scheduler overhead, the r10/r11 bench
+regression).  Border cells adjacent to several clusters tie-break to
+the MIN cluster label in both engines.
 """
 
 from __future__ import annotations
@@ -123,8 +125,6 @@ def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-DBSCAN over the 2-D embedding projection — see module
     docstring.  One corpus scan (the cell groupBy); every later frame
     is occupied-cell-bounded."""
-    from vector_ai_npm_spark.dedup.components import connected_components
-
     emb = load_table(spark, sf_dir, "embeddings")
     cells = (
         emb.select(
@@ -142,24 +142,43 @@ def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = cells.where(F.col("n") >= _MIN_PTS).select(
         F.expr(_KEY).alias("cell"), "cx", "cy", "n"
     )
-    a, b = core.alias("a"), core.alias("b")
-    pairs = a.join(
-        b,
-        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-        & (F.col("a.cell") < F.col("b.cell")),
-    ).select(F.col("a.cell").alias("pa"), F.col("b.cell").alias("pb"))
-    comp = connected_components(pairs, src="pa", dst="pb").select(
-        F.col("doc_id").alias("cell"), F.col("component_id").alias("cid")
+    # component labeling runs driver-side: the core-cell frame is
+    # bounded by the GRID EXTENT ((range/eps)² ≈ 400 cells for unit-
+    # normalized embeddings), never by the corpus — the same bounded-
+    # model-state contract as the k-means centroid collect
+    # (clustering/queries.py).  Distributed pointer-jumping on a
+    # ≤400-row frame was pure scheduler overhead (~2 s of tiny jobs —
+    # the r10/r11 cluster_grid_density regression); union-find over
+    # the collected cells is exact and instant, and the corpus is
+    # still touched exactly once (the cell groupBy above).
+    core_rows = core.select("cell", "cx", "cy").collect()
+    by_pos = {(r.cx, r.cy): r.cell for r in core_rows}
+    parent = {r.cell: r.cell for r in core_rows}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (cx, cy), cell in by_pos.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = by_pos.get((cx + dx, cy + dy))
+                if nb is not None and nb != cell:
+                    ra, rb = _find(cell), _find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    # min cell key per component = the oracle's min-label fixed point
+    roots: dict[int, int] = {}
+    for cell in parent:
+        r = _find(cell)
+        roots[r] = min(roots.get(r, r), cell)
+    comp = spark.createDataFrame(
+        [(cell, roots[_find(cell)]) for cell in parent],
+        "cell bigint, cid bigint",
     )
-    # isolated core cells never appear in a pair — they are their own
-    # single-cell clusters
-    comp = comp.unionByName(
-        core.join(comp, "cell", "left_anti").select(
-            "cell", F.col("cell").alias("cid")
-        )
-    )
-    comp_cells = core.join(comp, "cell")
+    comp_cells = core.join(F.broadcast(comp), "cell")
     clusters = comp_cells.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum("n").cast("bigint").alias("n_core_points"),

@@ -219,15 +219,38 @@ class _BitReader:
                     raise ValueError("truncated JPEG stuffing")
                 m = self._data[self._pos]
                 self._pos += 1
+                if 0xD0 <= m <= 0xD7:
+                    raise ValueError(
+                        f"unexpected restart marker RST{m - 0xD0} mid-MCU "
+                        "(desynchronized scan)"
+                    )
                 if m != 0x00:
                     raise NotImplementedError(
-                        f"marker 0xFF{m:02X} inside scan (restart intervals "
-                        "unsupported)"
+                        f"marker 0xFF{m:02X} inside scan"
                     )
             self._acc = b
             self._n = 8
         self._n -= 1
         return (self._acc >> self._n) & 1
+
+    def align_restart(self) -> int:
+        """Restart-interval boundary: discard the pad bits of the
+        current byte, consume the RSTn marker, return n (0..7).  The
+        caller checks the modulo-8 sequence and resets DC predictors
+        (T.81 E.2.4 / F.2.1.3.1)."""
+        self._n = 0  # byte-align: pad bits are 1-fill, never data
+        if self._pos + 2 > len(self._data):
+            raise ValueError("truncated JPEG: missing restart marker")
+        if self._data[self._pos] != 0xFF or not (
+            0xD0 <= self._data[self._pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                "expected JPEG restart marker, found "
+                f"{self._data[self._pos:self._pos + 2].hex()}"
+            )
+        n = self._data[self._pos + 1] - 0xD0
+        self._pos += 2
+        return n
 
     def read_huff(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -401,11 +424,14 @@ def encode_jpeg(
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, RGB-or-gray pixel bytes) for baseline sequential
-    JPEG with 4:4:4 sampling (what encode_jpeg emits, and the common
-    full-resolution case); progressive SOF2 streams route to
-    jpeg_progressive.decode_jpeg_progressive. Arithmetic coding,
-    subsampled chroma, 12-bit, and restart intervals raise
-    NotImplementedError."""
+    JPEG: any h×v sampling grid (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the MCU
+    walk is the general interleaved T.81 A.2.3 geometry, subsampled
+    planes box-replicated back to full resolution) and restart
+    intervals (DRI + RSTn: byte-realign, modulo-8 sequence check, DC
+    predictor reset — round 11; the two most common real-crawl
+    variants per the r10 verdict).  Progressive SOF2 streams route to
+    jpeg_progressive.decode_jpeg_progressive.  Arithmetic coding and
+    12-bit precision raise NotImplementedError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     i = 2
@@ -413,9 +439,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
     ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
     w = h = None
-    comps: list[tuple[int, int, int]] = []  # (cid, sampling, tq)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, tq)
     scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
     data_start = None
+    dri = 0  # restart interval in MCUs; 0 = none
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -442,9 +469,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError("12-bit JPEG")
             for c in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled chroma (not 4:4:4)")
-                comps.append((cid, samp, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {samp:#x}")
+                comps.append((cid, hi, vi, tq))
         elif marker == 0xC2:
             # progressive DCT: its own multi-scan decode loop
             from vector_ai_npm_spark.multimodal.jpeg_progressive import (
@@ -468,7 +496,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 j += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals")
+            dri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:
             ns = seg[0]
             for c in range(ns):
@@ -483,40 +511,79 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     reader = _BitReader(payload[data_start : end if end > 0 else len(payload)])
 
     ncomp = len(comps)
-    n_bx, n_by = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((n_by * 8, n_bx * 8)) for _ in range(ncomp)]
+    if len(scan) != ncomp:
+        raise NotImplementedError(
+            "non-interleaved baseline scan (SOS components != frame "
+            "components)"
+        )
+    hmax = max(hi for _c, hi, _v, _t in comps)
+    vmax = max(vi for _c, _h, vi, _t in comps)
+    n_mx = (w + 8 * hmax - 1) // (8 * hmax)
+    n_my = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((n_my * 8 * vi, n_mx * 8 * hi))
+        for _c, hi, vi, _t in comps
+    ]
     preds = [0] * ncomp
-    tq_of = {cid: tq for cid, _s, tq in comps}
+    tq_of = {cid: tq for cid, _h, _v, tq in comps}
     td_of = {cid: (td, ta) for cid, td, ta in scan}
-    order = [cid for cid, _s, _t in comps]
-    for by in range(n_by):
-        for bx in range(n_bx):
-            for ci, cid in enumerate(order):
+    mcu_i = 0
+    rst_seq = 0
+    for my in range(n_my):
+        for mx in range(n_mx):
+            if dri and mcu_i and mcu_i % dri == 0:
+                n = reader.align_restart()
+                if n != rst_seq:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{n}, "
+                        f"expected RST{rst_seq}"
+                    )
+                rst_seq = (rst_seq + 1) & 7
+                preds = [0] * ncomp
+            for ci, (cid, hi, vi, _tq) in enumerate(comps):
                 td, ta = td_of[cid]
-                s = reader.read_huff(dc_tabs[td])
-                diff = reader.receive_extend(s)
-                preds[ci] += diff
-                zz = np.zeros(64)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.read_huff(ac_tabs[ta])
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    zz[k] = reader.receive_extend(s)
-                    k += 1
-                coefs = np.zeros((8, 8))
-                coefs[_ZZ_ROWS, _ZZ_COLS] = zz
-                block = _C.T @ (coefs * qts[tq_of[cid]]) @ _C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        s = reader.read_huff(dc_tabs[td])
+                        diff = reader.receive_extend(s)
+                        preds[ci] += diff
+                        zz = np.zeros(64)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_huff(ac_tabs[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = reader.receive_extend(s)
+                            k += 1
+                        coefs = np.zeros((8, 8))
+                        coefs[_ZZ_ROWS, _ZZ_COLS] = zz
+                        block = (
+                            _C.T @ (coefs * qts[tq_of[cid]]) @ _C + 128.0
+                        )
+                        py = (my * vi + vy) * 8
+                        px = (mx * hi + vx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+            mcu_i += 1
+    # box-replicate subsampled planes back to the full sampling grid,
+    # then crop to the frame rect
+    up = []
+    for (cid, hi, vi, _tq), p in zip(comps, planes):
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if ncomp == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return w, h, out.tobytes()
