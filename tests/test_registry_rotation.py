@@ -194,6 +194,35 @@ def test_round10_additions_registered():
     assert "eval_kendall_tau_exact" in landed
 
 
+# Every query added in round 11 (wave 65+), pinned BY NAME — same
+# invariant as ROUND10_ADDITIONS: a new query with no driver row is this
+# round's debt and must hold a slot in the upcoming 50-query window.
+ROUND11_ADDITIONS = frozenset({
+    "multimodal_decode_jpeg_variants",
+})
+
+
+def test_round11_additions_front_the_window():
+    qs = list(registry.all_queries())
+    _verified, attempted, _ = registry._driver_history()
+    debt = [
+        n for n in ROUND11_ADDITIONS
+        if n in registry._QUERIES and n not in attempted
+    ]
+    window = set(qs[:50])
+    outside = [n for n in debt if n not in window]
+    assert not outside, (
+        f"round-11 additions fell outside the 50-slot window: {outside}"
+    )
+
+
+def test_round11_additions_registered():
+    registry._load_all_modules()
+    known = set(registry._QUERIES)
+    missing = ROUND11_ADDITIONS - known
+    assert not missing, f"ROUND11_ADDITIONS names not registered: {missing}"
+
+
 def test_never_attempted_tier_is_fifo():
     """Within the never-attempted tier the window must fill oldest-
     registration-first: no never-attempted query may sit outside the

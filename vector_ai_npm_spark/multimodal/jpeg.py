@@ -10,9 +10,11 @@ einsum), and the color transform is three affine maps. So the common
 case of real-world training images decodes natively — including
 progressive SOF2 (round 10, multimodal/jpeg_progressive.py: spectral
 selection + successive approximation, routed transparently from this
-module's marker walk); only the remaining exotic rungs (arithmetic
-coding, restart markers, 12-bit, chroma subsampling other than the
-4:4:4 this encoder emits) raise the documented NotImplementedError.
+module's marker walk), restart intervals (DRI + RST0..7, round 11)
+and any integer-ratio chroma subsampling grid (4:2:0 / 4:2:2 / 4:4:0,
+round 11 — the encoder emits them too, so the variants are
+roundtrip-tested); only the remaining exotic rungs (arithmetic coding,
+12-bit precision) raise the documented NotImplementedError.
 
 Encoder and decoder share the standard tables, so the pair is
 self-consistent by construction and the roundtrip contract (dims exact,
@@ -239,6 +241,23 @@ class _BitReader:
         caller checks the modulo-8 sequence and resets DC predictors
         (T.81 E.2.4 / F.2.1.3.1)."""
         self._n = 0  # byte-align: pad bits are 1-fill, never data
+        # 1-fill padding that lands on 0xFF is byte-stuffed (FF 00), and
+        # encoders may emit 0xFF fill bytes before a marker (T.81 B.1.1.2)
+        # — both are legal prefixes of the RSTn marker, skip them.
+        while self._pos + 1 < len(self._data):
+            if (
+                self._data[self._pos] == 0xFF
+                and self._data[self._pos + 1] == 0x00
+            ):
+                self._pos += 2
+                continue
+            if (
+                self._data[self._pos] == 0xFF
+                and self._data[self._pos + 1] == 0xFF
+            ):
+                self._pos += 1
+                continue
+            break
         if self._pos + 2 > len(self._data):
             raise ValueError("truncated JPEG: missing restart marker")
         if self._data[self._pos] != 0xFF or not (
@@ -338,14 +357,33 @@ def _component_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    w: int, h: int, pixels: bytes, color: bool = True, quality: int = 90
+    w: int,
+    h: int,
+    pixels: bytes,
+    color: bool = True,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode RGB (color=True, len = w*h*3) or grayscale (len = w*h)
-    pixels as a baseline JFIF JPEG: 4:4:4, standard tables, quality per
-    the IJG scaling."""
+    pixels as a baseline JFIF JPEG, standard tables, quality per the
+    IJG scaling.  `subsampling=(hs, vs)` sets the LUMA sampling factors
+    (chroma stays 1x1): (1,1)=4:4:4, (2,2)=4:2:0, (2,1)=4:2:2,
+    (1,2)=4:4:0 — chroma planes are box-averaged down and emitted in
+    the interleaved T.81 A.2.3 MCU order the decoder walks.
+    `restart_interval` > 0 writes a DRI segment and RST0..7 markers
+    every N MCUs (byte-aligned, DC predictors reset) — the two
+    most common real-crawl baseline variants (r10 verdict item 3)."""
     nch = 3 if color else 1
     if len(pixels) != w * h * nch:
         raise ValueError(f"want {w * h * nch} pixel bytes, got {len(pixels)}")
+    hs, vs = subsampling
+    if not color:
+        hs = vs = 1
+    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+        raise ValueError(f"bad subsampling factors {subsampling}")
+    if not (0 <= restart_interval <= 0xFFFF):
+        raise ValueError(f"bad restart interval {restart_interval}")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, nch).astype(
         np.float64
     )
@@ -360,6 +398,22 @@ def encode_jpeg(
     else:
         planes = [arr[..., 0]]
 
+    # pad every full-res plane to the MCU grid (edge replicate), then
+    # box-average chroma down by the luma factors — the decoder's
+    # box-replicate upsample is this operation's right inverse
+    n_mx = (w + 8 * hs - 1) // (8 * hs)
+    n_my = (h + 8 * vs - 1) // (8 * vs)
+    gw, gh = n_mx * 8 * hs, n_my * 8 * vs
+    planes = [
+        np.pad(p, ((0, gh - h), (0, gw - w)), mode="edge") for p in planes
+    ]
+    if color and (hs > 1 or vs > 1):
+        planes[1:] = [
+            p.reshape(gh // vs, vs, gw // hs, hs).mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
+    samp_of = [(hs, vs)] + [(1, 1)] * (nch - 1)
+
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
@@ -371,7 +425,12 @@ def encode_jpeg(
     ncomp = 3 if color else 1
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+        chs, cvs = samp_of[cid - 1]
+        out += struct.pack(
+            "BBB", cid, (chs << 4) | cvs, 0 if cid == 1 else 1
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     huffs = [
         (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
         (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
@@ -402,15 +461,31 @@ def encode_jpeg(
     ]
     writer = _BitWriter()
     preds = [0] * ncomp
-    n_by, n_bx = comp_blocks[0].shape[:2]
-    for by in range(n_by):
-        for bx in range(n_bx):
+    mcu_i = 0
+    rst_seq = 0
+    for my in range(n_my):
+        for mx in range(n_mx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align (1-fill; _BitWriter stuffs a pad byte that
+                # lands on 0xFF), emit RSTn raw, reset DC predictors
+                writer.flush()
+                writer.bytes += bytes((0xFF, 0xD0 + rst_seq))
+                rst_seq = (rst_seq + 1) & 7
+                preds = [0] * ncomp
             for ci in range(ncomp):
+                chs, cvs = samp_of[ci]
                 dc_t = dc_lum if ci == 0 else dc_chrom
                 ac_t = ac_lum if ci == 0 else ac_chrom
-                preds[ci] = _encode_block(
-                    writer, comp_blocks[ci][by, bx], preds[ci], dc_t, ac_t
-                )
+                for vy in range(cvs):
+                    for vx in range(chs):
+                        preds[ci] = _encode_block(
+                            writer,
+                            comp_blocks[ci][my * cvs + vy, mx * chs + vx],
+                            preds[ci],
+                            dc_t,
+                            ac_t,
+                        )
+            mcu_i += 1
     writer.flush()
     out += writer.bytes
     out += b"\xff\xd9"  # EOI

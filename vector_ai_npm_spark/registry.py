@@ -277,6 +277,10 @@ def _load_all_modules() -> None:
     # registered last (FIFO) ---
     import vector_ai_npm_spark.operators.wave64_ops  # noqa: F401
 
+    # --- wave 65 (round 11): JPEG restart-interval + chroma-subsampling
+    # roundtrip contracts (r10 verdict item 3) ---
+    import vector_ai_npm_spark.operators.wave65_ops  # noqa: F401
+
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.
