@@ -367,13 +367,21 @@ class VectorEngine:
             if isinstance(data, str)
             else data
         )
+        from vector_ai_npm_spark.io.lease import writer_lease
+
         validate_context(split_mdx_headers(docs), strict=True)
         out = ingest_pipeline(docs, self.config)
         # doc_id is stored alongside the reference's (content, embedding,
         # metadata) triple so delete_data can cascade by source document —
-        # additive: readers of the reference shape never touch it
-        (out.select("doc_id", "content", "embedding", F_to_json_metadata(out))
-            .write.mode("append").parquet(self._store_path(db_table)))
+        # additive: readers of the reference shape never touch it.
+        # The writer lease serializes this append against delete_data's
+        # snapshot-rewrite-swap: an append landing inside that window
+        # would be silently swept by the swap (r10 verdict item 8), so
+        # writers converge (serialized) or raise — never interleave.
+        with writer_lease(self._store_path(db_table), op="ingest_data"):
+            (out.select(
+                "doc_id", "content", "embedding", F_to_json_metadata(out)
+            ).write.mode("append").parquet(self._store_path(db_table)))
 
     def delete_data(self, doc_ids: list[int], db_table: str) -> dict:
         """Right-to-be-forgotten: remove every store row derived from the
@@ -394,25 +402,49 @@ class VectorEngine:
         formalizes (zero-orphan contract); rows that predate the
         doc_id-carrying store schema cannot be attributed to a document
         and make the delete REFUSE rather than silently survive.
+
+        Writers (this method and ingest_data's append) serialize on a
+        table-level lease (io/lease.py, r10 verdict item 8): concurrent
+        writers converge in some order or raise StoreWriterConflict —
+        an append can no longer land inside the snapshot→swap window
+        and be silently swept.  Readers stay lock-free (retry contract
+        above).
         """
         import os
         import shutil
 
-        from pyspark.sql import functions as F
+        from vector_ai_npm_spark.io.lease import writer_lease
 
         path = self._store_path(db_table)
         old = f"{path}__pre_delete"
         tmp = f"{path}__rewrite"
-        # crash recovery: a prior delete that died mid-swap left the
-        # intact store at __pre_delete — restore it, then discard any
-        # stale half-written rewrite
-        if not os.path.isdir(path) and os.path.isdir(old):
-            os.rename(old, path)
-        for stale in (tmp, old):
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
-        if not os.path.isdir(path):
-            raise ValueError(f"vector store table {db_table!r} has no data")
+        # the writer lease covers the WHOLE snapshot → rewrite → swap
+        # sequence: a concurrent ingest_data append (or second delete)
+        # blocks at the lease instead of landing inside the window and
+        # being silently swept by the swap (r10 verdict item 8)
+        with writer_lease(path, op="delete_data"):
+            # crash recovery: a prior delete that died mid-swap left the
+            # intact store at __pre_delete — restore it, then discard any
+            # stale half-written rewrite
+            if not os.path.isdir(path) and os.path.isdir(old):
+                os.rename(old, path)
+            for stale in (tmp, old):
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+            if not os.path.isdir(path):
+                raise ValueError(
+                    f"vector store table {db_table!r} has no data"
+                )
+            return self._delete_data_locked(doc_ids, db_table, path, old, tmp)
+
+    def _delete_data_locked(
+        self, doc_ids: list[int], db_table: str, path: str, old: str, tmp: str
+    ) -> dict:
+        """Body of delete_data, running under the table writer lease."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
         # mergeSchema: an append-era store may mix pre-doc_id files with
         # new ones; a single-footer read could silently drop the column
         store = (

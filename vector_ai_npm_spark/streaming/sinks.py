@@ -90,7 +90,19 @@ def run_upsert_stream(
     spark: SparkSession, input_dir: str, store_dir: str, checkpoint_dir: str
 ) -> None:
     """Tail input_dir one file per trigger (forcing a REAL multi-batch
-    incremental merge, not one big batch) until exhausted."""
+    incremental merge, not one big batch) until exhausted.
+
+    Owner pin (r10 verdict item 8): version numbers ARE the stream's
+    batch ids, so a second stream with a DIFFERENT checkpoint would
+    publish colliding v-dirs that silently shadow this stream's totals.
+    claim_store pins the store to one checkpoint lifetime — a restart
+    on the same checkpoint re-claims (no-op), any other stream raises
+    StoreWriterConflict before writing a byte."""
+    import os
+
+    from vector_ai_npm_spark.io.lease import claim_store
+
+    claim_store(store_dir, os.path.realpath(checkpoint_dir))
     schema = spark.read.parquet(input_dir).schema
     stream = (
         spark.readStream.schema(schema)
