@@ -199,6 +199,8 @@ def test_round10_additions_registered():
 # round's debt and must hold a slot in the upcoming 50-query window.
 ROUND11_ADDITIONS = frozenset({
     "multimodal_decode_jpeg_variants",
+    "vector_store_ivf_delete",
+    "udtf_table_argument",
 })
 
 

@@ -277,6 +277,7 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
 
     Pinned by the crash/interleaving tests in tests/test_wave29.py and
     tests/test_wave44.py."""
+    import contextlib as _contextlib
     import glob as _glob
     import os
     import re as _re
@@ -288,24 +289,38 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
         for d in _glob.glob(f"{store_dir}/appends/batch=*")
         if _glob.glob(f"{d}/cell_id=*/*.parquet")
     )
-    if not batch_dirs:
+    # tombstones are pinned at entry exactly like the batch fold set:
+    # only the files listed NOW are applied and retired — a delete
+    # landing mid-compaction keeps its file and is honored by the read
+    # face immediately and purged by the next compaction
+    tomb_files = _tombstone_files(store_dir)
+    if not batch_dirs and not tomb_files:
         _clear_stale_markers(store_dir)
         return 0
-    batch_ids = [
-        int(_re.search(r"batch=(\d+)$", d).group(1)) for d in batch_dirs
-    ]
     base = spark.read.parquet(f"{store_dir}/cells")
-    apps = (
-        spark.read.parquet(f"{store_dir}/appends")
-        .where(F.col("batch").isin(batch_ids))
-        .drop("batch")
-        .select(*base.columns)
-    )
-    n_appended = apps.count()
+    if batch_dirs:
+        batch_ids = [
+            int(_re.search(r"batch=(\d+)$", d).group(1)) for d in batch_dirs
+        ]
+        apps = (
+            spark.read.parquet(f"{store_dir}/appends")
+            .where(F.col("batch").isin(batch_ids))
+            .drop("batch")
+            .select(*base.columns)
+        )
+        n_appended = apps.count()
+        merged = base.unionByName(apps)
+    else:
+        n_appended = 0
+        merged = base
+    # physical purge: tombstoned vec_ids leave the layout here (the
+    # read face already hid them); this also runs BEFORE the conflict
+    # assert so a delete+conflicting-replay converges to "deleted"
+    merged = _subtract_tombstones(spark, merged, tomb_files)
     # full-row dedup first (replayed/crash-double-counted rows are
     # bit-exact), then the update-conflict assert: any vec_id still
     # carrying >1 distinct row is a real update, not a replay
-    merged = base.unionByName(apps).dropDuplicates()
+    merged = merged.dropDuplicates()
     conflicts = (
         merged.groupBy("vec_id")
         .count()
@@ -346,6 +361,11 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
             os.rename(d, dest)
     shutil.rmtree(pre)
     shutil.rmtree(folded)
+    # retire exactly the PINNED tombstone files (now physically applied);
+    # tombstones written mid-compaction stay for the next run
+    for f in tomb_files:
+        with _contextlib.suppress(OSError):
+            os.remove(f)
     # drop the appends dir only if nothing new landed meanwhile
     appends_dir = f"{store_dir}/appends"
     if os.path.isdir(appends_dir) and not _glob.glob(
@@ -353,6 +373,59 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
     ):
         shutil.rmtree(appends_dir)
     return n_appended
+
+
+def delete_ivf_vectors(
+    spark: SparkSession, store_dir: str, vec_ids: list[int]
+) -> int:
+    """Tombstone delete — the missing third verb of the IVF lifecycle
+    (build / append / DELETE, round 11).
+
+    A delete at 100 TB must not rewrite the store: this appends the ids
+    as a tombstone parquet under ``{store_dir}/tombstones/`` (an
+    ids-sized write, O(|vec_ids|)), the read face anti-joins them out
+    (broadcast — the set is request-sized), and the next compaction
+    PHYSICALLY purges the rows and retires exactly the tombstone files
+    it pinned at entry (same pin-at-entry discipline as the append
+    fold, so a delete landing mid-compaction survives to the next one).
+
+    Semantics pin: a tombstone hides EVERY row of that vec_id — base,
+    already-appended, and any append that lands before the tombstone is
+    folded.  Re-ingesting a deleted vec_id therefore requires a
+    compaction first (which clears the tombstone); this keeps the
+    lifecycle free of last-writer-wins arbitration the layout cannot
+    provide (same reasoning as compact's update-conflict assert).
+    Returns the number of tombstones written."""
+    if not vec_ids:
+        return 0
+    ids = spark.createDataFrame(
+        [(int(i),) for i in vec_ids], "vec_id long"
+    )
+    (
+        ids.coalesce(1)
+        .write.mode("append")
+        .parquet(f"{store_dir}/tombstones")
+    )
+    return len(vec_ids)
+
+
+def _tombstone_files(store_dir: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(f"{store_dir}/tombstones/*.parquet"))
+
+
+def _subtract_tombstones(
+    spark: SparkSession, df: DataFrame, files: list[str]
+) -> DataFrame:
+    """Anti-join the given tombstone files out of a store frame.
+    Broadcast by construction: tombstones are request-sized, and the
+    anti-join sits ABOVE the scan so cell_id partition pruning still
+    reaches the parquet source."""
+    if not files:
+        return df
+    tomb = spark.read.parquet(*files).select("vec_id").distinct()
+    return df.join(F.broadcast(tomb), "vec_id", "left_anti")
 
 
 def read_ivf_cells(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -382,14 +455,16 @@ def read_ivf_cells(spark: SparkSession, store_dir: str) -> DataFrame:
     has_appends = bool(
         _glob.glob(f"{store_dir}/appends/batch=*/cell_id=*/*.parquet")
     )
+    tombs = _tombstone_files(store_dir)
     if not has_appends:
-        return base
+        return _subtract_tombstones(spark, base, tombs)
     appends = spark.read.parquet(f"{store_dir}/appends").drop("batch")
     # dedup keys include cell_id (same vec_id ⇒ same cell under frozen
     # centroids) so a cell_id predicate above still pushes through the
     # Deduplicate into BOTH scans' PartitionFilters — nprobe pruning
     # survives the dedup (pinned in tests/test_retrieval.py).
-    return (
+    merged = (
         base.unionByName(appends.select(*base.columns))
         .dropDuplicates(["cell_id", "vec_id"])
     )
+    return _subtract_tombstones(spark, merged, tombs)
