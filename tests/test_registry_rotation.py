@@ -201,6 +201,7 @@ ROUND11_ADDITIONS = frozenset({
     "multimodal_decode_jpeg_variants",
     "vector_store_ivf_delete",
     "udtf_table_argument",
+    "scan_npy_embeddings",
 })
 
 

@@ -284,6 +284,9 @@ def _load_all_modules() -> None:
     # --- wave 66 (round 11): IVF tombstone delete + TABLE-argument UDTF ---
     import vector_ai_npm_spark.operators.wave66_ops  # noqa: F401
 
+    # --- wave 67 (round 11): .npy tensor shards as source/sink ---
+    import vector_ai_npm_spark.operators.wave67_ops  # noqa: F401
+
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.
