@@ -202,6 +202,7 @@ ROUND11_ADDITIONS = frozenset({
     "vector_store_ivf_delete",
     "udtf_table_argument",
     "scan_npy_embeddings",
+    "graph_scc",
 })
 
 

@@ -287,6 +287,9 @@ def _load_all_modules() -> None:
     # --- wave 67 (round 11): .npy tensor shards as source/sink ---
     import vector_ai_npm_spark.operators.wave67_ops  # noqa: F401
 
+    # --- wave 68 (round 11): strongly connected components ---
+    import vector_ai_npm_spark.operators.wave68_ops  # noqa: F401
+
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.
