@@ -203,6 +203,9 @@ ROUND11_ADDITIONS = frozenset({
     "udtf_table_argument",
     "scan_npy_embeddings",
     "graph_scc",
+    "join_temporal_validity",
+    "stream_dedup_within_watermark",
+    "ivm_incremental_agg",
 })
 
 

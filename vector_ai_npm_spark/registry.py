@@ -290,6 +290,10 @@ def _load_all_modules() -> None:
     # --- wave 68 (round 11): strongly connected components ---
     import vector_ai_npm_spark.operators.wave68_ops  # noqa: F401
 
+    # --- wave 69 (round 11): SCD2 point-in-time join, watermark-bounded
+    # streaming dedup, incremental view maintenance ---
+    import vector_ai_npm_spark.operators.wave69_ops  # noqa: F401
+
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.
