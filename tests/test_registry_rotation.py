@@ -206,6 +206,8 @@ ROUND11_ADDITIONS = frozenset({
     "join_temporal_validity",
     "stream_dedup_within_watermark",
     "ivm_incremental_agg",
+    "eval_bleu_components",
+    "graph_condensation",
 })
 
 

@@ -118,6 +118,12 @@ PLAN_QUERIES = (
     ("er_cluster_mentions", "block-keyed pair join + min-label rounds"),
     ("multimodal_decode_webp", "map-only Arrow VP8L roundtrip"),
     ("scan_python_datasource", "Python BatchScan, filters absorbed"),
+    # round-11 wave
+    ("join_temporal_validity", "dim-key equi-join + validity filter"),
+    ("ivm_incremental_agg", "delta agg + keyed full-outer merge"),
+    ("scan_npy_embeddings", "binaryFile scan -> Arrow parse -> join"),
+    ("multimodal_decode_jpeg_variants", "map-only Arrow codec audit"),
+    ("udtf_table_argument", "one UDTF pass, PARTITION BY shuffle"),
 )
 
 

@@ -294,6 +294,9 @@ def _load_all_modules() -> None:
     # streaming dedup, incremental view maintenance ---
     import vector_ai_npm_spark.operators.wave69_ops  # noqa: F401
 
+    # --- wave 70 (round 11): BLEU pair components + SCC condensation ---
+    import vector_ai_npm_spark.operators.wave70_ops  # noqa: F401
+
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.
