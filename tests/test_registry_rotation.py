@@ -208,6 +208,7 @@ ROUND11_ADDITIONS = frozenset({
     "ivm_incremental_agg",
     "eval_bleu_components",
     "graph_condensation",
+    "store_manifest_acid",
 })
 
 

@@ -297,6 +297,10 @@ def _load_all_modules() -> None:
     # --- wave 70 (round 11): BLEU pair components + SCC condensation ---
     import vector_ai_npm_spark.operators.wave70_ops  # noqa: F401
 
+    # --- wave 71 (round 11): manifest-CAS table log (ACID appends,
+    # optimistic replace, time travel) ---
+    import vector_ai_npm_spark.operators.wave71_ops  # noqa: F401
+
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.
