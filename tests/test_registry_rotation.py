@@ -209,6 +209,8 @@ ROUND11_ADDITIONS = frozenset({
     "eval_bleu_components",
     "graph_condensation",
     "store_manifest_acid",
+    "basket_itemsets_apriori",
+    "agg_count_min_sketch",
 })
 
 

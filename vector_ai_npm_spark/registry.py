@@ -301,6 +301,9 @@ def _load_all_modules() -> None:
     # optimistic replace, time travel) ---
     import vector_ai_npm_spark.operators.wave71_ops  # noqa: F401
 
+    # --- wave 72 (round 11): frequent itemsets + count-min sketch ---
+    import vector_ai_npm_spark.operators.wave72_ops  # noqa: F401
+
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.
