@@ -136,6 +136,21 @@ BENCH_QUERIES = (
     "scan_csv_dialect",          # sniffed-dialect CSV scans
     "scan_python_datasource",    # Spark 4 Python source write/read/pushdown
     "stream_join_left_outer",    # outer interval join (eviction batch face)
+    # round-11 promotions (waves 65-72).  Deliberately NOT promoted:
+    # multimodal_decode_jpeg_variants (~75 s of intrinsic pure-Python
+    # codec work per run — §4x row + correctness sweeps cover it;
+    # production swaps libjpeg behind has_native_jpeg), graph_scc and
+    # stream_dedup_within_watermark (~10-15 s lifecycle/stream runs
+    # whose cost is trigger/round-count, already §4x-rowed).
+    "vector_store_ivf_delete",   # tombstone delete lifecycle (IVF 3rd verb)
+    "udtf_table_argument",       # TABLE(...) PARTITION BY UDTF fold
+    "scan_npy_embeddings",       # .npy shard sink/source roundtrip
+    "join_temporal_validity",    # SCD2 point-in-time join
+    "ivm_incremental_agg",       # signed-delta view maintenance
+    "store_manifest_acid",       # manifest-CAS commits + time travel
+    "eval_bleu_components",      # clipped n-gram pair verification
+    "basket_itemsets_apriori",   # frequent 2-/3-itemsets
+    "agg_count_min_sketch",      # built-in mergeable CMS + merge contract
 )
 
 
