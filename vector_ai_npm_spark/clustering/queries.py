@@ -17,7 +17,8 @@ Scale design (100 TB):
   a centroid table, no shuffle of the embedding payload.
 * The centroid update aggregates (cluster, dim) cells — k*dim rows of
   shuffle state regardless of corpus size — using the exact-decimal
-  mean (functions.numeric.davg) so both engines produce bit-identical
+  mean (functions.numeric.davg_grid — tie-free integer grid, the r11
+  sf1 dyadic-tie lesson) so both engines produce bit-identical
   centroids and the driver's value-hash compare stays exact.
 * SemDeDup's pair join is an equi-join on cluster_id with vec_id_a <
   vec_id_b: per-cluster quadratic, corpus-linear when k scales with n
@@ -36,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.functions.numeric import davg, o_davg
+from vector_ai_npm_spark.functions.numeric import davg_grid, o_davg_grid
 from vector_ai_npm_spark.functions.vectors import cosine_similarity, o_cosine
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
@@ -97,7 +98,7 @@ def kmeans_assign(emb: DataFrame, k: int = K) -> DataFrame:
     upd = (
         a1.select("cluster_id", F.posexplode("emb").alias("dim", "v"))
         .groupBy("cluster_id", "dim")
-        .agg(davg("v", "cv"))
+        .agg(davg_grid("v", "cv"))
         .collect()
     )
     cents: dict[int, dict[int, float]] = {}
@@ -153,7 +154,7 @@ def _o_kmeans_ctes(base: str, k: int = K) -> str:
     cells AS (SELECT a1.cid, r.i AS dim, e.emb[r.i] AS v
               FROM a1 JOIN e USING (vec_id)
               CROSS JOIN UNNEST(range(1, len(e.emb) + 1)) AS r(i)),
-    cent AS (SELECT cid, dim, {o_davg('v')} AS cv
+    cent AS (SELECT cid, dim, {o_davg_grid('v')} AS cv
              FROM cells GROUP BY cid, dim),
     c2 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM cent GROUP BY cid),
     d2 AS (SELECT e.vec_id, c2.cid, {_o_sqdist('e.emb', 'c2.c')} AS d

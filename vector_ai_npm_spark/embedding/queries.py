@@ -121,14 +121,16 @@ def vector_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vector_mean_pool",
-    oracle=f"""
+    oracle="""
     WITH x AS (
       SELECT label, CAST(i - 1 AS BIGINT) AS dim_pos,
-             CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+             CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * 100000000.0 + 0.5) AS BIGINT) AS q
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     )
     SELECT label, dim_pos,
-           {o_davg('v')} AS mean_component,
+           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS BIGINT) / 100000000.0 AS mean_component,
            CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM x GROUP BY label, dim_pos
     """,
@@ -136,16 +138,23 @@ def vector_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vector_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-pooled vectors per label (centroid computation — the
     chunk→document pooling and k-means/IVF building block): posexplode
-    components, exact-decimal mean per (label, dim) so the float fold is
-    order-independent and bit-equal across engines (functions.numeric).
+    components, INTEGER-GRID mean per (label, dim).
+
+    Numerics (hardened by the r11 sf1 sweep): the old decimal-cast fold
+    diverged at the third magnitude because float32 components are
+    dyadic rationals whose decimal expansion can terminate in a '5'
+    exactly at the 8th place (e.g. 1/512 = 0.001953125), and Spark and
+    DuckDB round that tie in opposite directions when casting to
+    DECIMAL(30,8) — one sample per 1.28M flips the 8th decimal of a
+    sum.  Quantizing with floor(v·1e8 + 0.5) instead is tie-free: both
+    engines compute the SAME IEEE double v·1e8 + 0.5 and floor is exact
+    on doubles, so the per-sample integers — and therefore the sums —
+    are engine-identical by construction, at the same 1e-8 grid the
+    decimal fold had.
 
     100 TB shape: one Generate over the corpus, one shuffle keyed
-    (label, dim) with map-side combine — per-group state is a single
-    decimal accumulator, memory O(labels × dim) regardless of corpus
-    size. Reassembling the pooled array is a downstream
-    sort_array(collect_list(struct(dim_pos, v))) over dim-sized groups."""
-    from vector_ai_npm_spark.functions.numeric import davg
-
+    (label, dim) with map-side combine — per-group state is one int64
+    accumulator, memory O(labels × dim) regardless of corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
         "label",
@@ -153,9 +162,17 @@ def vector_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_pos", "v"
         ),
     )
-    return x.groupBy("label", F.col("dim_pos").cast("long").alias("dim_pos")).agg(
-        davg("v", "mean_component"),
-        F.count(F.lit(1)).alias("n_vectors"),
+    q = F.floor(F.col("v") * 100000000.0 + 0.5).cast("bigint")
+    return (
+        x.groupBy("label", F.col("dim_pos").cast("long").alias("dim_pos"))
+        .agg(
+            (
+                F.sum(q).cast("bigint").cast("double")
+                / F.count(F.lit(1)).cast("bigint")
+                / F.lit(100000000.0)
+            ).alias("mean_component"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
     )
 
 

@@ -74,3 +74,35 @@ def o_dsum(expr: str) -> str:
 def o_davg(expr: str) -> str:
     """DuckDB SQL mirror of :func:`davg`."""
     return f"({o_dsum(expr)} / CAST(COUNT({expr}) AS DOUBLE))"
+
+
+_GRID = 100000000.0  # 1e-8 quantization grid (matches the _DEC scale)
+
+
+def davg_grid(col: Column | str, alias: str | None = None) -> Column:
+    """Tie-free order-independent mean for FLOAT32-SOURCED doubles.
+
+    :func:`davg`'s DECIMAL(30,8) cast rounds the 8th-decimal tie, and
+    float32 values are dyadic rationals that genuinely land on those
+    ties (1/512 = 0.001953125) — Spark and DuckDB round them in
+    opposite directions (r11 sf1 sweep catch).  Quantizing with
+    floor(v·1e8 + 0.5) is tie-free: both engines compute the SAME IEEE
+    double and floor is exact, so per-sample integers and their sums
+    are engine-identical by construction, at the same 1e-8 grid."""
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.floor(c * F.lit(_GRID) + F.lit(0.5)).cast("bigint")
+    out = (
+        F.sum(q).cast("bigint").cast("double")
+        / F.count(c).cast("bigint")
+        / F.lit(_GRID)
+    )
+    return out.alias(alias) if alias else out
+
+
+def o_davg_grid(expr: str) -> str:
+    """DuckDB SQL mirror of :func:`davg_grid`."""
+    return (
+        f"(CAST(CAST(SUM(CAST(FLOOR({expr} * 100000000.0 + 0.5) AS BIGINT))"
+        f" AS BIGINT) AS DOUBLE) / CAST(COUNT({expr}) AS BIGINT)"
+        " / 100000000.0)"
+    )

@@ -1351,9 +1351,9 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(CAST(SUM(CAST((2 * i - n - 1) * value
                   AS DECIMAL({_PREC},{_SCALE})))
                 AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE)
-           / (CAST(MAX(n) AS DOUBLE)
+           / NULLIF(CAST(MAX(n) AS DOUBLE)
               * CAST(CAST(CAST(SUM(CAST(value AS DECIMAL({_PREC},{_SCALE})))
-                    AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE))
+                    AS DECIMAL({_PREC},{_SCALE})) AS VARCHAR) AS DOUBLE), 0.0)
              AS gini
     FROM r GROUP BY event_type
     """,
@@ -1392,9 +1392,12 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.max("n").cast("double") * (
         F.sum(F.col("value").cast(_DEC)).cast(_DEC).cast("double")
     )
+    # a zero-mass group (Σvalue = 0 — the sf1 sweep found event types
+    # whose every value is 0) makes Gini 0/0: undefined → NULL in both
+    # engines rather than an ANSI divide-by-zero crash
     return r.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n_events"),
-        (num / den).alias("gini"),
+        F.when(den != 0.0, num / den).alias("gini"),
     )
 
 

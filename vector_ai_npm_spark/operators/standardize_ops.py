@@ -48,11 +48,15 @@ _CENTS_SQL = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
     )
     SELECT f.event_id, f.event_type, f.c AS cents,
            CAST(f.c * g.n - g.s AS BIGINT) AS z_num_scaled,
-           CASE WHEN g.n > 1 AND g.n * g.s2 > g.s * g.s THEN
+           CASE WHEN g.n > 1
+                 AND CAST(g.n AS DECIMAL(38,0)) * g.s2
+                     > CAST(g.s AS DECIMAL(38,0)) * g.s THEN
              (CAST(f.c * g.n - g.s AS DOUBLE)
               * SQRT(CAST(g.n * (g.n - 1) AS DOUBLE)))
              / (CAST(g.n AS DOUBLE)
-                * SQRT(CAST(g.n * g.s2 - g.s * g.s AS DOUBLE)))
+                * SQRT(CAST(CAST(CAST(g.n AS DECIMAL(38,0)) * g.s2
+                       - CAST(g.s AS DECIMAL(38,0)) * g.s
+                       AS VARCHAR) AS DOUBLE)))
            END AS z
     FROM f JOIN g USING (event_type)
     """,
@@ -75,7 +79,13 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s2"),
     )
     num = F.col("c") * F.col("n") - F.col("s")
-    var_num = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    # the variance radicand n·Σc² − S² overflows int64 once n·c̄²
+    # crosses ~9e18 (the sf1 sweep hit it at 375k rows of 5e4-cent
+    # values) — carry it in DECIMAL(38,0), exact to 1e38
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
     ok = (F.col("n") > 1) & (var_num > 0)
     return f.join(F.broadcast(g), "event_type").select(
         "event_id",
