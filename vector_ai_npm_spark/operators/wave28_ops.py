@@ -72,7 +72,13 @@ def vector_store_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = list(
         emb.where(F.col("vec_id") == 42).select("embedding").first()[0]
     )
-    hits = search_ivf_store(spark, store_dir, qvec, k=5, nprobe=4)
+    # corpus-scaled probe budget (r11 sf1 catch — see store.scaled_nprobe)
+    from vector_ai_npm_spark.retrieval.store import scaled_nprobe
+
+    hits = search_ivf_store(
+        spark, store_dir, qvec, k=5,
+        nprobe=scaled_nprobe(emb.count(), nlist=8),
+    )
     # exact top-5 over the FULL corpus (base + appended)
     q = F.lit(qvec).cast("array<float>")
     exact = (

@@ -42,20 +42,44 @@ def build_lsh_model(store: DataFrame, vec_col: str = "embedding",
     return lsh.fit(vecs), vecs
 
 
+def scaled_hash_tables(n_rows: int, base: int = 3) -> int:
+    """Corpus-scaled OR-amplification: +2 hash tables per decade of
+    corpus beyond the 2k-row tuning scale.
+
+    The r11 sf1 sweep caught the fixed-3-table setup at 0.87 aggregate
+    recall on 20k fresh-draw vectors (true neighbors inside the
+    distance threshold but never sharing a bucket across only 3
+    tables); each extra table multiplies the per-pair miss probability
+    by the single-table miss rate, so a log-scaled table count holds
+    the recall floor while the index cost grows logarithmically with
+    the corpus — the §4t probed-scaled-budget discipline applied to
+    LSH.  At ≤2k rows this returns ``base`` exactly, so every sf0.01 /
+    sf0.1 hash and pin is unchanged."""
+    import math
+
+    return base + 2 * max(0, round(math.log10(max(n_rows, 1) / 2000.0)))
+
+
 def ann_similarity_join(queries: DataFrame, store: DataFrame, k: int = 5,
                         dist_threshold: float = 1.2,
                         q_id: str = "q_vec_id", q_vec: str = "q_embedding",
                         s_vec: str = "embedding",
-                        tiebreak: str = "vec_id") -> DataFrame:
+                        tiebreak: str = "vec_id",
+                        num_hash_tables: int | None = None) -> DataFrame:
     """LSH-pruned B9: same output contract as search.similarity_join but
     the candidate set is bucket-joined instead of a full cross product.
 
     dist_threshold is EUCLIDEAN (what BRP-LSH buckets); on unit-norm
     vectors d² = 2(1−cos), so d ≤ 1.2 keeps cos ≥ 0.28 candidates.
-    """
+    ``num_hash_tables=None`` scales the table count with the corpus
+    (:func:`scaled_hash_tables`)."""
     from pyspark.ml.functions import array_to_vector
 
-    model, store_vecs = build_lsh_model(store, s_vec)
+    if num_hash_tables is None:
+        num_hash_tables = scaled_hash_tables(store.count())
+    model, store_vecs = build_lsh_model(
+        store, s_vec, num_hash_tables=num_hash_tables
+    )
     query_vecs = queries.withColumn("_features", array_to_vector(F.col(q_vec)))
 
     pairs = model.approxSimilarityJoin(
