@@ -230,8 +230,19 @@ def scaled_search_params(n: int) -> tuple[int, int, int]:
     the corpus (the round-8 lesson: fixed ANN budgets starve recall as
     data grows; budgets must scale with what the alternative scans)."""
     budget = n // 2
-    beam = max(4, min(12, budget // (_ROUNDS * _KG * 2)))
-    entries = max(4, min(30, budget - _ROUNDS * beam * _KG))
+    # caps grow with the corpus (r11 sf1 catch: the old fixed 12/30
+    # caps froze search effort while the corpus grew 10x, collapsing
+    # recall to zero on 2 of 3 queries at 20k vectors — the exact
+    # fixed-budget failure this function exists to prevent); one
+    # doubling per corpus decade beyond the 2k tuning scale keeps
+    # sf0.01/sf0.1 parameters bit-identical
+    import math
+
+    decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
+    beam_cap = 12 * (2**decades)
+    entry_cap = 30 * (2**decades)
+    beam = max(4, min(beam_cap, budget // (_ROUNDS * _KG * 2)))
+    entries = max(4, min(entry_cap, budget - _ROUNDS * beam * _KG))
     return beam, entries, budget
 
 
@@ -304,10 +315,20 @@ def _register() -> None:
         exact = similarity_join(queries, emb, k=5, threshold=-1.0).select(
             "q_vec_id", "vec_id"
         )
+        # left-join totality (r11 sf1 catch): a query with ZERO overlap
+        # must emit its per-q row as ok=False — the old inner join made
+        # it vanish, turning a recall collapse into a row-count mismatch
+        # instead of a red boolean
         ov = (
-            exact.join(hits, ["q_vec_id", "vec_id"])
-            .groupBy("q_vec_id")
-            .agg(F.count(F.lit(1)).alias("n"))
+            queries.select("q_vec_id")
+            .join(
+                exact.join(hits, ["q_vec_id", "vec_id"])
+                .groupBy("q_vec_id")
+                .agg(F.count(F.lit(1)).alias("n")),
+                "q_vec_id",
+                "left",
+            )
+            .select("q_vec_id", F.coalesce("n", F.lit(0)).alias("n"))
             .localCheckpoint(eager=True)
         )
         per_q = ov.select(
