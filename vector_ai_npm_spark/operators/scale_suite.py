@@ -391,7 +391,16 @@ def agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_union = F.theta_sketch_estimate(F.theta_union(F.col("skc"), F.col("skp")))
 
     def _ok(est, exact):
-        return F.abs(est - F.col(exact)) <= F.lit(0.05) * F.col(exact)
+        # theta set-op error scales with the UNION size, not the result
+        # size (standard sketch bound; RSE ≈ 1/√k on the sampled
+        # stream): a result-relative bound is statistically wrong for
+        # small results — the r11 sf1 sweep caught it on a 3-user
+        # difference between two ~15k-user sketches in estimation mode.
+        # At fixture scales the sketches are exact and both arms pass.
+        return F.abs(est - F.col(exact)) <= F.greatest(
+            F.lit(0.05) * F.col(exact),
+            F.lit(0.05) * F.col("exact_either"),
+        )
 
     return agg.select(
         F.col("exact_click").cast("long"),
