@@ -69,10 +69,49 @@ def test_progressive_checkerboard_high_frequency():
     _check(64, 64, cb.tobytes(), False, 75)
 
 
+def test_progressive_dri_roundtrip():
+    """r12: progressive + restart intervals decode (the r11 baseline-DRI
+    machinery extended to every SOF2 scan type — DC first/refine, AC
+    first/refine).  The stream must really carry RST markers, and the
+    decoded bytes still match the baseline decode bit-for-bit."""
+    yy, xx = np.mgrid[0:48, 0:80]
+    g = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    for w, h, px, color, ri in [
+        (80, 48, np.stack([g, 255 - g, g // 2], -1).tobytes(), True, 3),
+        (80, 48, g.tobytes(), False, 1),
+        (64, 64, bytes([90] * (64 * 64)), False, 5),  # EOB runs + DRI
+    ]:
+        pj = encode_jpeg_progressive(
+            w, h, px, color=color, quality=80, restart_interval=ri
+        )
+        assert any(
+            bytes((0xFF, 0xD0 + n)) in pj for n in range(8)
+        ), "fixture must actually exercise RST markers"
+        base = decode_jpeg(encode_jpeg(w, h, px, color=color, quality=80))
+        assert decode_jpeg_progressive(pj) == base
+        assert decode_pixels(pj) == base
+
+
+def test_progressive_dri_out_of_sequence_raises():
+    pj = bytearray(
+        encode_jpeg_progressive(
+            80, 48, bytes(80 * 48), color=False, quality=80,
+            restart_interval=1,
+        )
+    )
+    i = bytes(pj).find(b"\xff\xd0")
+    assert i > 0
+    pj[i + 1] = 0xD5  # forge RST5 where RST0 belongs
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_progressive(bytes(pj))
+
+
 def test_unsupported_rungs_still_quarantine():
-    pj = bytearray(encode_jpeg_progressive(8, 8, bytes(64), color=False))
-    # forge a DRI segment after APP0 (ends at offset 20)
-    dri = b"\xff\xdd" + b"\x00\x04" + b"\x00\x08"
-    forged = bytes(pj[:20]) + dri + bytes(pj[20:])
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg_progressive(forged)
+    # subsampled chroma remains the documented seam (DRI no longer is)
+    pj = bytearray(encode_jpeg_progressive(16, 16, bytes(16 * 16 * 3)))
+    i = bytes(pj).find(b"\xff\xc2")
+    assert i > 0
+    # SOF2 layout: FF C2 len(2) prec(1) h(2) w(2) nc(1) [cid samp tq]*
+    pj[i + 11] = 0x22  # comp 1 sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg_progressive(bytes(pj))

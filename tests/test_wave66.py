@@ -125,6 +125,42 @@ def test_search_excludes_tombstoned(spark, tmp_path):
     assert post.where(F.col("vec_id") == 7).count() == 0
 
 
+def test_dataframe_delete_set_stays_distributed(spark, tmp_path):
+    """r12 verdict item 6: a corpus-derived delete set (a DataFrame,
+    e.g. 'every vec_id divisible by 4') reaches the tombstone parquet
+    with NO driver materialization — delete_ivf_vectors takes the
+    frame directly, and the read face anti-joins it out."""
+    from vector_ai_npm_spark.retrieval.store import (
+        compact_ivf_appends,
+        delete_ivf_vectors,
+        read_ivf_cells,
+    )
+
+    df, store = _build_store(spark, tmp_path)
+    losers = df.where(F.col("vec_id") % 4 == 0).select("vec_id")
+    n = delete_ivf_vectors(spark, store, losers)
+    assert n == 10
+    visible = {r.vec_id for r in read_ivf_cells(spark, store).collect()}
+    assert visible == {i for i in range(40) if i % 4 != 0}
+    # compaction physically purges the corpus-derived set too
+    compact_ivf_appends(spark, store)
+    assert not glob.glob(f"{store}/tombstones/*.parquet")
+    visible = {r.vec_id for r in read_ivf_cells(spark, store).collect()}
+    assert visible == {i for i in range(40) if i % 4 != 0}
+
+
+def test_dataframe_delete_empty_set_is_noop(spark, tmp_path):
+    from vector_ai_npm_spark.retrieval.store import (
+        delete_ivf_vectors,
+        read_ivf_cells,
+    )
+
+    df, store = _build_store(spark, tmp_path)
+    empty = df.where(F.lit(False)).select("vec_id")
+    assert delete_ivf_vectors(spark, store, empty) == 0
+    assert read_ivf_cells(spark, store).count() == 40
+
+
 def test_empty_delete_is_noop(spark, tmp_path):
     from vector_ai_npm_spark.retrieval.store import delete_ivf_vectors
 

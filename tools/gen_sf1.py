@@ -35,13 +35,19 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-DST = "/tmp/sf1"
+import os as _os
+
+# r12: the generator is scale-parameterized so the same fresh-draw
+# recipes produce /tmp/sf10 (SPARK_GRAFT_GEN_MULT=10) for the sf10
+# spot sweep — every magnitude has found a new divergence class.
+_MULT = int(_os.environ.get("SPARK_GRAFT_GEN_MULT", "1"))
+DST = _os.environ.get("SPARK_GRAFT_GEN_DST", "/tmp/sf1")
 SRC = "/root/testdata/sf0.1"
 
-N_CUST = 150_000
-N_SUPP = 10_000
-N_PART = 200_000
-N_ORD = 1_500_000
+N_CUST = 150_000 * _MULT
+N_SUPP = 10_000 * _MULT
+N_PART = 200_000 * _MULT
+N_ORD = 1_500_000 * _MULT
 
 CORE_28 = (
     "filter_project", "join_broadcast", "join_sortmerge", "join_semi_anti",
@@ -201,7 +207,7 @@ def _gen_nonrel(spark) -> None:
     )
     LANGS = ("en", "en", "de", "es", "fr", "zh")  # ~en-heavy like sf0.1
     docs = (
-        spark.range(50_000)
+        spark.range(50_000 * _MULT)
         .select(
             F.col("id").alias("doc_id"),
             F.array_join(
@@ -240,7 +246,7 @@ def _gen_nonrel(spark) -> None:
             raw, F.lit(0.0), lambda acc, x: acc + x * x
         )
     )
-    emb = spark.range(20_000).select(
+    emb = spark.range(20_000 * _MULT).select(
         F.col("id").alias("vec_id"),
         F.transform(raw, lambda x: (x / norm).cast("float")).alias(
             "embedding"
@@ -248,13 +254,13 @@ def _gen_nonrel(spark) -> None:
         u("elab", 10).cast("int").alias("label"),
     )
     ts0 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
-    events = spark.range(1_000_000).select(
+    events = spark.range(1_000_000 * _MULT).select(
         F.col("id").alias("event_id"),
         (ts0 + F.make_dt_interval(
             F.lit(0), F.lit(0), F.lit(0),
             u("ets", 2_592_000) + u("eus", 1_000_000) / 1e6,
         )).cast("timestamp_ntz").alias("ts"),
-        u("eu", 15_000).alias("user_id"),
+        u("eu", 15_000 * _MULT).alias("user_id"),
         pick("etype", ("view", "view", "view", "click", "click",
                        "signup", "error", "purchase")).alias("event_type"),
         F.when(

@@ -312,10 +312,37 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def mllib_lsh_pairs(docs: DataFrame, dist_threshold: float = 0.6) -> DataFrame:
+#: above this corpus size the MLlib face auto-routes to the banded
+#: inverted-index core.  MLlib's MinHashLSH is OR-only amplification
+#: (one hash per table, no banding), so its candidate-pair volume is
+#: ~n²·(1−(1−j_bg)^T) — quadratic whenever background token jaccard
+#: j_bg is non-negligible, which English-ish text guarantees via
+#: stopwords.  Measured (TUNING.md r11 addendum): at sf1's 50k docs
+#: the self-join blew a 10-minute idle budget; the banded core's
+#: AND×OR construction keeps candidates O(n + true pairs) and is the
+#: path every production face already uses.
+MLLIB_LSH_MAX_DOCS = 20_000
+
+
+def mllib_lsh_pairs(
+    docs: DataFrame,
+    dist_threshold: float = 0.6,
+    mllib_max_docs: int = MLLIB_LSH_MAX_DOCS,
+) -> DataFrame:
     """MinHashLSH.approxSimilarityJoin over hashed token features —
-    shared by the B18c query and its planted-dup recall contract."""
+    shared by the B18c query and its planted-dup recall contract.
+
+    Corpus-scaled routing (r12): at ≤ ``mllib_max_docs`` this is the
+    MLlib library demo unchanged (sf0.01/0.1 behavior bit-identical);
+    above it the same output contract — (doc_id_a, doc_id_b,
+    jaccard_dist ≤ dist_threshold) — is produced by the repo's banded
+    minhash candidate core + exact token-set jaccard on the bounded
+    candidate set, because the OR-only MLlib construction is
+    intrinsically quadratic on text corpora (see MLLIB_LSH_MAX_DOCS)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    if docs.count() > mllib_max_docs:
+        return _banded_routed_pairs(docs, dist_threshold)
 
     toks = docs.select(
         "doc_id", F.expr(_SPARK_TOKS).alias("tokens")
@@ -335,6 +362,67 @@ def mllib_lsh_pairs(docs: DataFrame, dist_threshold: float = 0.6) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_id_b"),
             F.col("jaccard_dist"),
         )
+    )
+
+
+def _banded_routed_pairs(docs: DataFrame, dist_threshold: float) -> DataFrame:
+    """The scale path for :func:`mllib_lsh_pairs`: banded-minhash
+    candidate generation (the dedup_minhash_pairs AND×OR core — explode
+    to (doc, band_key), equi-join, never a cross product) + EXACT
+    token-set jaccard on the bounded candidate set, filtered to the
+    same ``jaccard_dist <= dist_threshold`` contract the MLlib join
+    returns.  A high-jaccard pair (the planted-recall regime, j ≥ 0.9)
+    misses both 4-row bands with p = (1 − j⁴)² ≤ 0.12 at j = 0.9 and
+    ≤ 0.001 at the planted j ≈ 0.98 — well inside the 0.95 recall
+    floor; a background pair (j ≈ 0.05) survives a band at j⁴ ≈ 6e-6,
+    keeping candidates O(n + true pairs)."""
+    docs = docs.select("doc_id", "text")
+    sh = docs.select("doc_id", F.expr(_SPARK_SHINGLES).alias("shingles"))
+    sig = sh.select(
+        "doc_id",
+        *[F.expr(_spark_minhash(i)).alias(f"mh{i}") for i in range(N_MINHASH)],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.expr(k) for k in _BAND_KEYS_SPARK])).alias(
+            "band_key"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(_SPARK_TOKS)).alias("tok_set"),
+    ).where(F.size("tok_set") > 0)
+    ta = toks.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("tok_set").alias("toks_a")
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("tok_set").alias("toks_b")
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast(
+        "double"
+    ) / F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.lit(1.0) - jac).alias("jaccard_dist"),
+        )
+        .where(F.col("jaccard_dist") <= F.lit(dist_threshold))
     )
 
 

@@ -54,8 +54,16 @@ def _lock_path(path: str) -> str:
 
 
 def _holder_alive(lock_file: str, stale_after_s: float) -> bool:
-    """True iff the lock's recorded holder is a live process and the
-    lock is younger than the staleness horizon."""
+    """True iff the lock's recorded holder is a live process.
+
+    Pid liveness is the PRIMARY signal: a legitimate writer whose
+    delete/rewrite runs longer than the staleness horizon keeps its
+    lock (breaking it on age alone would let a waiter interleave —
+    exactly the hazard the lease exists to prevent).  The ts horizon is
+    used ONLY as a pid-reuse guard: a lock so old that the recorded pid
+    plausibly belongs to a different process by now (>= 24h or 100x the
+    horizon, whichever is larger) is treated as abandoned even if some
+    process answers to that pid."""
     try:
         with open(lock_file, encoding="utf-8") as fh:
             meta = json.load(fh)
@@ -63,14 +71,15 @@ def _holder_alive(lock_file: str, stale_after_s: float) -> bool:
         ts = float(meta.get("ts", 0.0))
     except (OSError, ValueError, KeyError, TypeError):
         return False  # unreadable/corrupt lock = breakable
-    if ts and time.time() - ts > stale_after_s:
-        return False
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
-        return False
+        return False  # holder is dead — breakable
     except PermissionError:
-        return True  # exists but owned elsewhere — still alive
+        pass  # exists but owned elsewhere — alive
+    pid_reuse_horizon = max(86_400.0, 100.0 * stale_after_s)
+    if ts and time.time() - ts > pid_reuse_horizon:
+        return False  # ancient lock: the live pid is plausibly reused
     return True
 
 
@@ -119,8 +128,13 @@ def writer_lease(
         os.close(fd)
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.unlink(lock_file)
+        # Unlink only if the lock still records OUR pid — if another
+        # waiter (wrongly or rightly) broke and re-acquired it, blindly
+        # unlinking would evict the new holder and let a THIRD writer in.
+        with contextlib.suppress(OSError, ValueError, KeyError, TypeError):
+            with open(lock_file, encoding="utf-8") as fh:
+                if int(json.load(fh)["pid"]) == os.getpid():
+                    os.unlink(lock_file)
 
 
 def claim_store(store_dir: str, owner_id: str) -> None:
@@ -132,18 +146,37 @@ def claim_store(store_dir: str, owner_id: str) -> None:
     :class:`StoreWriterConflict`."""
     os.makedirs(store_dir, exist_ok=True)
     marker = os.path.join(store_dir, "__owner")
+    # Publish atomically: write owner_id to a temp file, hard-link into
+    # place.  The marker is either absent or COMPLETE — a crash between
+    # create and write can no longer leave an empty marker that wedges
+    # every future claim (including the original stream's own restart).
+    tmp = os.path.join(store_dir, f".__owner.tmp.{os.getpid()}")
+    claimed = False
     try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, owner_id.encode())
-        os.close(fd)
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(owner_id)
+        try:
+            os.link(tmp, marker)
+            claimed = True
+        except FileExistsError:
+            pass
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+    if claimed:
         return
-    except FileExistsError:
-        pass
     try:
         with open(marker, encoding="utf-8") as fh:
             current = fh.read()
     except OSError:
         current = ""
+    if current == "":
+        # Empty/unreadable marker = a legacy partial claim (pre-atomic
+        # writer crashed mid-publish).  Treat as unclaimed: rewrite it.
+        with contextlib.suppress(OSError):
+            os.unlink(marker)
+        claim_store(store_dir, owner_id)
+        return
     if current != owner_id:
         raise StoreWriterConflict(
             f"store {store_dir} is owned by stream {current!r}; a second "

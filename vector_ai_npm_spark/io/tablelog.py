@@ -7,11 +7,16 @@ N-writer arbitration:
     ``{table}/data/``; nothing is ever renamed or rewritten in place;
   * table STATE is the fold of ``{table}/_log/{version:020d}.json``
     commit records (each a list of add/remove file actions);
-  * a commit is one O_CREAT|O_EXCL create of the NEXT version file —
-    the same atomic primitive the lease and the IVF compaction protocol
-    use, here carrying the whole state transition, so there is no
-    rename gap for a reader to fall into: readers resolve a snapshot
-    (version + live file set) and read exactly those files;
+  * a commit is one atomic PUBLISH of the NEXT version file — the
+    payload is fully written (and fsynced) to a temp file first, then
+    hard-linked into place; the link either wins or fails with
+    FileExistsError (CAS), and the record becomes visible all-at-once,
+    so there is neither a rename gap NOR a partial-content window for
+    a reader to fall into: readers resolve a snapshot (version + live
+    file set) and read exactly those files;
+  * every :data:`CHECKPOINT_EVERY` commits the winner also publishes a
+    folded checkpoint record, so snapshot() reads O(1) recent log files
+    rather than re-folding the whole history (contention stays linear);
   * APPENDS retry on conflict (they commute — re-fold and try the next
     version number); REPLACE commits (compaction, delete-rewrite) carry
     the version they were based on and raise ``CommitConflict`` if
@@ -29,6 +34,7 @@ saw (nothing it referenced was ever mutated).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -69,11 +75,55 @@ def _versions(table_dir: str) -> list[int]:
     )
 
 
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:020d}.checkpoint.json")
+
+
+#: a checkpoint record (folded live set) is written every N commits so
+#: snapshot() reads O(1) log files instead of re-folding the whole
+#: history on every call — contention no longer degrades quadratically.
+CHECKPOINT_EVERY = 16
+
+
+def _latest_checkpoint(table_dir: str, ceiling: int) -> tuple[int, list[str]] | None:
+    """Newest readable checkpoint at version <= ceiling, or None.
+    An unreadable checkpoint is skipped (it is pure optimization — the
+    commit records underneath it are the source of truth)."""
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return None
+    cps = sorted(
+        (
+            int(f[: -len(".checkpoint.json")])
+            for f in os.listdir(d)
+            if f.endswith(".checkpoint.json")
+            and f[: -len(".checkpoint.json")].isdigit()
+        ),
+        reverse=True,
+    )
+    for v in cps:
+        if v > ceiling:
+            continue
+        try:
+            with open(_checkpoint_path(table_dir, v), encoding="utf-8") as fh:
+                rec = json.load(fh)
+            return v, list(rec["live"])
+        except (OSError, ValueError, KeyError):
+            continue
+    return None
+
+
 def snapshot(table_dir: str, version: int | None = None) -> tuple[int, list[str]]:
     """(version, live data files) — the fold of the log prefix.
 
     ``version=None`` resolves latest; an explicit version is the
-    time-travel read (raises if that version was never committed)."""
+    time-travel read (raises if that version was never committed).
+
+    Commit records are published atomically (temp write + os.link in
+    :func:`_try_commit`), so a visible version file is always complete;
+    as belt-and-braces against logs written by a pre-atomic version of
+    this module, an unreadable NEWEST record is treated as in-flight and
+    excluded from the snapshot rather than crashing every reader."""
     versions = _versions(table_dir)
     if version is not None:
         if version not in versions:
@@ -85,9 +135,21 @@ def snapshot(table_dir: str, version: int | None = None) -> tuple[int, list[str]
     if not versions:
         return -1, []
     live: list[str] = []
-    for v in versions:
-        with open(_version_path(table_dir, v), encoding="utf-8") as fh:
-            rec = json.load(fh)
+    start = 0
+    cp = _latest_checkpoint(table_dir, versions[-1])
+    if cp is not None and cp[0] >= versions[0]:
+        cp_v, live = cp
+        start = versions.index(cp_v) + 1
+    for i, v in enumerate(versions[start:], start):
+        try:
+            with open(_version_path(table_dir, v), encoding="utf-8") as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            if i == len(versions) - 1:
+                # newest record unreadable = a legacy in-flight commit;
+                # the snapshot is simply "as of the previous version".
+                return (versions[i - 1], live) if i > 0 else (-1, [])
+            raise
         for action in rec["actions"]:
             if action["op"] == "add":
                 live.append(action["file"])
@@ -97,17 +159,53 @@ def snapshot(table_dir: str, version: int | None = None) -> tuple[int, list[str]
 
 
 def _try_commit(table_dir: str, version: int, actions: list[dict]) -> bool:
-    """One CAS attempt: create version file with O_EXCL. True = won."""
+    """One CAS attempt. True = won.
+
+    The payload is fully written to a temp file FIRST, then published
+    atomically with ``os.link`` (hard link creation fails with
+    FileExistsError if the version exists — the same CAS semantics as
+    O_CREAT|O_EXCL, but the content becomes visible all-at-once, so no
+    reader can observe an empty or partial commit record and a crash
+    mid-write leaves only an orphaned temp file, never a wedged log)."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     path = _version_path(table_dir, version)
+    tmp = os.path.join(_log_dir(table_dir), f".tmp.{uuid.uuid4().hex}.json")
+    payload = json.dumps({"version": version, "actions": actions})
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         return False
-    payload = json.dumps({"version": version, "actions": actions})
-    os.write(fd, payload.encode())
-    os.close(fd)
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+    if version > 0 and version % CHECKPOINT_EVERY == 0:
+        _write_checkpoint(table_dir, version)
     return True
+
+
+
+def _write_checkpoint(table_dir: str, version: int) -> None:
+    """Fold the log up to ``version`` and publish it atomically (same
+    temp+link discipline).  Best-effort: a lost race or failure is fine,
+    checkpoints are pure read-side optimization."""
+    try:
+        _v, live = snapshot(table_dir, version)
+    except (OSError, ValueError):
+        return
+    tmp = os.path.join(_log_dir(table_dir), f".tmp.{uuid.uuid4().hex}.json")
+    try:
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps({"version": version, "live": live}))
+        os.link(tmp, _checkpoint_path(table_dir, version))
+    except OSError:
+        pass
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
 
 
 def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
@@ -123,6 +221,18 @@ def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
     )
 
 
+def _discard_staged(files: list[str]) -> None:
+    """Delete a staged-but-never-committed uuid subdir so a lost CAS
+    doesn't leak orphan parquet under data/ forever (nothing references
+    uncommitted files — they are safe to remove unconditionally)."""
+    import shutil
+
+    dirs = {os.path.dirname(f) for f in files}
+    for d in dirs:
+        with contextlib.suppress(OSError):
+            shutil.rmtree(d)
+
+
 def append_table(df: DataFrame, table_dir: str, max_retries: int = 50) -> int:
     """Commit df's rows as new files; appends commute, so conflicts
     retry with the next version number.  Returns the committed version."""
@@ -132,9 +242,10 @@ def append_table(df: DataFrame, table_dir: str, max_retries: int = 50) -> int:
         current, _live = snapshot(table_dir)
         if _try_commit(table_dir, current + 1, actions):
             return current + 1
+    _discard_staged(files)
     raise CommitConflict(
         f"append to {table_dir} lost {max_retries} CAS races — "
-        "pathological contention"
+        "pathological contention (staged files discarded)"
     )
 
 
@@ -158,9 +269,11 @@ def replace_table(
         {"op": "add", "file": f} for f in files
     ]
     if not _try_commit(table_dir, expected_version + 1, actions):
+        _discard_staged(files)
         raise CommitConflict(
             f"replace of {table_dir} lost the CAS race for version "
-            f"{expected_version + 1} — recompute against the new snapshot"
+            f"{expected_version + 1} — recompute against the new snapshot "
+            "(staged files discarded)"
         )
     return expected_version + 1
 

@@ -31,12 +31,16 @@ shared with jpeg.py and the decoded bytes are BIT-IDENTICAL to
 decoding the same coefficients from a baseline stream — pinned by
 tests/test_jpeg_progressive.py.
 
-Restart intervals and subsampled chroma stay the documented seam
-(ValueError/NotImplementedError → quarantine), as in the baseline
-decoder.
+Restart intervals (DRI + RST0..7) are supported in every scan type as
+of r12 — encoder emits them per scan, decoder realigns/resets at each
+boundary (the r11 baseline-DRI machinery, T.81 E.2.4, applied to
+Annex G scans; an EOB run never crosses a restart).  Subsampled chroma
+and 12-bit remain the documented seam (NotImplementedError →
+quarantine), as in the baseline decoder.
 
 Public spec: ITU-T T.81 (1992) Annex G (progressive DCT), G.1.2.2
-(AC first scans / EOB runs), G.1.2.3 (AC refinement).
+(AC first scans / EOB runs), G.1.2.3 (AC refinement), E.2.4 (restart
+intervals).
 """
 
 from __future__ import annotations
@@ -83,12 +87,34 @@ _MAX_EOBRUN = 0x7FFF
 
 class _ScanWriter:
     """Per-scan entropy writer: bit writer + lazy EOB-run state with
-    the correction-bit buffer AC refinement scans carry across blocks."""
+    the correction-bit buffer AC refinement scans carry across blocks.
 
-    def __init__(self) -> None:
+    ``restart_interval`` > 0 arms the T.81 E.2.4 restart machinery:
+    every Ri MCUs the writer flushes the EOB run (a run may not cross
+    a restart boundary, G.1.2.2), byte-aligns with 1-fill, emits the
+    RSTn marker raw, and resets whatever DC predictors the caller
+    hands it — the same discipline as the baseline encoder
+    (jpeg.py:468-474), applied per scan."""
+
+    def __init__(self, restart_interval: int = 0) -> None:
         self.bw = _BitWriter()
         self.eobrun = 0
         self.pending_bits: list[int] = []
+        self.ri = restart_interval
+        self.mcu = 0
+        self.rst_seq = 0
+
+    def mcu_boundary(self, preds: list[int] | None = None) -> None:
+        """Call before each MCU; handles the restart boundary."""
+        if self.ri and self.mcu and self.mcu % self.ri == 0:
+            self.flush_eobrun()
+            self.bw.flush()
+            self.bw.bytes += bytes((0xFF, 0xD0 + self.rst_seq))
+            self.rst_seq = (self.rst_seq + 1) & 7
+            if preds is not None:
+                for i in range(len(preds)):
+                    preds[i] = 0
+        self.mcu += 1
 
     def huff(self, table: dict[int, tuple[int, int]], sym: int) -> None:
         code, ln = table[sym]
@@ -117,6 +143,7 @@ def _encode_dc_first(
 ) -> None:
     for by in range(n_by):
         for bx in range(n_bx):
+            sw.mcu_boundary(preds)
             for ci in order:
                 v = int(blocks[ci][by, bx, 0]) >> al  # arithmetic shift
                 s, code = _magnitude(v - preds[ci])
@@ -132,6 +159,7 @@ def _encode_dc_refine(
 ) -> None:
     for by in range(n_by):
         for bx in range(n_bx):
+            sw.mcu_boundary()
             for ci in order:
                 sw.bw.write((int(blocks[ci][by, bx, 0]) >> al) & 1, 1)
 
@@ -142,6 +170,7 @@ def _encode_ac_first(
     n_by, n_bx = comp.shape[:2]
     for by in range(n_by):
         for bx in range(n_bx):
+            sw.mcu_boundary()
             zz = comp[by, bx]
             band = [
                 (v >> al) if v >= 0 else -((-v) >> al)
@@ -183,6 +212,7 @@ def _encode_ac_refine(
     n_by, n_bx = comp.shape[:2]
     for by in range(n_by):
         for bx in range(n_bx):
+            sw.mcu_boundary()
             zz = comp[by, bx]
             absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
             signs = [1 if int(zz[k]) >= 0 else -1 for k in range(ss, se + 1)]
@@ -233,11 +263,19 @@ def _sos(components: list[tuple[int, int, int]], ss: int, se: int,
 
 
 def encode_jpeg_progressive(
-    w: int, h: int, pixels: bytes, color: bool = True, quality: int = 90
+    w: int, h: int, pixels: bytes, color: bool = True, quality: int = 90,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode RGB/grayscale pixels as a progressive (SOF2) JFIF JPEG
-    using the standard-shaped scan script (module docstring)."""
+    using the standard-shaped scan script (module docstring).
+
+    ``restart_interval`` > 0 writes a DRI segment and emits RST0..7
+    markers every that-many MCUs in EVERY scan (r12: progressive+DRI
+    is common in real crawls — libjpeg's progressive scan script under
+    -restart; the baseline codec got DRI in r11, jpeg.py:432)."""
     nch = 3 if color else 1
+    if not (0 <= restart_interval <= 0xFFFF):
+        raise ValueError(f"bad restart interval {restart_interval}")
     if len(pixels) != w * h * nch:
         raise ValueError(f"want {w * h * nch} pixel bytes, got {len(pixels)}")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, nch).astype(
@@ -271,6 +309,8 @@ def encode_jpeg_progressive(
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # one flat DC table (id 0) and one flat AC table (id 0), shared
     out += b"\xff\xc4" + struct.pack(
         ">HB", 3 + 16 + len(_P_DC_VALS), 0x00
@@ -283,24 +323,24 @@ def encode_jpeg_progressive(
     preds = [0] * ncomp
 
     def dc_first(al: int) -> bytes:
-        sw = _ScanWriter()
+        sw = _ScanWriter(restart_interval)
         _encode_dc_first(
             sw, blocks, preds, list(range(ncomp)), n_by, n_bx, al
         )
         return _sos(all_comps, 0, 0, 0, al) + sw.finish()
 
     def dc_refine(al: int) -> bytes:
-        sw = _ScanWriter()
+        sw = _ScanWriter(restart_interval)
         _encode_dc_refine(sw, blocks, list(range(ncomp)), n_by, n_bx, al)
         return _sos(all_comps, 0, 0, al + 1, al) + sw.finish()
 
     def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
-        sw = _ScanWriter()
+        sw = _ScanWriter(restart_interval)
         _encode_ac_first(sw, blocks[ci], ss, se, al)
         return _sos([(ci + 1, 0, 0)], ss, se, 0, al) + sw.finish()
 
     def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
-        sw = _ScanWriter()
+        sw = _ScanWriter(restart_interval)
         _encode_ac_refine(sw, blocks[ci], ss, se, al)
         return _sos([(ci + 1, 0, 0)], ss, se, al + 1, al) + sw.finish()
 
@@ -335,6 +375,32 @@ def _read_bits(br: _BitReader, n: int) -> int:
     return v
 
 
+class _RestartTracker:
+    """Per-scan restart bookkeeping (T.81 E.2.4 applied to progressive
+    scans): every ``dri`` MCUs, byte-align + consume RSTn, check the
+    modulo-8 sequence, and tell the caller to reset predictor/EOB-run
+    state.  dri=0 disarms it."""
+
+    def __init__(self, dri: int) -> None:
+        self.dri = dri
+        self.mcu = 0
+        self.rst_seq = 0
+
+    def boundary(self, br: _BitReader) -> bool:
+        """Call before each MCU; True iff a restart was consumed."""
+        hit = bool(self.dri) and self.mcu > 0 and self.mcu % self.dri == 0
+        if hit:
+            n = br.align_restart()
+            if n != self.rst_seq:
+                raise ValueError(
+                    f"restart marker out of sequence: RST{n}, "
+                    f"expected RST{self.rst_seq}"
+                )
+            self.rst_seq = (self.rst_seq + 1) & 7
+        self.mcu += 1
+        return hit
+
+
 def _decode_dc_scan(
     br: _BitReader,
     coef: list[np.ndarray],
@@ -345,10 +411,14 @@ def _decode_dc_scan(
     n_bx: int,
     ah: int,
     al: int,
+    dri: int = 0,
 ) -> None:
     preds = {ci: 0 for ci in scan_comps}
+    rst = _RestartTracker(dri)
     for by in range(n_by):
         for bx in range(n_bx):
+            if rst.boundary(br):
+                preds = {ci: 0 for ci in scan_comps}
             for ci in scan_comps:
                 if ah == 0:
                     s = br.read_huff(dc_maps[td_of[ci]])
@@ -361,12 +431,15 @@ def _decode_dc_scan(
 
 def _decode_ac_first_scan(
     br: _BitReader, comp: np.ndarray, ac_map: dict,
-    ss: int, se: int, al: int,
+    ss: int, se: int, al: int, dri: int = 0,
 ) -> None:
     n_by, n_bx = comp.shape[:2]
     eobrun = 0
+    rst = _RestartTracker(dri)
     for by in range(n_by):
         for bx in range(n_bx):
+            if rst.boundary(br):
+                eobrun = 0  # an EOB run may not cross a restart
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -391,11 +464,12 @@ def _decode_ac_first_scan(
 
 def _decode_ac_refine_scan(
     br: _BitReader, comp: np.ndarray, ac_map: dict,
-    ss: int, se: int, al: int,
+    ss: int, se: int, al: int, dri: int = 0,
 ) -> None:
     n_by, n_bx = comp.shape[:2]
     p1, m1 = 1 << al, -1 << al
     eobrun = 0
+    rst = _RestartTracker(dri)
 
     def correct(zz: np.ndarray, k: int, stop: int) -> None:
         """Apply correction bits to every nonzero-history coefficient
@@ -407,6 +481,8 @@ def _decode_ac_refine_scan(
 
     for by in range(n_by):
         for bx in range(n_bx):
+            if rst.boundary(br):
+                eobrun = 0  # an EOB run may not cross a restart
             zz = comp[by, bx]
             if eobrun > 0:
                 correct(zz, ss, se)
@@ -453,11 +529,13 @@ def _decode_ac_refine_scan(
 
 def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, RGB-or-gray bytes) for a progressive (SOF2)
-    4:4:4 Huffman JPEG.  Restart intervals, subsampling, and 12-bit
-    raise — the quarantine route, as in the baseline decoder."""
+    4:4:4 Huffman JPEG, including restart intervals (DRI + RST0..7 in
+    every scan — r12; the baseline decoder got them in r11).
+    Subsampling and 12-bit still raise — the quarantine route."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     i = 2
+    dri = 0  # restart interval in MCUs; 0 = none
     qts: dict[int, np.ndarray] = {}
     dc_maps: dict[int, dict] = {}
     ac_maps: dict[int, dict] = {}
@@ -519,7 +597,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 )
                 j += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals")
+            dri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:
             if w is None:
                 raise ValueError("SOS before SOF2")
@@ -531,11 +609,13 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             # entropy data: up to the next real marker (stuffed 0xFF00
-            # bytes belong to the scan)
+            # bytes AND RST0..7 restart markers belong to the scan)
             dstart = i + 2 + seg_len
             j = dstart
             while j + 1 < len(payload):
-                if payload[j] == 0xFF and payload[j + 1] != 0x00:
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 and not (
+                    0xD0 <= payload[j + 1] <= 0xD7
+                ):
                     break
                 j += 1
             br = _BitReader(payload[dstart:j])
@@ -545,7 +625,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 _decode_dc_scan(
                     br, coef, [cid_index[cid] for cid, _t, _a in scan],
                     dc_maps, {cid_index[cid]: td for cid, td, _a in scan},
-                    n_by, n_bx, ah, al,
+                    n_by, n_bx, ah, al, dri=dri,
                 )
             else:
                 if ns != 1:
@@ -555,11 +635,13 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 cid, _td, ta = scan[0]
                 if ah == 0:
                     _decode_ac_first_scan(
-                        br, coef[cid_index[cid]], ac_maps[ta], ss, se, al
+                        br, coef[cid_index[cid]], ac_maps[ta], ss, se, al,
+                        dri=dri,
                     )
                 else:
                     _decode_ac_refine_scan(
-                        br, coef[cid_index[cid]], ac_maps[ta], ss, se, al
+                        br, coef[cid_index[cid]], ac_maps[ta], ss, se, al,
+                        dri=dri,
                     )
             i = j
             continue

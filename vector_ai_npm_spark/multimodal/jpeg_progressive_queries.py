@@ -106,7 +106,13 @@ def multimodal_decode_jpeg_progressive(
                 pdf["asset_id"], pdf["w"], pdf["h"], pdf["pixels"]
             ):
                 ww, hh, pix = int(ww), int(hh), bytes(pix)
-                pj = encode_jpeg_progressive(ww, hh, pix, quality=92)
+                # r12: plant restart intervals across the fixture —
+                # doc_id % 4 ∈ {0 (no DRI), 1, 2, 3 MCUs}; the decode
+                # must stay bit-identical to the baseline path either
+                # way, so a broken RST realign/reset breaks the hash.
+                pj = encode_jpeg_progressive(
+                    ww, hh, pix, quality=92, restart_interval=int(aid) % 4
+                )
                 dw, dh, dec = decode_pixels(pj)
                 base = decode_jpeg(encode_jpeg(ww, hh, pix, quality=92))[2]
                 a = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)

@@ -24,6 +24,26 @@ from vector_ai_npm_spark.registry import query
 _QUERY_IDS = (0, 7, 42)
 
 
+def scaled_rq_stages(n: int, base: int = 4) -> int:
+    """Corpus-scaled RQ code length: +2 stages (bytes) per corpus
+    decade beyond the 2k tuning scale, base unchanged at ≤2k so
+    sf0.01/0.1 hashes hold (the r11 scaled_hash_tables/scaled_nprobe
+    discipline applied to code CAPACITY).
+
+    Why stages and not probes: the r11 sf1 sweep showed the FULL-probe
+    recall floor failing — pruning exonerated, pure ADC-shortlist loss.
+    As the corpus grows, the sim gap between true top-k and the bulk
+    narrows, so a fixed 4-byte code's ordering noise swamps it; code
+    bits must grow ~log(n) to keep ADC ordering power.  Measured at sf1
+    (tools/ivfrq_scale_study.py, TUNING.md r12): 4 stages → half 11/15
+    (q42=2 < 3), full 13/15 (q42=3 < 4), both RED; 6 stages → half
+    13/15 (min 4), full 14/15 (min 4), all floors GREEN."""
+    import math
+
+    decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
+    return base + 2 * decades
+
+
 def _search_all(spark, sf_dir, nprobe):
     from vector_ai_npm_spark.retrieval.rq import (
         build_ivfrq_index,
@@ -32,7 +52,7 @@ def _search_all(spark, sf_dir, nprobe):
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx, cents, books, counts = build_ivfrq_index(
-        emb, nlist=8, nstages=4, ksub=16
+        emb, nlist=8, nstages=scaled_rq_stages(emb.count()), ksub=16
     )
     idx = idx.localCheckpoint(eager=True)
     frames = []

@@ -148,11 +148,37 @@ def stream_dedup_within_watermark(
     #     part files out of order, and a whole older-ts file arriving
     #     after a newer one would be dropped as late data (observed:
     #     240 events silently vanished that way).
-    import time as _time
+    #     Arrival order is made STRUCTURAL, not timing-based: after
+    #     each week file lands, its parts' mtimes are bumped with
+    #     os.utime until they strictly exceed every prior file's —
+    #     immune to coarse fs mtime granularity and clock jitter
+    #     (a fixed sleep is not: a 1s-granularity fs can tie or
+    #     invert two files written 50ms apart).
+    import os as _os
+
+    seen: set[str] = set()
+
+    def _bump_past(dir_path: str, floor_ns: int) -> int:
+        """Ensure every NEW data file under dir_path (not bumped by a
+        prior call) has mtime > floor_ns; returns the new max mtime_ns."""
+        hi = floor_ns
+        for name in sorted(_os.listdir(dir_path)):
+            if name.startswith((".", "_")) or name in seen:
+                continue
+            seen.add(name)
+            p = _os.path.join(dir_path, name)
+            st = _os.stat(p)
+            m = st.st_mtime_ns
+            if m <= floor_ns:
+                m = floor_ns + 1_000_000  # +1ms, strictly later
+                _os.utime(p, ns=(st.st_atime_ns, m))
+            hi = max(hi, m)
+        return hi
 
     cuts = [
         "2023-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2026-01-01",
     ]
+    last_mtime_ns = 0
     for lo, hi in zip(cuts, cuts[1:]):
         (
             doubled.where(
@@ -163,7 +189,7 @@ def stream_dedup_within_watermark(
             .write.mode("append")
             .parquet(in_dir)
         )
-        _time.sleep(0.05)  # separate mtimes: file order IS arrival order
+        last_mtime_ns = _bump_past(in_dir, last_mtime_ns)
 
     schema = spark.read.parquet(in_dir).schema
     stream = (

@@ -56,16 +56,33 @@ _BG_K = 4   # background neighborhood size (top-k avg per endpoint)
 # (measured: driver OOM at the 10× replica before this guard).
 EXACT_MAX_PAIRS = 10_000_000
 
+# The exact FACE bounds each pool to a deterministic md5-sampled cap so
+# its pair frame stays under EXACT_MAX_PAIRS at ANY corpus size (r12:
+# the r11 sf1 sweep hit the guard's refusal at 99.99M pairs — correct
+# but a dead face; the cap keeps the exact-oracle face alive at every
+# scale).  3000² = 9M < the 10M guard; a no-op at sf0.01/0.1 (pools
+# ≤ 1000), binding at sf1+.  The SAME cap is in the oracle SQL, so both
+# engines mine the identical sub-pool.  Unbounded-scale mining is the
+# ANN face (`mine_bitext_margin_ann`) — candidate generation is the
+# pluggable part, per the module docstring.
+_EXACT_POOL_CAP = 3000
+
 
 @query(
     "mine_bitext_margin",
     oracle=f"""
-    WITH x AS (
+    WITH x_all AS (
       SELECT vec_id AS x_id, embedding AS x_emb FROM embeddings
       WHERE label % 2 = 0
-    ), y AS (
+    ), x AS (
+      SELECT x_id, x_emb FROM x_all
+      ORDER BY md5(CAST(x_id AS VARCHAR)), x_id LIMIT {_EXACT_POOL_CAP}
+    ), y_all AS (
       SELECT vec_id AS y_id, embedding AS y_emb FROM embeddings
       WHERE label % 2 = 1
+    ), y AS (
+      SELECT y_id, y_emb FROM y_all
+      ORDER BY md5(CAST(y_id AS VARCHAR)), y_id LIMIT {_EXACT_POOL_CAP}
     ), pairs AS MATERIALIZED (
       SELECT x_id, y_id, {o_cosine('x_emb', 'y_emb')} AS c
       FROM x CROSS JOIN y
@@ -99,13 +116,28 @@ EXACT_MAX_PAIRS = 10_000_000
 )
 def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best ratio-margin cross-pool match per x-pool vector — see module
-    docstring for the margin definition and the shortlist scale path."""
+    docstring for the margin definition and the shortlist scale path.
+    Each pool is bounded to the deterministic md5-top-`_EXACT_POOL_CAP`
+    subset (mirrored in the oracle SQL) so the exact face never crosses
+    the EXACT_MAX_PAIRS guard — a no-op below sf1."""
     emb = load_table(spark, sf_dir, "embeddings")
-    x = emb.where(F.col("label") % 2 == 0).select(
-        F.col("vec_id").alias("x_id"), F.col("embedding").alias("x_emb")
+
+    def _cap(df: DataFrame, id_col: str) -> DataFrame:
+        return df.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        ).limit(_EXACT_POOL_CAP)
+
+    x = _cap(
+        emb.where(F.col("label") % 2 == 0).select(
+            F.col("vec_id").alias("x_id"), F.col("embedding").alias("x_emb")
+        ),
+        "x_id",
     )
-    y = emb.where(F.col("label") % 2 == 1).select(
-        F.col("vec_id").alias("y_id"), F.col("embedding").alias("y_emb")
+    y = _cap(
+        emb.where(F.col("label") % 2 == 1).select(
+            F.col("vec_id").alias("y_id"), F.col("embedding").alias("y_emb")
+        ),
+        "y_id",
     )
     return margin_best_match(x, y)
 

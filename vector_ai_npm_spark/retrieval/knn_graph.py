@@ -61,9 +61,41 @@ def build_knn_graph(
     bits: int = 10,
     refine_rounds: int = 2,
     seed: int = 42,
+    random_tables: int = 0,
+    random_occupancy: int = 16,
+    build_degree: int | None = None,
+    long_range: int = 0,
 ) -> DataFrame:
     """Directed kNN graph (src, dst, sim): sign-LSH seeding + NN-descent
-    refinement.  ``emb`` must carry (vec_id, embedding)."""
+    refinement.  ``emb`` must carry (vec_id, embedding).
+
+    ``random_tables`` adds that many RANDOM-bucket seed tables alongside
+    the LSH ones (each node hashed into a bucket of expected size
+    ``random_occupancy`` — bounded all-pairs within a bucket, never a
+    cross product).  This is the classic NN-descent random
+    initialization (Dong et al. §2.3 seeds with random neighbors):
+    pure-LSH seeding confines round-0 edges to LSH-similar regions, and
+    neighbor-of-neighbor refinement then explores only WITHIN those
+    regions — measured at sf1 (20k vectors, TUNING.md r12): LSH-only
+    graph recall 0.205; long-range random seeds restore descent's
+    ability to route anywhere.
+
+    ``build_degree`` (default: k) runs NN-descent at a HIGHER working
+    degree and truncates to k only at the end — the standard remedy for
+    descent stalling on high-dimensional near-orthogonal data (Dong et
+    al. report K well above the target k; a degree-k graph's
+    neighbor-of-neighbor pool is too small to keep improving once the
+    easy edges are found).
+
+    ``long_range`` keeps that many RANDOM long-range out-edges per node
+    IN the final graph (beyond the top-k), the NSW small-world trick
+    (Malkov et al. 2014).  Measured at sf1: raising build quality alone
+    is a TRAP — the 0.904-recall pure kNN graph searched WORSE (2/15)
+    than the sloppy 0.674 one (10/15), because near-orthogonal top-k
+    edges are all short and greedy beam search cannot cross the space
+    once the accidental long edges of a low-quality build are gone;
+    explicit long links restore navigability without diluting the
+    top-k neighborhood."""
     from vector_ai_npm_spark.dedup.embedding_router import (
         sign_lsh_signatures,
     )
@@ -75,6 +107,24 @@ def build_knn_graph(
         vecs.withColumn("sigs", lsh_sig("embedding"))
         .select("vec_id", F.posexplode("sigs").alias("table", "sig"))
     )
+    if random_tables > 0:
+        n = vecs.count()
+        n_buckets = max(1, n // max(1, random_occupancy))
+        rnd = None
+        for j in range(random_tables):
+            t_j = vecs.select(
+                "vec_id",
+                F.lit(n_tables + j).alias("table"),
+                F.concat(
+                    F.lit("rnd#"),
+                    F.pmod(
+                        F.xxhash64(F.col("vec_id"), F.lit(seed + 7919 * (j + 1))),
+                        F.lit(n_buckets),
+                    ).cast("string"),
+                ).alias("sig"),
+            )
+            rnd = t_j if rnd is None else rnd.unionByName(t_j)
+        bands = bands.withColumn("sig", F.col("sig").cast("string")).unionByName(rnd)
     a, b = bands.alias("a"), bands.alias("b")
     # narrow banded equi-join (ids only), one direction, dedup pairs
     cand = (
@@ -89,7 +139,8 @@ def build_knn_graph(
         )
         .dropDuplicates(["src", "dst"])
     )
-    graph = _score_and_truncate(cand, vecs, k)
+    kb = build_degree or k
+    graph = _score_and_truncate(cand, vecs, kb)
     for _ in range(refine_rounds):
         g1, g2 = graph.alias("g1"), graph.alias("g2")
         # neighbor-of-neighbor candidates through the shared middle node
@@ -106,10 +157,41 @@ def build_knn_graph(
                 graph.select("src", "dst"), ["src", "dst"], "left_anti"
             )
         )
-        scored_new = _score_and_truncate(non, vecs, k, truncate=False)
+        scored_new = _score_and_truncate(non, vecs, kb, truncate=False)
         graph = _topk_per_key(
-            graph.unionByName(scored_new), "src", k
+            graph.unionByName(scored_new), "src", kb
         ).localCheckpoint(eager=True)
+    if kb != k:
+        graph = _topk_per_key(graph, "src", k)
+    if long_range > 0:
+        # deterministic random pairing: hash nodes into buckets of
+        # expected size 2, pair within — ~1 long edge per node per
+        # table, both directions; never a cross product
+        n = vecs.count()
+        lr = None
+        for j in range(long_range):
+            key = F.pmod(
+                F.xxhash64(F.col("vec_id"), F.lit(seed + 104729 * (j + 1))),
+                F.lit(max(1, n // 2)),
+            )
+            bj = vecs.select("vec_id", key.alias("bkt"))
+            x, y = bj.alias("x"), bj.alias("y")
+            pj = (
+                x.join(
+                    y,
+                    (F.col("x.bkt") == F.col("y.bkt"))
+                    & (F.col("x.vec_id") < F.col("y.vec_id")),
+                )
+                .select(
+                    F.col("x.vec_id").alias("src"),
+                    F.col("y.vec_id").alias("dst"),
+                )
+            )
+            lr = pj if lr is None else lr.unionByName(pj)
+        lr_scored = _score_and_truncate(
+            lr.dropDuplicates(["src", "dst"]), vecs, long_range
+        )
+        graph = graph.unionByName(lr_scored).dropDuplicates(["src", "dst"])
     return graph
 
 
@@ -223,6 +305,30 @@ _ROUNDS = 4
 _KG = 12  # graph degree
 
 
+def scaled_build_params(n: int) -> dict:
+    """Corpus-scaled BUILD parameters (r12, mirroring the r11
+    scaled_search_params / scaled_hash_tables precedent — base
+    unchanged at the ≤2k tuning scale so sf0.01/0.1 behavior is
+    bit-identical):
+
+      * ``random_tables`` — long-range random-bucket seed tables
+        (NN-descent's classic random init), +2 per corpus decade.
+        Measured at sf1 (tools/knng_build_study.py, TUNING.md r12):
+        LSH-only seeding leaves graph recall at 0.205 because
+        neighbor-of-neighbor refinement never escapes the LSH regions
+        the seeds came from; random long-range edges restore routing.
+      * ``refine_rounds`` — +1 NN-descent round per decade (graph
+        diameter grows with n; fixed rounds freeze convergence).
+    """
+    import math
+
+    decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
+    return {
+        "refine_rounds": 3 + decades,
+        "random_tables": 2 * decades,
+    }
+
+
 def scaled_search_params(n: int) -> tuple[int, int, int]:
     """(beam, n_entries, budget): size the beam search so its exact-
     scored candidate count stays within HALF the corpus — the bound the
@@ -252,7 +358,7 @@ def _fixture_graph_and_queries(spark, sf_dir):
     from vector_ai_npm_spark.io.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = build_knn_graph(emb, k=_KG, refine_rounds=3)
+    graph = build_knn_graph(emb, k=_KG, **scaled_build_params(emb.count()))
     queries = emb.where(F.col("vec_id").isin(0, 7, 42)).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),

@@ -394,7 +394,7 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
 
 
 def delete_ivf_vectors(
-    spark: SparkSession, store_dir: str, vec_ids: list[int]
+    spark: SparkSession, store_dir: str, vec_ids: list[int] | DataFrame
 ) -> int:
     """Tombstone delete — the missing third verb of the IVF lifecycle
     (build / append / DELETE, round 11).
@@ -413,7 +413,23 @@ def delete_ivf_vectors(
     compaction first (which clears the tombstone); this keeps the
     lifecycle free of last-writer-wins arbitration the layout cannot
     provide (same reasoning as compact's update-conflict assert).
-    Returns the number of tombstones written."""
+    Returns the number of tombstones written.
+
+    ``vec_ids`` may be a ``list[int]`` (request-sized deletes — the
+    serving path) or a DataFrame with a ``vec_id`` column (corpus-
+    derived delete sets, e.g. "delete every near-dup loser": the ids
+    stay distributed end-to-end — written straight to the tombstone
+    parquet with no driver materialization, r12 verdict item 6).
+    Read-side handling is size-aware: `_subtract_tombstones` broadcasts
+    only when the tombstone files are small enough to broadcast."""
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+        counted = ids.localCheckpoint(eager=True)
+        n = counted.count()
+        if n == 0:
+            return 0
+        counted.write.mode("append").parquet(f"{store_dir}/tombstones")
+        return n
     if not vec_ids:
         return 0
     ids = spark.createDataFrame(
@@ -437,13 +453,20 @@ def _subtract_tombstones(
     spark: SparkSession, df: DataFrame, files: list[str]
 ) -> DataFrame:
     """Anti-join the given tombstone files out of a store frame.
-    Broadcast by construction: tombstones are request-sized, and the
-    anti-join sits ABOVE the scan so cell_id partition pruning still
-    reaches the parquet source."""
+    Size-aware: request-sized tombstone sets broadcast (the serving
+    path); a corpus-derived delete set past the broadcast budget runs
+    as a plain shuffled anti-join instead of OOMing every executor.
+    Either way the anti-join sits ABOVE the scan so cell_id partition
+    pruning still reaches the parquet source."""
+    import os as _os
+
     if not files:
         return df
     tomb = spark.read.parquet(*files).select("vec_id").distinct()
-    return df.join(F.broadcast(tomb), "vec_id", "left_anti")
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    if total_bytes <= 64 * 1024 * 1024:  # Spark's default broadcast ceiling
+        tomb = F.broadcast(tomb)
+    return df.join(tomb, "vec_id", "left_anti")
 
 
 def read_ivf_cells(spark: SparkSession, store_dir: str) -> DataFrame:
