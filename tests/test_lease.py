@@ -152,3 +152,73 @@ def test_second_stream_different_checkpoint_raises(spark, tmp_path):
         for r in final_totals(spark, store).collect()
     }
     assert after == before
+
+
+# --------------------------------------------------------------------------
+# r12: pid-liveness-first breaking, self-check unlink, atomic owner marker
+# --------------------------------------------------------------------------
+
+
+def test_live_holder_not_broken_by_age(tmp_path):
+    """A legitimate writer whose operation outlives the staleness
+    horizon keeps its lock: the waiter times out instead of breaking in
+    and interleaving (the ts horizon is only a pid-reuse guard now)."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from vector_ai_npm_spark.io.lease import (
+        StoreWriterConflict,
+        writer_lease,
+        _lock_path,
+    )
+
+    store = str(tmp_path / "s")
+    with writer_lease(store, op="slow"):
+        # age the lock far past stale_after_s while the holder (this
+        # process) is alive
+        lock = _lock_path(store)
+        meta = json.load(open(lock))
+        meta["ts"] = time.time() - 10_000.0
+        with open(lock, "w") as fh:
+            json.dump(meta, fh)
+        with pytest.raises(StoreWriterConflict):
+            with writer_lease(store, op="usurper", timeout_s=0.3,
+                              stale_after_s=1.0):
+                pass
+    assert not os.path.exists(_lock_path(store))
+
+
+def test_finally_does_not_unlink_foreign_lock(tmp_path):
+    """If the lock file no longer records our pid when we exit, leave
+    it alone — unlinking would evict the new holder."""
+    import json
+    import os
+
+    from vector_ai_npm_spark.io.lease import writer_lease, _lock_path
+
+    store = str(tmp_path / "s")
+    lock = _lock_path(store)
+    with writer_lease(store, op="w1"):
+        # simulate a (wrong or right) breaker re-acquiring under us
+        with open(lock, "w") as fh:
+            json.dump({"pid": 1, "op": "w2", "ts": 0}, fh)
+    assert os.path.exists(lock)  # foreign lock survived our finally
+    os.unlink(lock)
+
+
+def test_claim_store_empty_marker_treated_unclaimed(tmp_path):
+    """A legacy crash between create and write left an empty __owner;
+    the next claim rewrites it instead of wedging the store forever."""
+    import os
+
+    from vector_ai_npm_spark.io.lease import claim_store
+
+    store = str(tmp_path / "s")
+    os.makedirs(store)
+    open(os.path.join(store, "__owner"), "w").close()  # empty marker
+    claim_store(store, "stream-a")  # must NOT raise
+    assert open(os.path.join(store, "__owner")).read() == "stream-a"
+    claim_store(store, "stream-a")  # restart path still fine

@@ -110,3 +110,93 @@ def test_store_manifest_acid_parity(spark, sf_smoke):
         all_oracles()["store_manifest_acid"], sf_smoke,
     )
     assert not problems, problems
+
+
+# --------------------------------------------------------------------------
+# r12: checkpoints, atomic publish, staged-file cleanup
+# --------------------------------------------------------------------------
+
+
+def test_checkpoint_written_and_snapshot_matches_fold(spark, tmp_path):
+    """After crossing CHECKPOINT_EVERY commits a checkpoint record
+    exists, snapshot() resolves through it, and time travel below the
+    checkpoint still folds the raw prefix."""
+    import os
+
+    from vector_ai_npm_spark.io import tablelog
+
+    t = str(tmp_path / "t")
+    for i in range(tablelog.CHECKPOINT_EVERY + 3):
+        append_table(_df(spark, i * 5, i * 5 + 5), t)
+    cp = tablelog._checkpoint_path(t, tablelog.CHECKPOINT_EVERY)
+    assert os.path.exists(cp)
+    v, live = snapshot(t)
+    assert v == tablelog.CHECKPOINT_EVERY + 2
+    assert read_table(spark, t).count() == (tablelog.CHECKPOINT_EVERY + 3) * 5
+    # as-of below the checkpoint: raw fold, unaffected by the record
+    assert read_table(spark, t, version=3).count() == 20
+    # as-of above it: resolved via the checkpoint + suffix fold
+    above = tablelog.CHECKPOINT_EVERY + 1
+    assert read_table(spark, t, version=above).count() == (above + 1) * 5
+
+
+def test_corrupt_checkpoint_is_ignored(spark, tmp_path):
+    """A checkpoint is pure optimization: garbage in the file must not
+    change what snapshot() returns (the commit records are truth)."""
+    from vector_ai_npm_spark.io import tablelog
+
+    t = str(tmp_path / "t")
+    for i in range(tablelog.CHECKPOINT_EVERY + 1):
+        append_table(_df(spark, i * 3, i * 3 + 3), t)
+    cp = tablelog._checkpoint_path(t, tablelog.CHECKPOINT_EVERY)
+    with open(cp, "w") as fh:
+        fh.write("{not json")
+    assert read_table(spark, t).count() == (tablelog.CHECKPOINT_EVERY + 1) * 3
+
+
+def test_unreadable_newest_record_is_in_flight(spark, tmp_path):
+    """A legacy writer crashing mid-publish left an empty newest
+    version file; readers treat it as in-flight instead of crashing."""
+    from vector_ai_npm_spark.io import tablelog
+
+    t = str(tmp_path / "t")
+    append_table(_df(spark, 0, 10), t)
+    append_table(_df(spark, 10, 15), t)
+    # simulate the pre-atomic failure mode: an EMPTY version file
+    open(tablelog._version_path(t, 2), "w").close()
+    v, _live = snapshot(t)
+    assert v == 1
+    assert read_table(spark, t).count() == 15
+
+
+def test_lost_replace_cas_discards_staged_files(spark, tmp_path, monkeypatch):
+    """A replace that loses the CAS must not leak its staged parquet
+    under data/ — nothing references uncommitted files."""
+    import os
+
+    from vector_ai_npm_spark.io import tablelog
+
+    t = str(tmp_path / "t")
+    append_table(_df(spark, 0, 10), t)
+    append_table(_df(spark, 10, 20), t)
+    n_dirs_before = len(os.listdir(f"{t}/data"))
+    monkeypatch.setattr(tablelog, "_try_commit", lambda *a, **k: False)
+    with pytest.raises(CommitConflict):
+        replace_table(read_table(spark, t).coalesce(1), t, 1)
+    assert len(os.listdir(f"{t}/data")) == n_dirs_before
+
+
+def test_append_retry_exhaustion_discards_staged_files(
+    spark, tmp_path, monkeypatch
+):
+    import os
+
+    from vector_ai_npm_spark.io import tablelog
+
+    t = str(tmp_path / "t")
+    append_table(_df(spark, 0, 10), t)
+    n_dirs_before = len(os.listdir(f"{t}/data"))
+    monkeypatch.setattr(tablelog, "_try_commit", lambda *a, **k: False)
+    with pytest.raises(CommitConflict):
+        append_table(_df(spark, 10, 20), t, max_retries=2)
+    assert len(os.listdir(f"{t}/data")) == n_dirs_before

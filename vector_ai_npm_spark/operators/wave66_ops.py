@@ -77,12 +77,14 @@ def vector_store_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist_ivf_store(base, store_dir, nlist=8)
     append_ivf_store(batch, store_dir)
 
-    doomed = [r.vec_id for r in
-              emb.where(F.col("vec_id") % 7 == 0).select("vec_id").collect()]
+    # r12 (verdict item 6): the corpus-derived delete set goes to the
+    # store as a DataFrame — no .collect() through the driver; the
+    # request-sized list path stays covered by tests/test_wave66.py
+    doomed = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
     qvec = list(
         emb.where(F.col("vec_id") == 42).select("embedding").first()[0]
     )
-    delete_ivf_vectors(spark, store_dir, doomed)
+    n_deleted = delete_ivf_vectors(spark, store_dir, doomed)
 
     n_visible_pre = read_ivf_cells(spark, store_dir).count()
     hits = search_ivf_store(spark, store_dir, qvec, k=5, nprobe=8)
@@ -96,7 +98,6 @@ def vector_store_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombs_left = glob.glob(f"{store_dir}/tombstones/*.parquet")
 
     n_total = emb.count()
-    n_deleted = len(doomed)
     return spark.createDataFrame(
         [(
             n_total, n_deleted, n_visible_pre, n_visible_post,

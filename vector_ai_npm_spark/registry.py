@@ -304,6 +304,9 @@ def _load_all_modules() -> None:
     # --- wave 72 (round 11): frequent itemsets + count-min sketch ---
     import vector_ai_npm_spark.operators.wave72_ops  # noqa: F401
 
+    # --- wave 73 (round 12): table-log checkpoints + banded LSH route ---
+    import vector_ai_npm_spark.operators.wave73_ops  # noqa: F401
+
 
 def _driver_history() -> tuple[set[str], set[str], dict[str, int]]:
     """(verified, attempted, last_green_round) per past CORRECTNESS_r*.json.

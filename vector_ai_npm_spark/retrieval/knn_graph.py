@@ -65,6 +65,7 @@ def build_knn_graph(
     random_occupancy: int = 16,
     build_degree: int | None = None,
     long_range: int = 0,
+    symmetrize_cap: int | None = None,
 ) -> DataFrame:
     """Directed kNN graph (src, dst, sim): sign-LSH seeding + NN-descent
     refinement.  ``emb`` must carry (vec_id, embedding).
@@ -95,7 +96,16 @@ def build_knn_graph(
     edges are all short and greedy beam search cannot cross the space
     once the accidental long edges of a low-quality build are gone;
     explicit long links restore navigability without diluting the
-    top-k neighborhood."""
+    top-k neighborhood.
+
+    ``symmetrize_cap`` unions the reverse edges (the undirected kNN
+    graph NSW searches over) and re-truncates per src to the cap.
+    Directed top-k truncation leaves anti-hub nodes effectively
+    unreachable in the GREEDY direction — beam search can only step
+    "uphill" along out-edges, and in near-orthogonal space many nodes
+    are in nobody's top-k; the reverse edges let search step down into
+    them.  Measured at sf1: (4,5,5)=14/15 with cap 24 vs (2,5,5)=12/15
+    directed — the final piece of the r12 build fix."""
     from vector_ai_npm_spark.dedup.embedding_router import (
         sign_lsh_signatures,
     )
@@ -192,6 +202,18 @@ def build_knn_graph(
             lr.dropDuplicates(["src", "dst"]), vecs, long_range
         )
         graph = graph.unionByName(lr_scored).dropDuplicates(["src", "dst"])
+    if symmetrize_cap is not None:
+        graph = _topk_per_key(
+            graph.unionByName(
+                graph.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "sim",
+                )
+            ).dropDuplicates(["src", "dst"]),
+            "src",
+            symmetrize_cap,
+        )
     return graph
 
 
@@ -305,28 +327,51 @@ _ROUNDS = 4
 _KG = 12  # graph degree
 
 
-def scaled_build_params(n: int) -> dict:
+def scaled_build_params(n: int, k: int | None = None) -> dict:
     """Corpus-scaled BUILD parameters (r12, mirroring the r11
     scaled_search_params / scaled_hash_tables precedent — base
     unchanged at the ≤2k tuning scale so sf0.01/0.1 behavior is
-    bit-identical):
+    bit-identical).  The full sf1 study trail is in TUNING.md r12 /
+    tools/knng_{build,variants,sym}_study.py; the short version of
+    what 20k near-orthogonal vectors taught:
 
-      * ``random_tables`` — long-range random-bucket seed tables
-        (NN-descent's classic random init), +2 per corpus decade.
-        Measured at sf1 (tools/knng_build_study.py, TUNING.md r12):
-        LSH-only seeding leaves graph recall at 0.205 because
-        neighbor-of-neighbor refinement never escapes the LSH regions
-        the seeds came from; random long-range edges restore routing.
-      * ``refine_rounds`` — +1 NN-descent round per decade (graph
-        diameter grows with n; fixed rounds freeze convergence).
+      * ``build_degree = k·(1+decades)`` — NN-descent at the TARGET
+        degree stalls (graph recall 0.205 at 20k); a 2× working degree
+        during refinement lifts it to 0.674 (0.904 at 3×, with
+        diminishing search returns — see symmetrize below).
+      * ``refine_rounds`` — +1 round per decade (diameter grows).
+      * ``random_tables`` — +2 random-bucket seed tables per decade
+        (the classic NN-descent random init; LSH-only seeding confines
+        refinement to LSH regions).
+      * ``long_range`` — 4 NSW-style random long edges per node per
+        decade: a purer kNN graph searches WORSE (0.904-recall graph
+        → 2/15 overlap) because all its edges are short; long links
+        restore cross-space routing (→ 12/15).
+      * ``symmetrize_cap = 2k`` — union reverse edges, re-truncate:
+        anti-hubs are unreachable in a directed top-k graph
+        (→ 14/15 = (4,5,5), all contract floors green at sf1).
     """
     import math
 
+    k = k if k is not None else _KG
     decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
     return {
         "refine_rounds": 3 + decades,
         "random_tables": 2 * decades,
+        "build_degree": k * (1 + decades),
+        "long_range": 4 * decades,
+        "symmetrize_cap": 2 * k if decades > 0 else None,
     }
+
+
+def effective_degree(n: int, k: int | None = None) -> int:
+    """Max out-degree of the graph scaled_build_params(n) builds — what
+    the recall contract's budget identity must charge per beam hop."""
+    k = k if k is not None else _KG
+    p = scaled_build_params(n, k)
+    if p["symmetrize_cap"] is not None:
+        return p["symmetrize_cap"]
+    return k + p["long_range"]
 
 
 def scaled_search_params(n: int) -> tuple[int, int, int]:
@@ -447,7 +492,10 @@ def _register() -> None:
         agg = ov.agg(
             (F.sum("n").cast("double") >= F.lit(0.65 * 15)).alias("ok")
         ).select(F.lit("agg_recall_065").alias("scope"), "ok")
-        spent = entries + _ROUNDS * beam * _KG
+        # degree term = the SCALED build's max out-degree (2k once the
+        # symmetrized build kicks in at decades >= 1), so the identity
+        # charges what a beam hop can actually expand
+        spent = entries + _ROUNDS * beam * effective_degree(n)
         budget_row = spark.range(1).select(
             F.lit("budget_within_ivf_half").alias("scope"),
             F.lit(bool(spent <= budget)).alias("ok"),
