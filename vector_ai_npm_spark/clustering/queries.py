@@ -190,10 +190,40 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r12 (sf10 catch, the mine_bitext/kendall bounded-subset precedent):
+# with FIXED k=8 the intra-cluster pair join is n²/8 — 2.5e9 cosines at
+# 200k vectors blew the sweep budget (production SemDeDup scales k with
+# n, but a static oracle SQL cannot, so the exact face is bounded
+# instead).  The subset keeps the k seed rows (vec_id < K) plus the
+# md5-top-(CAP−K) of the rest — a no-op through sf1 (20k rows), so
+# sf0.01/0.1/1 results are bit-identical.
+_SEMDEDUP_SUBSET_CAP = 20_000
+
+_SEMDEDUP_BASE_SQL = f"""(
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < {K}
+    UNION ALL
+    SELECT vec_id, embedding FROM (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {K}
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_SEMDEDUP_SUBSET_CAP - K}
+    ))"""
+
+
+def _semdedup_subset(emb: DataFrame) -> DataFrame:
+    """Spark mirror of _SEMDEDUP_BASE_SQL (same rows, any order)."""
+    seeds = emb.where(F.col("vec_id") < K)
+    rest = (
+        emb.where(F.col("vec_id") >= K)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_SEMDEDUP_SUBSET_CAP - K)
+    )
+    return seeds.unionByName(rest)
+
+
 @query(
     "dedup_semantic",
     oracle=f"""
-    WITH {_o_kmeans_ctes('embeddings')},
+    WITH {_o_kmeans_ctes(_SEMDEDUP_BASE_SQL)},
     ae AS (SELECT a2.vec_id, a2.cid, e.emb
            FROM a2 JOIN e USING (vec_id)),
     dropped AS (SELECT DISTINCT b.vec_id
@@ -214,8 +244,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle budget: the pair join is an equi-join on cluster_id
     (plan-gated no-cross-product); cluster sizes bound the quadratic
     term, and k grows with n in production so the bound is a constant.
+    This exact face pins k=8, so it is bounded to the deterministic
+    seed-preserving md5 subset above sf1 (see _SEMDEDUP_SUBSET_CAP).
     """
-    assigned = kmeans_assign(_emb_frame(spark, sf_dir))
+    assigned = kmeans_assign(_semdedup_subset(_emb_frame(spark, sf_dir)))
     a = assigned.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("cluster_id").alias("cid_a"),

@@ -34,16 +34,31 @@ from vector_ai_npm_spark.registry import query
 
 _EXACT_MAX_ROWS = 100_000
 
+# r12 (sf10 catch, the mine_bitext_margin bounded-subset precedent):
+# above this row count the face computes the exact statistic on the
+# deterministic md5-top-N subset instead of refusing — the histogram's
+# distinct (x,y) cells keep growing until the 1200×1200 score domain
+# saturates, and the non-equi cell-pair join is quadratic in cells
+# (93k cells at 100k rows = 4.3e9 pair tests in BOTH engines).  20k
+# keeps the full corpus through sf1 (bit-identical results at
+# sf0.01/0.1/1) and caps the pair join at ~2e8 above it.  The SAME
+# bound is in the oracle SQL, so both engines score the same subset.
+_EXACT_SUBSET_CAP = 20_000
+
 
 @query(
     "eval_kendall_tau_exact",
     oracle=f"""
-    WITH scored AS (
+    WITH sub AS (
+      SELECT vec_id, label FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_EXACT_SUBSET_CAP}
+    ), scored AS (
       SELECT {_duck_hash_mod("vec_id", "#cal", 600)}
                + CASE WHEN label < 5 THEN 350 ELSE 50 END AS x,
              {_duck_hash_mod("vec_id", "#kt2", 600)}
                + CASE WHEN label < 5 THEN 300 ELSE 100 END AS y
-      FROM embeddings
+      FROM sub
     ), hist AS (
       SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
       FROM scored GROUP BY x, y
@@ -77,15 +92,14 @@ def eval_kendall_tau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (unsampled) Kendall τ_a over the full corpus — the joint
     histogram form of `eval_kendall_tau`, with the md5 top-N sample
     removed and a hard size guard in its place (module docstring)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_rows = emb.count()
-    if n_rows > _EXACT_MAX_ROWS:
-        raise ValueError(
-            f"eval_kendall_tau_exact refuses {n_rows} rows (> "
-            f"{_EXACT_MAX_ROWS}): the histogram-pair join is quadratic "
-            "in distinct score cells until the domain saturates — use "
-            "the sampled face eval_kendall_tau for corpus-scale inputs"
-        )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        # deterministic md5-top-N subset: a no-op through sf1, the
+        # bounded exact estimand above it (see _EXACT_SUBSET_CAP)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_EXACT_SUBSET_CAP)
+    )
     scored = emb.select(
         (
             _spark_hash_mod(F.col("vec_id"), "#cal", 600)

@@ -226,7 +226,7 @@ _SHORTLIST_K = 8  # per-x candidates kept; must be >= _BG_K
 
 def ann_shortlist_pairs(
     x: DataFrame, y: DataFrame,
-    n_tables: int = 8, bits: int = 10, seed: int = 42,
+    n_tables: int = 8, bits: int | None = None, seed: int = 42,
     shortlist_k: int = _SHORTLIST_K,
 ) -> DataFrame:
     """(x_id, y_id, c): per-x top-``shortlist_k`` cross-pool candidates
@@ -249,7 +249,19 @@ def ann_shortlist_pairs(
 
     Scale: candidate count is O(n·E[bucket load]) — the embedding_router
     sizing discipline; per-x output is exactly ``shortlist_k`` rows, so
-    the margin stage is k·n however large the pools are."""
+    the margin stage is k·n however large the pools are.
+
+    ``bits`` defaults to the corpus-scaled derivation (r12 sf10 catch:
+    fixed bits=10 left bucket occupancy growing linearly — ~390 rows
+    per bucket per table at a 400k pool, a 6e8-pair candidate frame
+    that OOM'd the executor; target occupancy ~20 keeps candidates
+    O(n·tables)).  Base stays 10 at pools ≤ 20k, so sf0.01/0.1/sf1
+    behavior is unchanged."""
+    if bits is None:
+        import math
+
+        n_pool = max(x.count(), y.count())
+        bits = min(20, max(10, math.ceil(math.log2(max(n_pool, 2) / 20.0))))
     sig = _lazy_sign_lsh(n_tables=n_tables, bits=bits, seed=seed)
     xb = x.select(
         "x_id", F.posexplode(sig(F.col("x_emb"))).alias("tbl", "sig")
