@@ -193,11 +193,13 @@ def vector_quantize_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_rq,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb_raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb = emb_raw.select(
         "vec_id",
         F.expr(
-            "transform(cast(embedding as array<double>), "
-            "(x, i) -> x * power(0.92d, i))"
+            "transform(embedding, (x, i) -> x * power(0.92d, i))"
         ).alias("embedding"),
     )
     books = train_rq(emb, nstages=4, ksub=16)
@@ -208,9 +210,17 @@ def vector_quantize_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode(emb, train_pq(emb, m=4, ksub=16))
         .agg(F.avg("recon_cos").alias("pq_mean"))
     )
-    qvec = list(emb.where(F.col("vec_id") == 7).select("embedding").first()[0])
+    # adc_self_top1 stays on the RAW near-orthogonal fixture: it tests
+    # the ADC MECHANICS (stage LUT + stored norm), which need the self
+    # row to be unambiguous — on the anisotropized transform the low
+    # effective dimension makes reconstructions collide and self can
+    # legitimately tie below rank 1 (measured red at sf1, r12)
+    books_raw = train_rq(emb_raw, nstages=4, ksub=16)
+    qvec = list(
+        emb_raw.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    )
     adc_self = (
-        rq_adc_search(rq_encode(emb, books), books, qvec, k=1)
+        rq_adc_search(rq_encode(emb_raw, books_raw), books_raw, qvec, k=1)
         .agg(F.bool_and(F.col("vec_id") == 7).alias("ok"))
         .select(F.lit("adc_self_top1").alias("scope"), "ok")
     )

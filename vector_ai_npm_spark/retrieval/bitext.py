@@ -322,6 +322,23 @@ def _lazy_sign_lsh(n_tables: int, bits: int, seed: int):
 
 _PLANT_OFFSET = 1_000_000
 
+# r12 (sf10): the contract's ORACLE is the exact cross-pair margin SQL,
+# which is 2e10 pairs at sf10's 100k/200k pools — infeasible for any
+# single-node oracle.  The CONTRACT corpus (x-pool + decoys, twins
+# derived from x) is therefore bounded to the deterministic md5-top-N
+# of each base pool, mirrored Spark/SQL: a no-op at sf0.01/0.1 (pools
+# 250/1000), binding at sf1+ (6k × 12k = 7.2e7 oracle pairs).  The
+# shortlist MACHINERY under test is unchanged and corpus-scaled
+# (ann_shortlist_pairs derives bits from pool size).
+_ANN_CONTRACT_POOL_CAP = 6000
+
+
+def _o_capped_pool(label_pred: str) -> str:
+    return f"""(
+      SELECT vec_id, embedding FROM embeddings WHERE {label_pred}
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_ANN_CONTRACT_POOL_CAP})"""
+
 
 @query(
     "mine_bitext_margin_ann",
@@ -329,17 +346,17 @@ _PLANT_OFFSET = 1_000_000
     WITH x AS (
       SELECT vec_id AS x_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x_emb
-      FROM embeddings WHERE label % 2 = 0
+      FROM {_o_capped_pool('label % 2 = 0')}
     ), y AS (
       SELECT vec_id AS y_id,
              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS y_emb
-      FROM embeddings WHERE label % 2 = 1
+      FROM {_o_capped_pool('label % 2 = 1')}
       UNION ALL
       SELECT vec_id + {_PLANT_OFFSET} AS y_id,
              list_prepend(CAST(embedding[1] AS DOUBLE) + CAST(0.001 AS DOUBLE),
                           CAST(embedding[2:len(embedding)] AS DOUBLE[]))
                AS y_emb
-      FROM embeddings WHERE label % 2 = 0
+      FROM {_o_capped_pool('label % 2 = 0')}
     ), pairs AS MATERIALIZED (
       SELECT x_id, y_id, {o_cosine('x_emb', 'y_emb')} AS c
       FROM x CROSS JOIN y
@@ -395,14 +412,20 @@ def mine_bitext_margin_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement.  Mining pipelines only consume high-margin pairs, which
     is exactly the planted regime this oracle pins.)"""
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def _pool(parity: int) -> DataFrame:
+        return (
+            emb.where(F.col("label") % 2 == parity)
+            .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(_ANN_CONTRACT_POOL_CAP)
+        )
+
     arr = F.col("embedding").cast("array<double>")
-    x = emb.where(F.col("label") % 2 == 0).select(
-        F.col("vec_id").alias("x_id"), arr.alias("x_emb")
-    )
-    decoys = emb.where(F.col("label") % 2 == 1).select(
+    x = _pool(0).select(F.col("vec_id").alias("x_id"), arr.alias("x_emb"))
+    decoys = _pool(1).select(
         F.col("vec_id").alias("y_id"), arr.alias("y_emb")
     )
-    twins = emb.where(F.col("label") % 2 == 0).select(
+    twins = _pool(0).select(
         (F.col("vec_id") + _PLANT_OFFSET).alias("y_id"),
         F.expr(
             "concat(array(cast(embedding[0] as double) + 0.001d), "

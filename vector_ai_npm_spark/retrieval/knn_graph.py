@@ -361,6 +361,11 @@ def scaled_build_params(n: int, k: int | None = None) -> dict:
         "build_degree": k * (1 + decades),
         "long_range": 4 * decades,
         "symmetrize_cap": 2 * k if decades > 0 else None,
+        # seeding bits target ~20 rows/bucket (r12 sf10 catch: fixed
+        # bits=10 leaves occupancy ~195 at 200k — the banded seed join
+        # emits occupancy² pairs per bucket, the same linear-occupancy
+        # blowup the bitext shortlist hit); base 10 at <= 20k pools
+        "bits": min(20, max(10, math.ceil(math.log2(max(n, 2) / 20.0)))),
     }
 
 
