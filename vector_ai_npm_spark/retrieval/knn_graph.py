@@ -379,6 +379,19 @@ def effective_degree(n: int, k: int | None = None) -> int:
     return k + p["long_range"]
 
 
+def scaled_rounds(n: int) -> int:
+    """Beam-search rounds, corpus-scaled (r12 sf10 catch): with graph
+    recall ~0.56 at 200k, 4 rounds recovered only 2/15 overlap while
+    10 rounds + wider caps recovered 13/15 — hop count, not graph
+    quality, was the binding constraint (tools/knng_search_variants /
+    TUNING.md r12).  4 rounds at the verified ≤20k scales (sf1
+    contract green there), +6 per decade beyond."""
+    import math
+
+    decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
+    return 4 + 6 * max(0, decades - 1)
+
+
 def scaled_search_params(n: int) -> tuple[int, int, int]:
     """(beam, n_entries, budget): size the beam search so its exact-
     scored candidate count stays within HALF the corpus — the bound the
@@ -388,17 +401,24 @@ def scaled_search_params(n: int) -> tuple[int, int, int]:
     budget = n // 2
     # caps grow with the corpus (r11 sf1 catch: the old fixed 12/30
     # caps froze search effort while the corpus grew 10x, collapsing
-    # recall to zero on 2 of 3 queries at 20k vectors — the exact
-    # fixed-budget failure this function exists to prevent); one
-    # doubling per corpus decade beyond the 2k tuning scale keeps
-    # sf0.01/sf0.1 parameters bit-identical
+    # recall to zero on 2 of 3 queries at 20k vectors).  One doubling
+    # per decade through the verified ≤20k scales (sf0.01/0.1/sf1
+    # parameters bit-identical); beyond that the sf10 measurements set
+    # the pace — a doubling per decade starved recall at 200k (2/15 at
+    # beam 48/entries 120) while beam 128/entries 2000 recovered 13/15
+    # at a third of the candidate budget.
     import math
 
     decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
-    beam_cap = 12 * (2**decades)
-    entry_cap = 30 * (2**decades)
-    beam = max(4, min(beam_cap, budget // (_ROUNDS * _KG * 2)))
-    entries = max(4, min(entry_cap, budget - _ROUNDS * beam * _KG))
+    rounds = scaled_rounds(n)
+    if decades <= 1:
+        beam_cap = 12 * (2**decades)
+        entry_cap = 30 * (2**decades)
+    else:
+        beam_cap = 128 * (4 ** (decades - 2))
+        entry_cap = 2000 * (8 ** (decades - 2))
+    beam = max(4, min(beam_cap, budget // (rounds * _KG * 2)))
+    entries = max(4, min(entry_cap, budget - rounds * beam * _KG))
     return beam, entries, budget
 
 
