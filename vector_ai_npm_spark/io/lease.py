@@ -150,37 +150,62 @@ def claim_store(store_dir: str, owner_id: str) -> None:
     # place.  The marker is either absent or COMPLETE — a crash between
     # create and write can no longer leave an empty marker that wedges
     # every future claim (including the original stream's own restart).
+    # Bounded retry (r13 advice catch: the old recursive retry could
+    # recurse unboundedly on an empty-but-undeletable marker, and an
+    # OSError on READ — EACCES/EIO/transient NFS — was conflated with
+    # the legacy empty-marker case, silently admitting a second writer
+    # where the pin must raise; fail CLOSED on anything but a confirmed
+    # zero-length readable marker).
     tmp = os.path.join(store_dir, f".__owner.tmp.{os.getpid()}")
-    claimed = False
-    try:
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(owner_id)
+    for _ in range(3):
+        claimed = False
         try:
-            os.link(tmp, marker)
-            claimed = True
-        except FileExistsError:
-            pass
-    finally:
-        with contextlib.suppress(OSError):
-            os.unlink(tmp)
-    if claimed:
-        return
-    try:
-        with open(marker, encoding="utf-8") as fh:
-            current = fh.read()
-    except OSError:
-        current = ""
-    if current == "":
-        # Empty/unreadable marker = a legacy partial claim (pre-atomic
-        # writer crashed mid-publish).  Treat as unclaimed: rewrite it.
-        with contextlib.suppress(OSError):
-            os.unlink(marker)
-        claim_store(store_dir, owner_id)
-        return
-    if current != owner_id:
-        raise StoreWriterConflict(
-            f"store {store_dir} is owned by stream {current!r}; a second "
-            f"stream ({owner_id!r}) would publish colliding version "
-            "numbers that silently shadow the first — point the new "
-            "stream at a fresh store_dir or reuse the original checkpoint"
-        )
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(owner_id)
+            try:
+                os.link(tmp, marker)
+                claimed = True
+            except FileExistsError:
+                pass
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+        if claimed:
+            return
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                current = fh.read()
+        except OSError as exc:
+            raise StoreWriterConflict(
+                f"store {store_dir} has an owner marker that cannot be "
+                f"read ({exc}); refusing to claim — a second writer would "
+                "publish colliding version numbers"
+            ) from exc
+        if current == "":
+            # Confirmed zero-length readable marker = a legacy partial
+            # claim (pre-atomic writer crashed mid-publish).  Treat as
+            # unclaimed: remove and retry the atomic publish.  An
+            # undeletable empty marker falls out of the loop and raises.
+            try:
+                os.unlink(marker)
+            except FileNotFoundError:
+                pass  # someone else cleaned it — retry the publish
+            except OSError as exc:
+                raise StoreWriterConflict(
+                    f"store {store_dir} has an empty owner marker that "
+                    f"cannot be removed ({exc}); refusing to claim"
+                ) from exc
+            continue
+        if current != owner_id:
+            raise StoreWriterConflict(
+                f"store {store_dir} is owned by stream {current!r}; a "
+                f"second stream ({owner_id!r}) would publish colliding "
+                "version numbers that silently shadow the first — point "
+                "the new stream at a fresh store_dir or reuse the "
+                "original checkpoint"
+            )
+        return  # restart path: same owner re-claims, no-op
+    raise StoreWriterConflict(
+        f"store {store_dir}: could not converge on an owner claim after "
+        "3 attempts (marker kept reappearing empty); refusing to claim"
+    )

@@ -145,9 +145,13 @@ def snapshot(table_dir: str, version: int | None = None) -> tuple[int, list[str]
             with open(_version_path(table_dir, v), encoding="utf-8") as fh:
                 rec = json.load(fh)
         except (OSError, ValueError):
-            if i == len(versions) - 1:
+            if version is None and i == len(versions) - 1:
                 # newest record unreadable = a legacy in-flight commit;
-                # the snapshot is simply "as of the previous version".
+                # the LATEST snapshot is simply "as of the previous
+                # version".  An EXPLICIT time-travel read must not get
+                # this fallback (r13 advice catch: snapshot(dir, k) with
+                # a corrupt record at k would silently serve k-1 under
+                # the wrong version number) — fail loudly instead.
                 return (versions[i - 1], live) if i > 0 else (-1, [])
             raise
         for action in rec["actions"]:

@@ -5,16 +5,16 @@ the full embeddings corpus.  The default face (`eval_kendall_tau`,
 operators/wave33_ops.py) computes τ on a fixed md5 top-2000 sample —
 the right 100 TB estimator, but a silently different ESTIMAND from the
 textbook statistic.  This face restores the exact statistic for small
-corpora and refuses big ones loudly instead of running a plan whose
+corpora; above `_EXACT_SUBSET_CAP` (20k rows, r12) the estimand is the
+exact τ_a of the deterministic md5-top-20k subset — bounded, stable
+across engines, and documented rather than a refusal (the
+`mine_bitext_margin` bounded-subset precedent).  Unbounded, the
 histogram-pair join grows quadratically until the score domain
-saturates (measured 9.6× wall at the 10× replica before the sample cap
-— round-9 scale study, TUNING.md).
+saturates (measured 9.6× wall at the 10× replica before the cap —
+round-9 scale study, TUNING.md).
 
-Size guard: `_EXACT_MAX_ROWS` = 100k (the `mine_bitext_margin`
-EXACT_MAX_PAIRS / `dedup_embedding` EXACT_MAX_ROWS precedent — exact
-faces are opt-in and bounded; the sampled face is the scale path).
-At fixture scales the guard passes (500 / 2000 rows), so the oracle
-parity gate checks the exact statistic end-to-end.
+At fixture scales (500 / 2000 rows) the cap is a no-op, so the oracle
+parity gate checks the truly exact full-corpus statistic end-to-end.
 
 Cross-engine determinism: integer hash scores, integer pair tallies,
 one final double division spelled identically in both engines.
@@ -31,8 +31,6 @@ from vector_ai_npm_spark.operators.eval_metrics import (
     _spark_hash_mod,
 )
 from vector_ai_npm_spark.registry import query
-
-_EXACT_MAX_ROWS = 100_000
 
 # r12 (sf10 catch, the mine_bitext_margin bounded-subset precedent):
 # above this row count the face computes the exact statistic on the
@@ -89,9 +87,11 @@ _EXACT_SUBSET_CAP = 20_000
     """,
 )
 def eval_kendall_tau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact (unsampled) Kendall τ_a over the full corpus — the joint
-    histogram form of `eval_kendall_tau`, with the md5 top-N sample
-    removed and a hard size guard in its place (module docstring)."""
+    """Exact Kendall τ_a — full-corpus through 20k rows, the exact
+    statistic of the deterministic md5-top-`_EXACT_SUBSET_CAP` subset
+    above that (bounded estimand, module docstring).  A no-op cap at
+    every fixture scale, so the parity gate checks the unsampled
+    statistic end-to-end."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label")

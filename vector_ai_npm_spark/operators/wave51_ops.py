@@ -212,8 +212,11 @@ def vector_quantize_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # adc_self_top1 tests the ADC MECHANICS on the RAW fixture with the
     # production TWO-STAGE semantics: self must survive the ADC
-    # shortlist at the probed-scaled budget (max(4k, n/5), the ivfrq
-    # rule), then the exact re-rank puts it at rank 1.  Raw ADC-rank-1
+    # shortlist at the corpus-proportional budget n/5 (the top-20% cut;
+    # tiny floor of 4 only so degenerate <20-row frames stay defined —
+    # a production-style 4000 floor would swallow the 500-row fixture
+    # whole and make the gate vacuous), then the exact re-rank puts it
+    # at rank 1.  Raw ADC-rank-1
     # is asymptotically impossible at fixed code length: the max random
     # recon-query cosine over n rows grows ~ sqrt(2 ln n / d) (≈0.62 at
     # 200k, d=64) and passes the fixed 4-byte self-recon (≈0.46) —

@@ -450,9 +450,14 @@ def _register() -> None:
         """B9 graph ANN: NN-descent-built kNN graph + corpus-scaled
         beam search for the 3 fixture queries (module docstring)."""
         emb, graph, queries = _fixture_graph_and_queries(spark, sf_dir)
-        beam, entries, _ = scaled_search_params(emb.count())
+        n = emb.count()
+        beam, entries, _ = scaled_search_params(n)
+        # rounds MUST be the scaled value (r13 advice catch: r12 sized
+        # beam/entries for scaled_rounds(n) hops but still passed the
+        # fixed 4 here — 2/15 at 200k; identical at <=20k where
+        # scaled_rounds == _ROUNDS)
         return knn_graph_search(
-            queries, emb, graph, k=5, beam=beam, rounds=_ROUNDS,
+            queries, emb, graph, k=5, beam=beam, rounds=scaled_rounds(n),
             n_entries=entries,
         )
 
@@ -484,8 +489,9 @@ def _register() -> None:
         emb, graph, queries = _fixture_graph_and_queries(spark, sf_dir)
         n = emb.count()
         beam, entries, budget = scaled_search_params(n)
+        rounds = scaled_rounds(n)
         hits = knn_graph_search(
-            queries, emb, graph, k=5, beam=beam, rounds=_ROUNDS,
+            queries, emb, graph, k=5, beam=beam, rounds=rounds,
             n_entries=entries,
         ).select("q_vec_id", "vec_id")
         exact = similarity_join(queries, emb, k=5, threshold=-1.0).select(
@@ -520,7 +526,7 @@ def _register() -> None:
         # degree term = the SCALED build's max out-degree (2k once the
         # symmetrized build kicks in at decades >= 1), so the identity
         # charges what a beam hop can actually expand
-        spent = entries + _ROUNDS * beam * effective_degree(n)
+        spent = entries + rounds * beam * effective_degree(n)
         budget_row = spark.range(1).select(
             F.lit("budget_within_ivf_half").alias("scope"),
             F.lit(bool(spent <= budget)).alias("ok"),
