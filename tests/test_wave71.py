@@ -200,3 +200,103 @@ def test_append_retry_exhaustion_discards_staged_files(
     with pytest.raises(CommitConflict):
         append_table(_df(spark, 10, 20), t, max_retries=2)
     assert len(os.listdir(f"{t}/data")) == n_dirs_before
+
+
+def test_multiprocess_cas_stress_converges(tmp_path):
+    """N OS PROCESSES (not threads — separate interpreters, no GIL
+    serialization, real scheduler interleaving) hammer one table with
+    appends through the CAS loop, with kill-mid-CAS crash injection
+    (r12 verdict item 6, mirroring the IVF compaction crash tests):
+
+      * worker 0 SIGKILLs itself at its 3rd attempt AFTER writing+
+        fsyncing the temp record but BEFORE the os.link publish — the
+        orphan temp must never appear in the log or corrupt the fold;
+      * worker 1 SIGKILLs itself right AFTER its 2nd link wins, before
+        reporting — the commit is durable and must be discovered from
+        the log alone;
+      * workers 2-4 run to completion.
+
+    Convergence: the committed version sequence is contiguous 0..V with
+    no duplicates, every version reported by a surviving worker is in
+    the log, the post-crash worker has exactly crash_at+? committed
+    records in the log (its reported ones plus the one unreported), and
+    the fold (snapshot) equals the full replay of every add action."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from vector_ai_npm_spark.io import tablelog
+
+    t = str(tmp_path / "t")
+    os.makedirs(t, exist_ok=True)
+    worker = os.path.join(os.path.dirname(__file__), "tablelog_stress_worker.py")
+    specs = [
+        ("0", ["--commits", "6", "--crash-at", "3", "--crash-point", "pre"]),
+        ("1", ["--commits", "6", "--crash-at", "2", "--crash-point", "post"]),
+        ("2", ["--commits", "8"]),
+        ("3", ["--commits", "8"]),
+        ("4", ["--commits", "8"]),
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, t, wid, *extra],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for wid, extra in specs
+    ]
+    outs = [p.communicate(timeout=120) for p in procs]
+    reported: dict[str, list[int]] = {}
+    for (wid, _), p, (out, err) in zip(specs, procs, outs):
+        reported[wid] = [
+            int(line.split()[1])
+            for line in out.splitlines()
+            if line.startswith("committed ")
+        ]
+        if wid in ("0", "1"):
+            assert p.returncode != 0, f"crasher {wid} should have died: {err}"
+        else:
+            assert p.returncode == 0, f"worker {wid} failed: {err}"
+            assert "done" in out
+
+    versions = tablelog._versions(t)
+    # contiguous, gap-free, duplicate-free version chain
+    assert versions == list(range(len(versions)))
+    # per-version owner from the committed records themselves
+    owner_commits: dict[str, int] = {}
+    all_adds: list[str] = []
+    for v in versions:
+        with open(tablelog._version_path(t, v), encoding="utf-8") as fh:
+            rec = json.load(fh)
+        assert rec["version"] == v
+        for a in rec["actions"]:
+            assert a["op"] == "add"
+            all_adds.append(a["file"])
+            wid = os.path.basename(a["file"]).split("-")[0][1:]
+            owner_commits[wid] = owner_commits.get(wid, 0) + 1
+    # every reported commit is in the log under the right version
+    for wid, vs in reported.items():
+        for v in vs:
+            assert v in versions
+    # survivors: exactly their requested commit count landed
+    for wid in ("2", "3", "4"):
+        assert owner_commits.get(wid, 0) == 8
+        assert len(reported[wid]) == 8
+    # pre-crash worker: its first 3 commits landed, the mid-CAS one did
+    # NOT (the temp was never linked)
+    assert owner_commits.get("0", 0) == 3
+    assert len(reported["0"]) == 3
+    # post-crash worker: the unreported-but-durable commit IS in the log
+    assert owner_commits.get("1", 0) == 3  # 2 reported + 1 unreported
+    assert len(reported["1"]) == 2
+    # orphan temp from the mid-CAS death exists but never entered the log
+    log_files = os.listdir(tablelog._log_dir(t))
+    assert any(f.startswith(".tmp.") for f in log_files)
+    # fold == full replay; every live file exists on disk
+    top_v, live = tablelog.snapshot(t)
+    assert top_v == versions[-1]
+    assert sorted(live) == sorted(all_adds)
+    for f in live:
+        assert os.path.exists(f)

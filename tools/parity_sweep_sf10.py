@@ -11,13 +11,16 @@ TIMEOUT instead of wedging the sweep.
 
     SPARK_GRAFT_GEN_MULT=10 SPARK_GRAFT_GEN_DST=/tmp/sf10 \
         python tools/gen_sf1.py --gen-only      # once (~3 min)
-    python tools/parity_sweep_sf10.py           # the sweep
+    python tools/parity_sweep_sf10.py           # the r12 spot list
+    python tools/parity_sweep_sf10.py --names a,b,c --tag r13_knng
+    python tools/parity_sweep_sf10.py --all --tag r13_full   # whole registry
 
-Writes tools/logs/parity_sweep_sf10_r12.log; exit code is the gate.
+Writes tools/logs/parity_sweep_sf10_<tag>.log; exit code is the gate.
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import threading
 import time
@@ -26,7 +29,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF10 = "/tmp/sf10"
-LOG = Path(__file__).parent / "logs" / "parity_sweep_sf10_r12.log"
 PER_QUERY_BUDGET_S = 900.0
 
 # scale-sensitive class: ANN recall contracts + sketches + stat
@@ -76,16 +78,37 @@ def main() -> int:
     from vector_ai_npm_spark import registry
     from vector_ai_npm_spark.session import get_spark
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--names", help="comma-separated query names to run")
+    ap.add_argument(
+        "--all", action="store_true",
+        help="run the WHOLE registry (r13 full sweep), not the r12 spot list",
+    )
+    ap.add_argument("--tag", default="r12", help="log filename tag")
+    ap.add_argument(
+        "--skip", default="",
+        help="comma-separated names to skip (e.g. classified oracle limits)",
+    )
+    args = ap.parse_args()
+    log = Path(__file__).parent / "logs" / f"parity_sweep_sf10_{args.tag}.log"
+
     if not Path(SF10).exists():
         print("generate /tmp/sf10 first (see module docstring)")
         return 2
     spark = get_spark("sf10-parity-sweep")
     oracles = registry.all_oracles()
     queries = registry.all_queries()
-    names = [n for n in NAMES if n in queries]
+    if args.names:
+        wanted = [n.strip() for n in args.names.split(",") if n.strip()]
+    elif args.all:
+        wanted = sorted(queries)
+    else:
+        wanted = NAMES
+    skip = {n.strip() for n in args.skip.split(",") if n.strip()}
+    names = [n for n in wanted if n in queries and n not in skip]
     failures: list[str] = []
     lines: list[str] = []
-    LOG.parent.mkdir(parents=True, exist_ok=True)
+    log.parent.mkdir(parents=True, exist_ok=True)
 
     for i, name in enumerate(names, 1):
         t0 = time.perf_counter()
@@ -118,7 +141,7 @@ def main() -> int:
             line += " | " + "; ".join(str(p)[:300] for p in problems[:3])
         print(line, flush=True)
         lines.append(line)
-        LOG.write_text("\n".join(lines) + "\n")
+        log.write_text("\n".join(lines) + "\n")
 
     summary = (
         f"sf10 sweep: {len(names) - len(failures)}/{len(names)} green; "
@@ -126,7 +149,7 @@ def main() -> int:
     )
     print(summary, flush=True)
     lines.append(summary)
-    LOG.write_text("\n".join(lines) + "\n")
+    log.write_text("\n".join(lines) + "\n")
     return 1 if failures else 0
 
 

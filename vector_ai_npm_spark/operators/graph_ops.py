@@ -228,23 +228,38 @@ def pagerank_edges(edges: DataFrame, n_iter: int = _N_ITER) -> DataFrame:
 
 
 def _pagerank_over_sym(sym: DataFrame, n_iter: int = _N_ITER) -> DataFrame:
+    # deg is re-read by every iteration: checkpoint it ONCE (node-count
+    # sized) so each step's plan is shallow instead of nesting the
+    # degree aggregation k times.  n is a bounded driver scalar (the
+    # one-row aggregate the old plan broadcast via crossJoin); Python
+    # and JVM share IEEE division so 0.15/n is bit-identical either
+    # way.  Checkpointing RANKS each step keeps the per-iteration plan
+    # at a constant 2-join depth — the r12 bench flag traced to the
+    # k-deep nested plan (codegen + stage count grows with k, and the
+    # whole tower re-executes under full-session GC pressure).
     nodes = sym.select("node").distinct()
-    n = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    ranks = nodes.crossJoin(n).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    n_val = float(nodes.count())
+    deg = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(n_iter):
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_val)).alias("r"))
+    for i in range(n_iter):
         contrib = (
             sym.join(ranks, "node")
             .join(deg, "node")
             .groupBy(F.col("nbr").alias("node"))
             .agg(dsum(F.col("r") / F.col("d"), "s"))
         )
-        ranks = contrib.crossJoin(n).select(
+        ranks = contrib.select(
             "node",
-            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+            (
+                F.lit(0.15) / F.lit(n_val) + F.lit(0.85) * F.col("s")
+            ).alias("r"),
         )
+        if i < n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("pagerank"))
 
 

@@ -100,17 +100,23 @@ def graph_pagerank_personalized(
 ) -> DataFrame:
     """Personalized PageRank — see module docstring."""
     sym = _pagerank_sym_cached(spark, sf_dir)
-    deg = sym.groupBy("node").agg(
-        F.count(F.lit(1)).cast("double").alias("d")
+    # same shallow-plan discipline as _pagerank_over_sym (r13): deg is
+    # read by every step — checkpoint it once; checkpoint ranks per
+    # step so the plan depth stays constant instead of nesting k deep
+    deg = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .localCheckpoint(eager=True)
     )
     seeds = (
         deg.orderBy(F.col("d").desc(), F.col("node"))
         .limit(_N_SEEDS)
         .select("node")
+        .localCheckpoint(eager=True)
     )
     ranks = seeds.select("node", F.lit(0.2).alias("r"))
     tele = seeds.select("node", F.lit(0.03).alias("m"))
-    for _ in range(_N_ITER):
+    for _i in range(_N_ITER):
         contrib = (
             sym.join(ranks, "node")
             .join(deg, "node")
@@ -137,4 +143,6 @@ def graph_pagerank_personalized(
             .groupBy("node")
             .agg(F.sum("m").alias("r"))
         )
+        if _i < _N_ITER - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("ppr"))
