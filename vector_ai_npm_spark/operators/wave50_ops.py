@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
+from vector_ai_npm_spark.retrieval.scaling import recall_floors
 
 _QUERY_IDS = (0, 7, 42)
 def _pred():
@@ -134,11 +135,11 @@ def ivf_filtered_recall_contract(
         validity.unionByName(fill)
         .unionByName(
             _recall_rows("filtered_full", full, exact,
-                         per_q_floor=5, agg_floor=1.0)
+                         *recall_floors("filtered_full"))
         )
         .unionByName(
             _recall_rows("filtered_widened", widened, exact,
-                         per_q_floor=3, agg_floor=0.75)
+                         *recall_floors("filtered_widened"))
         )
     )
     return out.withColumnRenamed("recall_ok", "ok")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
+from vector_ai_npm_spark.retrieval.scaling import recall_floors
 
 _QUERY_IDS = (0, 7, 42)
 
@@ -38,10 +39,9 @@ def scaled_rq_stages(n: int, base: int = 4) -> int:
     (tools/ivfrq_scale_study.py, TUNING.md r12): 4 stages → half 11/15
     (q42=2 < 3), full 13/15 (q42=3 < 4), both RED; 6 stages → half
     13/15 (min 4), full 14/15 (min 4), all floors GREEN."""
-    import math
+    from vector_ai_npm_spark.retrieval.scaling import corpus_decades
 
-    decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
-    return base + 2 * decades
+    return base + 2 * corpus_decades(n)
 
 
 def _search_all(spark, sf_dir, nprobe):
@@ -130,11 +130,11 @@ def ivfrq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         self_ok
         .unionByName(
             _recall_rows("ivfrq_half", half, exact,
-                         per_q_floor=3, agg_floor=0.65)
+                         *recall_floors("ivfrq_half"))
         )
         .unionByName(
             _recall_rows("ivfrq_full", full, exact,
-                         per_q_floor=4, agg_floor=0.8)
+                         *recall_floors("ivfrq_full"))
         )
     )
     return out.withColumnRenamed("recall_ok", "ok")

@@ -353,8 +353,10 @@ def scaled_build_params(n: int, k: int | None = None) -> dict:
     """
     import math
 
+    from vector_ai_npm_spark.retrieval.scaling import corpus_decades
+
     k = k if k is not None else _KG
-    decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
+    decades = corpus_decades(n)
     return {
         "refine_rounds": 3 + decades,
         "random_tables": 2 * decades,
@@ -386,10 +388,9 @@ def scaled_rounds(n: int) -> int:
     quality, was the binding constraint (tools/knng_search_variants /
     TUNING.md r12).  4 rounds at the verified ≤20k scales (sf1
     contract green there), +6 per decade beyond."""
-    import math
+    from vector_ai_npm_spark.retrieval.scaling import corpus_decades
 
-    decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
-    return 4 + 6 * max(0, decades - 1)
+    return 4 + 6 * max(0, corpus_decades(n) - 1)
 
 
 def scaled_search_params(n: int) -> tuple[int, int, int]:
@@ -407,9 +408,9 @@ def scaled_search_params(n: int) -> tuple[int, int, int]:
     # the pace — a doubling per decade starved recall at 200k (2/15 at
     # beam 48/entries 120) while beam 128/entries 2000 recovered 13/15
     # at a third of the candidate budget.
-    import math
+    from vector_ai_npm_spark.retrieval.scaling import corpus_decades
 
-    decades = max(0, round(math.log10(max(n, 1) / 2000.0)))
+    decades = corpus_decades(n)
     rounds = scaled_rounds(n)
     if decades <= 1:
         beam_cap = 12 * (2**decades)
@@ -513,15 +514,18 @@ def _register() -> None:
             .select("q_vec_id", F.coalesce("n", F.lit(0)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        from vector_ai_npm_spark.retrieval.scaling import recall_floors
+
+        per_q_floor, agg_floor = recall_floors("knn_graph")
         per_q = ov.select(
             F.concat(
                 F.lit("q"), F.col("q_vec_id").cast("string"),
                 F.lit("_overlap3"),
             ).alias("scope"),
-            (F.col("n") >= 3).alias("ok"),
+            (F.col("n") >= per_q_floor).alias("ok"),
         )
         agg = ov.agg(
-            (F.sum("n").cast("double") >= F.lit(0.65 * 15)).alias("ok")
+            (F.sum("n").cast("double") >= F.lit(agg_floor * 15)).alias("ok")
         ).select(F.lit("agg_recall_065").alias("scope"), "ok")
         # degree term = the SCALED build's max out-degree (2k once the
         # symmetrized build kicks in at decades >= 1), so the identity

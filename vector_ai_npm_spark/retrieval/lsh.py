@@ -55,9 +55,9 @@ def scaled_hash_tables(n_rows: int, base: int = 3) -> int:
     the corpus — the §4t probed-scaled-budget discipline applied to
     LSH.  At ≤2k rows this returns ``base`` exactly, so every sf0.01 /
     sf0.1 hash and pin is unchanged."""
-    import math
+    from vector_ai_npm_spark.retrieval.scaling import corpus_decades
 
-    return base + 2 * max(0, round(math.log10(max(n_rows, 1) / 2000.0)))
+    return base + 2 * corpus_decades(n_rows)
 
 
 def ann_similarity_join(queries: DataFrame, store: DataFrame, k: int = 5,

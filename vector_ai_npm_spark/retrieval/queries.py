@@ -9,6 +9,7 @@ from vector_ai_npm_spark.functions.vectors import o_cosine
 from vector_ai_npm_spark.io.sources import load_table
 from vector_ai_npm_spark.registry import query
 from vector_ai_npm_spark.retrieval.lsh import ann_similarity_join
+from vector_ai_npm_spark.retrieval.scaling import recall_floors
 from vector_ai_npm_spark.retrieval.search import (
     project_results,
     similarity_join,
@@ -175,12 +176,14 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_full = ivf_similarity_join(queries, emb, k=5, nlist=8, nprobe=8)
     ivf_half = ivf_similarity_join(queries, emb, k=5, nlist=8, nprobe=4)
     return (
-        _recall_rows("lsh", lsh, exact, per_q_floor=4, agg_floor=0.9)
+        _recall_rows("lsh", lsh, exact, *recall_floors("lsh"))
         .unionByName(
-            _recall_rows("ivf_full", ivf_full, exact, per_q_floor=5, agg_floor=1.0)
+            _recall_rows("ivf_full", ivf_full, exact,
+                         *recall_floors("ivf_full"))
         )
         .unionByName(
-            _recall_rows("ivf_half", ivf_half, exact, per_q_floor=3, agg_floor=0.65)
+            _recall_rows("ivf_half", ivf_half, exact,
+                         *recall_floors("ivf_half"))
         )
     )
 

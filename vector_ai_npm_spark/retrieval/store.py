@@ -61,11 +61,9 @@ def scaled_nprobe(n_rows: int, nlist: int, base: int = 4) -> int:
     sf0.1 hashes and pins unchanged).  The §4t probed-scaled-budget
     discipline applied to the store lifecycle faces; scan cost stays
     ~nprobe/nlist of the corpus."""
-    import math
+    from vector_ai_npm_spark.retrieval.scaling import corpus_decades
 
-    return min(
-        nlist, base + max(0, round(math.log10(max(n_rows, 1) / 2000.0)))
-    )
+    return min(nlist, base + corpus_decades(n_rows))
 
 
 def probe_cells_for(
