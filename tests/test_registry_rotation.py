@@ -228,6 +228,32 @@ def test_round11_additions_front_the_window():
     )
 
 
+ROUND13_ADDITIONS = frozenset({
+    "knn_graph_insert_contract",
+})
+
+
+def test_round13_additions_front_the_window():
+    qs = list(registry.all_queries())
+    _verified, attempted, _ = registry._driver_history()
+    debt = [
+        n for n in ROUND13_ADDITIONS
+        if n in registry._QUERIES and n not in attempted
+    ]
+    window = set(qs[:50])
+    outside = [n for n in debt if n not in window]
+    assert not outside, (
+        f"round-13 additions fell outside the 50-slot window: {outside}"
+    )
+
+
+def test_round13_additions_registered():
+    registry._load_all_modules()
+    known = set(registry._QUERIES)
+    missing = ROUND13_ADDITIONS - known
+    assert not missing, f"ROUND13_ADDITIONS names not registered: {missing}"
+
+
 def test_round11_additions_registered():
     registry._load_all_modules()
     known = set(registry._QUERIES)

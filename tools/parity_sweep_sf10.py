@@ -86,6 +86,10 @@ def main() -> int:
     )
     ap.add_argument("--tag", default="r12", help="log filename tag")
     ap.add_argument(
+        "--budget", type=float, default=PER_QUERY_BUDGET_S,
+        help="per-query watchdog seconds (raise for the 66-min knn build)",
+    )
+    ap.add_argument(
         "--skip", default="",
         help="comma-separated names to skip (e.g. classified oracle limits)",
     )
@@ -115,7 +119,7 @@ def main() -> int:
         timed_out = threading.Event()
 
         def _watchdog():
-            if not done.wait(PER_QUERY_BUDGET_S):
+            if not done.wait(args.budget):
                 timed_out.set()
                 spark.sparkContext.cancelAllJobs()
 

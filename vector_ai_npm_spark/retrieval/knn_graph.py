@@ -245,6 +245,125 @@ def _score_and_truncate(
     return _topk_per_key(both, "src", k) if truncate else both
 
 
+def insert_knn_graph(
+    graph: DataFrame,
+    emb: DataFrame,
+    new_vecs: DataFrame,
+    k: int = 8,
+    n_tables: int = 6,
+    bits: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Incrementally link ``new_vecs`` into an existing kNN graph
+    WITHOUT a rebuild (r12 verdict item 7: the IVF store has the full
+    streaming append lifecycle; this gives the graph index its
+    freshness path).
+
+    HNSW-style bidirectional insert (Malkov & Yashunin §4, expressed
+    as joins):
+
+      1. candidates per new vector = a BEAM SEARCH of the existing
+         graph with the new vector as query (:func:`knn_graph_search`
+         at the corpus-scaled budget — exactly how HNSW acquires
+         insertion neighbors).  Search-based acquisition is the
+         load-bearing choice: the nodes it returns are BY CONSTRUCTION
+         nodes a later query-side beam can navigate to, so the reverse
+         edges land where search will actually look.  (The first cut
+         used LSH band seeding instead; at 500 near-orthogonal fixture
+         rows 10-bit buckets yield ~3 collisions per vector, the links
+         landed on mediocre neighbors the beam never visits, and the
+         freshly-inserted vector was unfindable — measured red before
+         this design.)  A sign-LSH band join among the new batch
+         itself supplements (a batch can contain mutual nearest
+         neighbors the old graph knows nothing about);
+      2. the new node's OUT-edges = exact-cosine top-k of its
+         candidates;
+      3. every out-edge is mirrored as an IN-edge (existing → new,
+         appended, NOT re-truncated): reverse reachability is what
+         makes a fresh node findable at all (the r12 symmetrize
+         lesson — beam search can only step along out-edges, and a
+         brand-new node is in nobody's list).  Appending may push an
+         affected node past its degree cap by the number of inserts
+         that chose it (expected k·|batch|/n per node); the documented
+         cadence is to rebuild with :func:`scaled_build_params` when
+         the batch total reaches ~10% of the corpus, restoring the
+         capped invariants — same policy as IVF store compaction.
+
+    100 TB shape: per inserted vector the search scores
+    O(entries + rounds·beam·degree) candidates (corpus-independent
+    once the graph exists) and the batch-internal band join is
+    output-bound; the existing graph is never re-shuffled — the union
+    is append-only.
+    """
+    from vector_ai_npm_spark.dedup.embedding_router import (
+        sign_lsh_signatures,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    old = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    new = new_vecs.select("vec_id", "embedding").localCheckpoint(eager=True)
+    n = old.count()
+    beam, entries, _ = scaled_search_params(n)
+    hits = knn_graph_search(
+        new.select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").alias("q_embedding"),
+        ),
+        old,
+        graph,
+        k=k,
+        beam=beam,
+        rounds=scaled_rounds(n),
+        n_entries=entries,
+    ).select(
+        F.col("q_vec_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        F.col("similarity").alias("sim"),
+    )
+    # batch-internal candidates via the build's sign-LSH banding
+    lsh_sig = sign_lsh_signatures(dim, n_tables=n_tables, bits=bits, seed=seed)
+    nb = new.withColumn("sigs", lsh_sig("embedding")).select(
+        "vec_id", F.posexplode("sigs").alias("table", "sig")
+    )
+    nn = (
+        nb.alias("x")
+        .join(
+            nb.alias("y"),
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    sv = new.select(F.col("vec_id").alias("src"), F.col("embedding").alias("s_emb"))
+    dv = new.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("d_emb"))
+    nn_scored = (
+        nn.join(sv, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            cosine_similarity(F.col("s_emb"), F.col("d_emb")).alias("sim"),
+        )
+    )
+    out_edges = _topk_per_key(
+        hits.unionByName(nn_scored).dropDuplicates(["src", "dst"]),
+        "src",
+        k,
+    ).localCheckpoint(eager=True)
+    in_edges = out_edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
+    )
+    return (
+        graph.unionByName(out_edges)
+        .unionByName(in_edges)
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def knn_graph_search(
     queries: DataFrame,
     emb: DataFrame,
@@ -423,13 +542,35 @@ def scaled_search_params(n: int) -> tuple[int, int, int]:
     return beam, entries, budget
 
 
+_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _fixture_graph_and_queries(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from vector_ai_npm_spark.io.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    graph = build_knn_graph(emb, k=_KG, **scaled_build_params(emb.count()))
+    # Cache the built graph per (application, fixture): the search face
+    # and the recall contract consume the SAME build, and the build is
+    # the dominant cost (66 min at 200k vectors, TUNING.md r12 #7 — a
+    # sweep that rebuilds it per face times out forever).  App-id
+    # keyed with prior-app eviction, the _pagerank_sym_cached
+    # discipline (graph_ops.py).
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _GRAPH_CACHE if k[0] != app_id]:
+        df = _GRAPH_CACHE.pop(stale)
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # dead JVM
+    key = (app_id, sf_dir)
+    graph = _GRAPH_CACHE.get(key)
+    if graph is None:
+        graph = build_knn_graph(
+            emb, k=_KG, **scaled_build_params(emb.count())
+        ).localCheckpoint(eager=True)
+        _GRAPH_CACHE[key] = graph
     queries = emb.where(F.col("vec_id").isin(0, 7, 42)).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),
@@ -536,6 +677,85 @@ def _register() -> None:
             F.lit(bool(spent <= budget)).alias("ok"),
         )
         return per_q.unionByName(agg).unionByName(budget_row)
+
+    @query(
+        "knn_graph_insert_contract",
+        oracle="""
+        SELECT scope, ok FROM (VALUES
+          ('v1_self_top1', TRUE), ('v8_self_top1', TRUE),
+          ('v43_self_top1', TRUE),
+          ('inserted_have_out_edges', TRUE),
+          ('inserted_have_in_edges', TRUE)
+        ) t(scope, ok)
+        """,
+    )
+    def knn_graph_insert_contract(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Index-freshness contract (r12 verdict item 7): a vector
+        inserted via :func:`insert_knn_graph` — NO rebuild — must be
+        FINDABLE.  Build the graph on the corpus minus 3 held-out
+        vectors, insert them incrementally, then beam-search each
+        held-out vector as its own query: it must come back at rank 1
+        (sim 1.0 — reachable only through the insert's reverse edges,
+        since a fresh node is in nobody's pre-existing list).  Two
+        structural rows pin the mechanism: every inserted node has
+        out-edges (candidate generation found its neighborhood) and
+        in-edges (bidirectional linking landed)."""
+        from pyspark.sql import functions as F
+
+        from vector_ai_npm_spark.io.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        held_ids = (1, 8, 43)
+        held = emb.where(F.col("vec_id").isin(*held_ids))
+        rest = emb.where(~F.col("vec_id").isin(*held_ids))
+        n = rest.count()
+        graph = build_knn_graph(rest, k=_KG, **scaled_build_params(n))
+        graph2 = insert_knn_graph(
+            graph, rest, held, k=_KG,
+            bits=scaled_build_params(n)["bits"],
+        ).localCheckpoint(eager=True)
+        allv = rest.unionByName(held)
+        queries = held.select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        beam, entries, _ = scaled_search_params(n)
+        hits = knn_graph_search(
+            queries, allv, graph2, k=5, beam=beam,
+            rounds=scaled_rounds(n), n_entries=entries,
+        )
+        top1 = hits.where(F.col("rank") == 1).select("q_vec_id", "vec_id")
+        per_v = (
+            queries.select("q_vec_id")
+            .join(top1, "q_vec_id", "left")
+            .select(
+                F.concat(
+                    F.lit("v"), F.col("q_vec_id").cast("string"),
+                    F.lit("_self_top1"),
+                ).alias("scope"),
+                F.coalesce(
+                    F.col("vec_id") == F.col("q_vec_id"), F.lit(False)
+                ).alias("ok"),
+            )
+        )
+        held_col = F.col("src").isin(*held_ids)
+        out_ok = (
+            graph2.where(held_col)
+            .select("src")
+            .distinct()
+            .agg((F.count(F.lit(1)) == len(held_ids)).alias("ok"))
+            .select(F.lit("inserted_have_out_edges").alias("scope"), "ok")
+        )
+        in_ok = (
+            graph2.where(F.col("dst").isin(*held_ids))
+            .select("dst")
+            .distinct()
+            .agg((F.count(F.lit(1)) == len(held_ids)).alias("ok"))
+            .select(F.lit("inserted_have_in_edges").alias("scope"), "ok")
+        )
+        return per_v.unionByName(out_ok).unionByName(in_ok)
 
 
 _register()
