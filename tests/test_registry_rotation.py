@@ -230,6 +230,7 @@ def test_round11_additions_front_the_window():
 
 ROUND13_ADDITIONS = frozenset({
     "knn_graph_insert_contract",
+    "multimodal_decode_tiff_jpeg",
 })
 
 

@@ -71,14 +71,64 @@ def test_tiff_container_roundtrip(w, h, comp, little, rps, rnd):
     assert tiff_dims(t)[:2] == (w, h)
 
 
-def test_jpeg_in_tiff_quarantines():
+def test_old_style_jpeg_in_tiff_quarantines():
+    """Compression=6 (deprecated old-style JPEG) stays a reasoned
+    quarantine; new-style 7 decodes (tests below)."""
     t = bytearray(encode_tiff(4, 4, bytes(16)))
     n = struct.unpack("<H", t[8:10])[0]
     for i in range(n):
         off = 10 + 12 * i
         if struct.unpack("<H", t[off : off + 2])[0] == 259:
-            t[off + 8 : off + 10] = struct.pack("<H", 7)
+            t[off + 8 : off + 10] = struct.pack("<H", 6)
     with pytest.raises(ValueError, match="quarantine"):
+        decode_tiff(bytes(t))
+
+
+def _noise(w, h):
+    return bytes(((x * 7 + y * 13 + (x * y) // 5) % 256)
+                 for y in range(h) for x in range(w))
+
+
+@pytest.mark.parametrize("shared", [True, False])
+@pytest.mark.parametrize("rps", [None, 5])
+def test_jpeg_in_tiff_roundtrip(shared, rps):
+    from vector_ai_npm_spark.multimodal.tiff import encode_tiff_jpeg
+
+    w, h = 17, 23
+    px = _noise(w, h)
+    t = encode_tiff_jpeg(w, h, px, rows_per_strip=rps,
+                         use_jpeg_tables=shared)
+    dw, dh, dec = decode_tiff(t)
+    assert (dw, dh) == (w, h)
+    assert len(dec) == w * h
+    mae = sum(abs(a - b) for a, b in zip(dec, px)) / (w * h)
+    assert mae <= 8.0          # lossy, bounded
+    assert dec != px           # and genuinely lossy
+
+
+def test_jpeg_in_tiff_layouts_decode_identically():
+    """Tag-347 shared tables + abbreviated strips must decode byte-
+    identical to the self-contained layout — splitting is plumbing."""
+    from vector_ai_npm_spark.multimodal.tiff import encode_tiff_jpeg
+
+    w, h = 16, 14
+    px = _noise(w, h)
+    a = decode_tiff(encode_tiff_jpeg(w, h, px, rows_per_strip=4,
+                                     use_jpeg_tables=True))
+    b = decode_tiff(encode_tiff_jpeg(w, h, px, rows_per_strip=4,
+                                     use_jpeg_tables=False))
+    assert a == b
+
+
+def test_jpeg_in_tiff_corrupt_strip_raises():
+    from vector_ai_npm_spark.multimodal.tiff import encode_tiff_jpeg
+
+    w, h = 12, 12
+    t = bytearray(encode_tiff_jpeg(w, h, _noise(w, h)))
+    # zero out the strip's SOI (strip data sits at the tail)
+    i = bytes(t).rfind(b"\xff\xd8")
+    t[i : i + 2] = b"\x00\x00"
+    with pytest.raises(ValueError):
         decode_tiff(bytes(t))
 
 

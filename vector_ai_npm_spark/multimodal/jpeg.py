@@ -679,6 +679,38 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
 _PIL_IMAGE = None  # resolved module, or False after a failed probe
 
 
+def split_jpeg_tables(payload: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG into (tables_stream, abbreviated_stream)
+    per TIFF 6.0 TechNote 2 — the JPEG-in-TIFF (Compression=7) layout:
+    the tables stream is ``SOI + DQT/DHT/DRI + EOI`` (what the
+    JPEGTables tag 347 carries, shared by every strip), and the
+    abbreviated stream is ``SOI + SOF/SOS + entropy data + EOI`` (one
+    per strip).  Concatenating ``SOI + tables_body + abbrev[2:]``
+    reconstitutes a decodable stream — the exact merge
+    :func:`vector_ai_npm_spark.multimodal.tiff.decode_tiff` performs."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"marker expected at {i}")
+        marker = payload[i + 1]
+        if marker == 0xDA:  # SOS: segment + entropy data through EOI
+            image += payload[i:]
+            tables += b"\xff\xd9"
+            return bytes(tables), bytes(image)
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i : i + 2 + seg_len]
+        if marker in (0xDB, 0xC4, 0xDD):  # DQT / DHT / DRI
+            tables += seg
+        else:
+            image += seg
+        i += 2 + seg_len
+    raise ValueError("no SOS marker found")
+
+
 def has_native_jpeg() -> bool:
     """Capability gate for the libjpeg-backed decode route (the
     has_tws_support pattern, streaming/stateful.py:90): PIL wraps

@@ -15,7 +15,10 @@ actually carries:
     Predictor (tag 317 = 2) commonly paired with it;
   * Compression=1 (none) — the baseline.
 
-JPEG-in-TIFF (Compression=6/7) and non-8-bit/multi-sample images stay
+New-style JPEG-in-TIFF (Compression=7, TechNote 2) decodes through the
+repo's own baseline JPEG codec (r13: shared tables via tag 347 merged
+into each abbreviated strip — the scanned-document double-compression
+layout).  Old-style Compression=6 and non-8-bit/multi-sample images stay
 a reasoned ValueError → the tested quarantine route, same as exotic
 JPEG.  Strips (RowsPerStrip / StripOffsets / StripByteCounts,
 including offset-stored value arrays) are parsed in full — real
@@ -32,7 +35,7 @@ from __future__ import annotations
 
 import struct
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def is_tiff(payload: bytes) -> bool:
@@ -320,6 +323,8 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
 
 _COMP_NONE = 1
 _COMP_LZW = 5
+_COMP_JPEG_OLD = 6
+_COMP_JPEG_NEW = 7
 _COMP_PACKBITS = 32773
 
 
@@ -330,7 +335,7 @@ def _read_ifd_values(payload: bytes, endian: str) -> dict[int, list[int]]:
     if ifd_off + 2 > len(payload):
         raise ValueError("IFD offset past end of file")
     (n_entries,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
-    fmt = {1: "B", 3: "H", 4: "I"}
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}  # 7 = UNDEFINED (JPEGTables)
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
@@ -355,9 +360,10 @@ def _read_ifd_values(payload: bytes, endian: str) -> dict[int, list[int]]:
 def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, grayscale bytes) for 8-bit single-sample TIFFs
     compressed with none/PackBits/LZW (+ optional horizontal-
-    differencing predictor).  Raises ValueError on every other
-    variant — the quarantine signal (JPEG-in-TIFF, multi-sample,
-    deep bit depths)."""
+    differencing predictor) or new-style JPEG (Compression=7, shared
+    JPEGTables or self-contained strips).  Raises ValueError on every
+    other variant — the quarantine signal (old-style Compression=6,
+    multi-sample, deep bit depths)."""
     if len(payload) < 8 or not is_tiff(payload):
         raise ValueError("not a TIFF (bad byte-order mark / magic)")
     endian = "<" if payload[:2] == b"II" else ">"
@@ -375,9 +381,18 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     bits = one(258, 1)
     spp = one(277, 1)
     predictor = one(317, 1)
-    if comp in (6, 7):
-        raise ValueError("JPEG-in-TIFF requires a JPEG codec: quarantine")
-    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
+    if comp == _COMP_JPEG_OLD:
+        # Compression=6 ("old-style") was deprecated by TechNote 2 for
+        # being underspecified (writers disagreed on what the
+        # JPEGInterchangeFormat tags point at); real-crawl frequency is
+        # ~nil vs new-style.  Permanently gated → quarantine.
+        raise ValueError(
+            "old-style JPEG-in-TIFF (Compression=6) is underspecified: "
+            "quarantine"
+        )
+    if comp not in (
+        _COMP_NONE, _COMP_LZW, _COMP_PACKBITS, _COMP_JPEG_NEW,
+    ):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if bits != 8 or spp != 1:
         raise ValueError(
@@ -391,6 +406,16 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip offsets/byte-counts missing")
     rows_per_strip = one(278, h)
+    # TechNote-2 JPEG-in-TIFF: shared tables live in tag 347 (a
+    # SOI..EOI stream of DQT/DHT/DRI); each strip is an abbreviated
+    # JPEG; merge = SOI + tables_body + strip[2:].  A strip carrying
+    # its own tables (no tag 347) decodes as-is.
+    jpeg_tables_body = b""
+    if comp == _COMP_JPEG_NEW and 347 in tags:
+        tb = bytes(tags[347])
+        if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+            raise ValueError("JPEGTables tag is not an SOI..EOI stream")
+        jpeg_tables_body = tb[2:-2]
     out = bytearray()
     row_from = 0
     for soff, scnt in zip(offsets, counts):
@@ -401,7 +426,23 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         if n_rows <= 0:
             raise ValueError("more strips than image rows")
         want = n_rows * w
-        if comp == _COMP_NONE:
+        if comp == _COMP_JPEG_NEW:
+            from vector_ai_npm_spark.multimodal.jpeg import decode_jpeg
+
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError("JPEG-in-TIFF strip missing SOI")
+            stream = b"\xff\xd8" + jpeg_tables_body + strip[2:]
+            sw, sh, px = decode_jpeg(stream)
+            if sw != w or sh != n_rows:
+                raise ValueError(
+                    f"JPEG strip decodes {sw}x{sh}, want {w}x{n_rows}"
+                )
+            if len(px) != want:  # color strip => RGB bytes => mismatch
+                raise ValueError(
+                    "JPEG-in-TIFF strip is not grayscale: quarantine"
+                )
+            raw = px
+        elif comp == _COMP_NONE:
             if len(strip) != want:
                 raise ValueError("uncompressed strip size mismatch")
             raw = strip
@@ -498,6 +539,102 @@ def encode_tiff(
         strip_offsets.append(pos)
         pos += len(s)
     # patch the offsets tag now that positions are known
+    for i, (tag, typ, vals) in enumerate(tag_list):
+        if tag == 273:
+            tag_list[i] = (tag, typ, strip_offsets)
+    out = bytearray(b"II*\x00" if little else b"MM\x00*")
+    out += struct.pack(endian + "I", ifd_off)
+    out += struct.pack(endian + "H", len(tag_list))
+    extra = bytearray()
+    for tag, typ, vals in tag_list:
+        size = _TYPE_SIZES[typ] * len(vals)
+        packed = struct.pack(endian + str(len(vals)) + fmt[typ], *vals)
+        out += struct.pack(endian + "HHI", tag, typ, len(vals))
+        if size <= 4:
+            out += packed + b"\x00" * (4 - size)
+        else:
+            out += struct.pack(endian + "I", placements[tag])
+            extra += packed
+    out += struct.pack(endian + "I", 0)  # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def encode_tiff_jpeg(
+    w: int,
+    h: int,
+    pixels: bytes,
+    quality: int = 90,
+    little: bool = True,
+    rows_per_strip: int | None = None,
+    use_jpeg_tables: bool = True,
+) -> bytes:
+    """Spec-valid new-style JPEG-in-TIFF (Compression=7) fixture
+    generator: each strip is a grayscale baseline JPEG from the repo's
+    own encoder.  ``use_jpeg_tables=True`` writes the shared-tables
+    layout (DQT/DHT split into tag 347, abbreviated strips — the
+    TechNote-2 form libtiff writes); ``False`` leaves every strip
+    self-contained (also spec-legal, seen from non-libtiff writers).
+    Deterministic end-to-end: pure-Python encode and decode, so the
+    decoded pixel hash is pinnable."""
+    from vector_ai_npm_spark.multimodal.jpeg import (
+        encode_jpeg,
+        split_jpeg_tables,
+    )
+
+    if len(pixels) != w * h:
+        raise ValueError(f"want {w * h} pixel bytes, got {len(pixels)}")
+    endian = "<" if little else ">"
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    strips: list[bytes] = []
+    tables_stream = b""
+    for row_from in range(0, h, rps):
+        n_rows = min(rps, h - row_from)
+        raw = pixels[row_from * w : (row_from + n_rows) * w]
+        jpg = encode_jpeg(w, n_rows, raw, color=False, quality=quality)
+        if use_jpeg_tables:
+            tbl, abbrev = split_jpeg_tables(jpg)
+            if not tables_stream:
+                tables_stream = tbl
+            elif tbl != tables_stream:
+                raise ValueError("strip tables diverge; cannot share 347")
+            strips.append(abbrev)
+        else:
+            strips.append(jpg)
+    n_strips = len(strips)
+    tag_list: list[tuple[int, int, list[int]]] = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8]),
+        (259, 3, [_COMP_JPEG_NEW]),
+        (262, 3, [1]),
+        (273, 4, [0] * n_strips),  # offsets patched below
+        (277, 3, [1]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if use_jpeg_tables:
+        tag_list.append((347, 7, list(tables_stream)))
+    tag_list.sort()
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(tag_list) + 4
+    fmt = {3: "H", 4: "I", 7: "B"}
+    extra_off = ifd_off + ifd_size
+    extra_probe = bytearray()
+    placements: dict[int, int] = {}
+    for tag, typ, vals in tag_list:
+        size = _TYPE_SIZES[typ] * len(vals)
+        if size > 4:
+            placements[tag] = extra_off + len(extra_probe)
+            extra_probe += b"\x00" * size
+    data_off = extra_off + len(extra_probe)
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
     for i, (tag, typ, vals) in enumerate(tag_list):
         if tag == 273:
             tag_list[i] = (tag, typ, strip_offsets)

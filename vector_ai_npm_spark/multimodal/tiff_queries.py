@@ -147,3 +147,114 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_pixel", 6).alias("mean_pixel"),
         "roundtrip_ok",
     )
+
+
+@query(
+    "multimodal_decode_tiff_jpeg",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             8 + CAST(doc_id % 6 AS INTEGER) AS w,
+             9 + CAST(doc_id % 5 AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           doc_id % 2 = 0 AS shared_tables,
+           TRUE AS mae_ok,
+           TRUE AS layouts_agree,
+           TRUE AS lossy_not_identity
+    FROM m
+    """,
+)
+def multimodal_decode_tiff_jpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New-style JPEG-in-TIFF decode face (r13: the verdict's codec
+    seam #3 — the TIFF walker and baseline JPEG codec composed per
+    TechNote 2).
+
+    Per document the sha2-chain pixels are JPEG-compressed into a
+    multi-strip Compression=7 TIFF in BOTH spec-legal layouts — shared
+    tables in tag 347 with abbreviated strips (what libtiff writes) on
+    even doc_ids, fully self-contained strips on odd — then decoded
+    back through the magic-dispatch route.  Booleans pin the seam:
+
+      * mae_ok — mean |decoded−original| ≤ 8 (q90 on noise pixels, the
+        hostile case for DCT coding; measured ≈3);
+      * layouts_agree — the tag-347 merge decodes BYTE-IDENTICAL to
+        the self-contained encoding of the same pixels (table
+        splitting is lossless plumbing, so any divergence is a merge
+        defect);
+      * lossy_not_identity — decode ≠ original (the face would pass
+        vacuously if the strips silently carried raw pixels).
+
+    Old-style Compression=6 stays a reasoned quarantine
+    (tiff.py decode_tiff; TUNING r13).  Scale shape: one Arrow-batched
+    mapInPandas, payloads never shuffle."""
+    from vector_ai_npm_spark.multimodal.binary import decode_pixels
+    from vector_ai_npm_spark.multimodal.tiff import encode_tiff_jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(8) + F.col("doc_id") % 6).cast("int")
+    h = (F.lit(9) + F.col("doc_id") % 5).cast("int")
+    chain = F.concat(
+        F.sha2(F.col("text"), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
+        F.sha2(F.concat(F.col("text"), F.lit("c")), 256),
+    )
+    src = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        w.alias("w"),
+        h.alias("h"),
+        (F.col("doc_id") % 2 == 0).alias("shared_tables"),
+        F.encode(F.substring(chain, F.lit(1), w * h), "utf-8").alias(
+            "px_raw"
+        ),
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, ww, hh, shared, raw in zip(
+                pdf["asset_id"], pdf["w"], pdf["h"],
+                pdf["shared_tables"], pdf["px_raw"],
+            ):
+                px = bytes(raw)
+                ww, hh = int(ww), int(hh)
+                tif_shared = encode_tiff_jpeg(
+                    ww, hh, px, rows_per_strip=4, use_jpeg_tables=True
+                )
+                tif_plain = encode_tiff_jpeg(
+                    ww, hh, px, rows_per_strip=4, use_jpeg_tables=False
+                )
+                primary = tif_shared if bool(shared) else tif_plain
+                dw, dh, dec = decode_pixels(primary)
+                _w2, _h2, dec_other = decode_pixels(
+                    tif_plain if bool(shared) else tif_shared
+                )
+                mae = sum(abs(a - b) for a, b in zip(dec, px)) / len(px)
+                rows.append(
+                    (
+                        int(aid), dw, dh, bool(shared),
+                        mae <= 8.0,
+                        dec == dec_other,
+                        dec != px,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "shared_tables",
+                    "mae_ok", "layouts_agree", "lossy_not_identity",
+                ],
+            )
+
+    return src.mapInPandas(
+        _roundtrip,
+        schema="asset_id long, width long, height long, "
+        "shared_tables boolean, mae_ok boolean, layouts_agree boolean, "
+        "lossy_not_identity boolean",
+    )
