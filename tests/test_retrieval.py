@@ -328,3 +328,54 @@ def test_opq_queries_and_contract(spark, sf_oracle):
     assert rows[0].vec_id == 7 and rows[0].similarity == 1.0
     sql = registry.all_oracles()["opq_recall"]
     assert compare(spark, "opq_recall", sql, sf_oracle) == []
+
+
+def test_knn_graph_insert_links_and_finds(spark, sf_smoke):
+    """insert_knn_graph (r13): a held-out vector incrementally linked
+    into a built graph must (a) receive out-edges whose top entry is
+    its true nearest existing neighbor, (b) be bidirectionally linked,
+    and (c) come back at rank 1 when beam-searched as its own query —
+    the freshness property the contract face pins at fixture scale."""
+    from vector_ai_npm_spark.retrieval.knn_graph import (
+        _KG,
+        build_knn_graph,
+        insert_knn_graph,
+        knn_graph_search,
+        scaled_build_params,
+        scaled_rounds,
+        scaled_search_params,
+    )
+    from vector_ai_npm_spark.retrieval.search import similarity_join
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    held = emb.where(F.col("vec_id") == 7)
+    rest = emb.where(F.col("vec_id") != 7)
+    n = rest.count()
+    graph = build_knn_graph(rest, k=_KG, **scaled_build_params(n))
+    g2 = insert_knn_graph(graph, rest, held, k=_KG).localCheckpoint()
+    out = {r.dst for r in g2.where(F.col("src") == 7).collect()}
+    ins = {r.src for r in g2.where(F.col("dst") == 7).collect()}
+    assert out and ins == out  # bidirectional
+    # top out-edge = true nearest existing neighbor (search-based
+    # acquisition at the scaled budget recovers rank-1 here)
+    q = held.select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    true_top = (
+        similarity_join(q, rest, k=1, threshold=-1.0)
+        .collect()[0]["vec_id"]
+    )
+    best = (
+        g2.where(F.col("src") == 7)
+        .orderBy(F.col("sim").desc(), "dst")
+        .first()["dst"]
+    )
+    assert best == true_top
+    beam, entries, _ = scaled_search_params(n)
+    hits = knn_graph_search(
+        q, rest.unionByName(held), g2, k=5, beam=beam,
+        rounds=scaled_rounds(n), n_entries=entries,
+    )
+    top1 = hits.where(F.col("rank") == 1).collect()[0]
+    assert top1["vec_id"] == 7 and top1["similarity"] == pytest.approx(1.0)
