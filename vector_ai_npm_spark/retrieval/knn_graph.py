@@ -168,9 +168,35 @@ def build_knn_graph(
             )
         )
         scored_new = _score_and_truncate(non, vecs, kb, truncate=False)
+        prev = graph
         graph = _topk_per_key(
             graph.unionByName(scored_new), "src", kb
         ).localCheckpoint(eager=True)
+        # Drop the previous round's checkpoint blocks NOW: at 200k
+        # vectors each round's blocks + shuffle files are tens of GB,
+        # and ContextCleaner only sweeps unreferenced RDDs/shuffles
+        # after a JVM GC (its own periodic GC defaults to 30 min —
+        # longer than the whole build), so the transient footprint
+        # reached ~70 GB and filled the disk (r13, measured via df
+        # during the sf10 build).  Release the Python ref, then force
+        # a JVM GC so the sweep happens per round, bounding peak disk
+        # to ~one round's footprint.
+        import gc
+
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+        jvm_gc = getattr(
+            getattr(vecs, "sparkSession", None), "_jvm", None
+        )
+        del prev
+        gc.collect()
+        if jvm_gc is not None:
+            try:
+                jvm_gc.System.gc()
+            except Exception:
+                pass
     if kb != k:
         graph = _topk_per_key(graph, "src", k)
     if long_range > 0:
