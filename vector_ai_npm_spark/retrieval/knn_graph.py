@@ -243,10 +243,24 @@ def build_knn_graph(
     return graph
 
 
+#: broadcast the embedding table in hydration joins below this row
+#: count (~1 GB of float arrays at 64-dim).  The candidate-pair frame
+#: is 100-1000x larger than the vector table (n·k² neighbor-of-
+#: neighbor pairs vs n vectors), so a sort-merge join SORTS AND SPILLS
+#: the pair frame with two embedding payloads attached — measured at
+#: sf10 (r13): ~70+ GB of transient spill per refine round, enough to
+#: fill this host's disk, where the broadcast plan streams the pairs
+#: map-side with zero shuffle.  Beyond the threshold (vector table no
+#: longer fits an executor) the join falls back to SMJ — at that scale
+#: a cluster's aggregate disk is the right place for the spill.
+_BROADCAST_VECS_MAX = 2_000_000
+
+
 def _score_and_truncate(
     pairs: DataFrame, vecs: DataFrame, k: int, truncate: bool = True
 ) -> DataFrame:
-    """Score (src, dst) id pairs with cosine via two id-hydration joins;
+    """Score (src, dst) id pairs with cosine via two id-hydration joins
+    (embedding side broadcast when it fits — see _BROADCAST_VECS_MAX);
     emit BOTH directions so every node owns a neighbor list."""
     sv = vecs.select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("s_emb")
@@ -254,6 +268,8 @@ def _score_and_truncate(
     dv = vecs.select(
         F.col("vec_id").alias("dst"), F.col("embedding").alias("d_emb")
     )
+    if vecs.count() <= _BROADCAST_VECS_MAX:
+        sv, dv = F.broadcast(sv), F.broadcast(dv)
     scored = (
         pairs.join(sv, "src")
         .join(dv, "dst")
@@ -413,10 +429,18 @@ def knn_graph_search(
         .limit(n_entries)
         .select("vec_id")
     )
+    # hydration joins: broadcast the vector table when it fits so the
+    # per-round frontier stays map-side (same rule + rationale as
+    # _BROADCAST_VECS_MAX in the build)
+    vjoin = (
+        F.broadcast(vecs)
+        if emb.count() <= _BROADCAST_VECS_MAX
+        else vecs
+    )
     q = queries.select("q_vec_id", "q_embedding")
     visited = (
         q.crossJoin(F.broadcast(entries))
-        .join(vecs, "vec_id")
+        .join(vjoin, "vec_id")
         .select(
             "q_vec_id",
             "q_embedding",
@@ -443,7 +467,7 @@ def knn_graph_search(
                 "left_anti",
             )
         )
-        scored = frontier.join(vecs, "vec_id").select(
+        scored = frontier.join(vjoin, "vec_id").select(
             "q_vec_id",
             "q_embedding",
             "vec_id",
