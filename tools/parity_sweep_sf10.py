@@ -21,6 +21,7 @@ Writes tools/logs/parity_sweep_sf10_<tag>.log; exit code is the gate.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
 import threading
 import time
@@ -116,28 +117,52 @@ def main() -> int:
 
     for i, name in enumerate(names, 1):
         t0 = time.perf_counter()
-        timed_out = threading.Event()
+        # Run the query in a worker thread under a per-query JOB GROUP
+        # and cancel the GROUP repeatedly on timeout (r13: a single
+        # cancelAllJobs only kills currently-running jobs — an
+        # iterative face like basket_itemsets_apriori just launches its
+        # next job and ran 35+ min past the budget, wedging the sweep).
+        # Pinned-thread mode makes setJobGroup thread-local, so later
+        # queries' jobs are never collateral damage.
+        result: dict = {}
 
-        def _watchdog():
-            if not done.wait(args.budget):
-                timed_out.set()
-                spark.sparkContext.cancelAllJobs()
+        def _work(name=name):
+            try:
+                spark.sparkContext.setJobGroup(
+                    name, f"sweep:{name}", interruptOnCancel=True
+                )
+                if name in oracles:
+                    result["problems"] = compare(
+                        spark, name, oracles[name], SF10
+                    )
+                else:
+                    cols, rows = run_spark_query(spark, name, SF10)
+                    result["problems"] = driver_canon_problems(cols, rows)
+            except Exception as exc:  # noqa: BLE001 — sweep must continue
+                result["exc"] = exc
+            finally:
+                with contextlib.suppress(Exception):
+                    spark.sparkContext.clearJobGroup()
 
-        done = threading.Event()
-        w = threading.Thread(target=_watchdog, daemon=True)
+        w = threading.Thread(target=_work, daemon=True)
         w.start()
-        try:
-            if name in oracles:
-                problems = compare(spark, name, oracles[name], SF10)
-            else:
-                cols, rows = run_spark_query(spark, name, SF10)
-                problems = driver_canon_problems(cols, rows)
+        w.join(args.budget)
+        timed_out = w.is_alive()
+        if timed_out:
+            grace = time.monotonic() + 180.0
+            while w.is_alive() and time.monotonic() < grace:
+                with contextlib.suppress(Exception):
+                    spark.sparkContext.cancelJobGroup(name)
+                w.join(5.0)
+        if timed_out:
+            problems = [f"budget {args.budget:.0f}s exceeded"]
+            status = "TIMEOUT"
+        elif "exc" in result:
+            problems = [f"{type(result['exc']).__name__}: {result['exc']}"]
+            status = "ERROR"
+        else:
+            problems = result.get("problems", ["worker returned nothing"])
             status = "ok" if not problems else "FAIL"
-        except Exception as exc:  # noqa: BLE001 — sweep must continue
-            problems = [f"{type(exc).__name__}: {exc}"]
-            status = "TIMEOUT" if timed_out.is_set() else "ERROR"
-        finally:
-            done.set()
         dt = time.perf_counter() - t0
         line = f"[{i:2d}/{len(names)}] {name:36s} {status:7s} {dt:8.1f}s"
         if status != "ok":
