@@ -119,6 +119,20 @@ def get_spark(app_name: str = "vector-ai-npm-spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         # Arrow for pandas_udf / applyInPandas / toPandas hot paths
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Whole-stage-codegen class cache (STATIC conf, default 100
+        # entries).  A session that runs many distinct queries — this
+        # engine's registry is 400+, the bench alone cycles 102 —
+        # thrashes the default: measured mid-bench (r13) the JVM had
+        # UNLOADED 6,743 generated classes (40 s of classloader time,
+        # full_count climbing), i.e. every repeat of every query paid
+        # Janino recompile + cold interpreter/C1 re-execution of code
+        # it had already compiled.  Sized so the bench's working set
+        # (~102 queries x ~5-8 codegen units) fits with headroom; a
+        # production driver serving a query mix wants the same.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
