@@ -540,7 +540,14 @@ def synth_ppm_media(docs: DataFrame) -> DataFrame:
     (w = 4 + doc_id % 5, h = 4 + doc_id % 3); pixel bytes are the first
     w·h·3 chars of a sha2 hex chain over the text — deterministic, ASCII
     (1 byte/char), and reproducible in DuckDB (sha256 + unicode), which
-    is what lets the decode query carry a value oracle."""
+    is what lets the decode query carry a value oracle.
+
+    The frame is spread to executor parallelism before it returns: the
+    Python decoders downstream are CPU-bound per ROW while the payload
+    is a bounded ~200 B of derived bytes per row (never the corpus
+    text), so the exchange stays metadata-sized at any corpus size —
+    without it, a byte-sized input split serializes the whole decode
+    onto one core (r13: measured 8.8 s -> 1.0 s on the webp face)."""
     w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
     h = (F.lit(4) + F.col("doc_id") % 3).cast("int")
     chain = F.concat(
@@ -550,12 +557,15 @@ def synth_ppm_media(docs: DataFrame) -> DataFrame:
     )
     header = F.format_string("P6\n%d %d\n255\n", w, h)
     body = F.substring(chain, F.lit(1), w * h * 3)
-    return docs.select(
+    out = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image").alias("modality"),
         F.encode(F.concat(header, body), "utf-8").alias("payload"),
         F.to_json(F.struct("lang", "source", "n_chars")).alias("meta_json"),
     )
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    return scale_partitions(out, out.sparkSession)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
@@ -688,12 +698,17 @@ def synth_pcm_media(docs: DataFrame) -> DataFrame:
         F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
         F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
     )
-    return docs.select(
+    out = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("audio").alias("modality"),
         F.encode(F.substring(chain, 1, 96), "utf-8").alias("payload"),
         F.to_json(F.struct("lang", "source", "n_chars")).alias("meta_json"),
     )
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    # spread like synth_ppm_media: 96 B/row derived payload, CPU-bound
+    # Python decode downstream
+    return scale_partitions(out, out.sparkSession)
 
 
 def audio_frame_energy(media: DataFrame, frame_len: int = 16) -> DataFrame:
@@ -749,12 +764,17 @@ def synth_video_media(docs: DataFrame) -> DataFrame:
         F.sha2(F.concat(F.col("text"), F.lit("a")), 256),
         F.sha2(F.concat(F.col("text"), F.lit("b")), 256),
     )
-    return docs.select(
+    out = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("video").alias("modality"),
         F.encode(F.substring(chain, 1, 96), "utf-8").alias("payload"),
         F.to_json(F.struct("lang", "source", "n_chars")).alias("meta_json"),
     )
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    # spread like synth_ppm_media: 96 B/row derived payload, CPU-bound
+    # Python decode downstream
+    return scale_partitions(out, out.sparkSession)
 
 
 def scene_changes(media: DataFrame, frame_bytes: int = 12,

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.io.sources import load_table, scale_partitions
 from vector_ai_npm_spark.registry import query
 
 
@@ -134,6 +134,10 @@ def multimodal_decode_jpeg_progressive(
                 ],
             )
 
+    # CPU-bound pure-Python codec below, bounded derived payload per row:
+    # spread to executor parallelism so a byte-sized input split cannot
+    # serialize the decode onto one core (see scale_partitions)
+    src = scale_partitions(src, spark)
     return src.mapInPandas(
         _roundtrip,
         schema="asset_id long, width long, height long, "

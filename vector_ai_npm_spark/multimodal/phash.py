@@ -109,6 +109,12 @@ def media_with_plants(docs: DataFrame) -> DataFrame:
 def dhash_frame(media: DataFrame) -> DataFrame:
     """(asset_id, dhash hex, hi, lo) via Arrow-batched decode + integer
     dHash.  Only the fingerprint leaves the map stage."""
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    # the pure-Python decode+hash below is CPU-bound per row; the P6
+    # payload is ~150 derived bytes/row, so spreading to executor
+    # parallelism costs a metadata-sized exchange at any corpus size
+    media = scale_partitions(media, media.sparkSession)
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

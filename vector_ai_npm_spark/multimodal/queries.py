@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.io.sources import load_table, scale_partitions
 from vector_ai_npm_spark.multimodal.binary import (
     extract_features,
     frame_sample,
@@ -199,6 +199,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    # CPU-bound pure-Python codec below, bounded derived payload per row:
+    # spread to executor parallelism so a byte-sized input split cannot
+    # serialize the decode onto one core (see scale_partitions)
+    src = scale_partitions(src, spark)
     out = src.mapInPandas(
         _roundtrip,
         schema="asset_id long, width long, height long, "
@@ -338,6 +342,10 @@ def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame
                 ],
             )
 
+    # CPU-bound pure-Python codec below, bounded derived payload per row:
+    # spread to executor parallelism so a byte-sized input split cannot
+    # serialize the decode onto one core (see scale_partitions)
+    src = scale_partitions(src, spark)
     out = src.mapInPandas(
         _roundtrip,
         schema="asset_id long, width long, height long, bit_depth long, "
@@ -444,6 +452,10 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    # CPU-bound pure-Python codec below, bounded derived payload per row:
+    # spread to executor parallelism so a byte-sized input split cannot
+    # serialize the decode onto one core (see scale_partitions)
+    src = scale_partitions(src, spark)
     return src.mapInPandas(
         _roundtrip,
         schema="asset_id long, width long, height long, "

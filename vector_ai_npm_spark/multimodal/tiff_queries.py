@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.io.sources import load_table, scale_partitions
 from vector_ai_npm_spark.registry import query
 
 
@@ -131,6 +131,10 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    # CPU-bound pure-Python codec below, bounded derived payload per row:
+    # spread to executor parallelism so a byte-sized input split cannot
+    # serialize the decode onto one core (see scale_partitions)
+    src = scale_partitions(src, spark)
     out = src.mapInPandas(
         _roundtrip,
         schema="asset_id long, width long, height long, "
@@ -252,6 +256,10 @@ def multimodal_decode_tiff_jpeg(
                 ],
             )
 
+    # CPU-bound pure-Python codec below, bounded derived payload per row:
+    # spread to executor parallelism so a byte-sized input split cannot
+    # serialize the decode onto one core (see scale_partitions)
+    src = scale_partitions(src, spark)
     return src.mapInPandas(
         _roundtrip,
         schema="asset_id long, width long, height long, "

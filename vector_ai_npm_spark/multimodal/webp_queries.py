@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.io.sources import load_table, scale_partitions
 from vector_ai_npm_spark.registry import query
 
 _VARIANTS = ("vp8", "vp8l", "vp8x")
@@ -181,6 +181,13 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idx_raw"
         ),
     )
+    # The codec below is CPU-bound per row, not byte-bound: a byte-sized
+    # input split (one small parquet file here; a 128 MB blob split at
+    # scale) serializes minutes of encode+decode onto one core.  Spread
+    # to executor parallelism AFTER projecting away the corpus text —
+    # the exchange carries ~250 B/row of derived palette+index bytes
+    # (measured r13: 8.8 s single-core -> ~1 s across local[32]).
+    src = scale_partitions(src, spark)
 
     _CONFIGS = (
         dict(palette=True),

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_ai_npm_spark.io.sources import load_table
+from vector_ai_npm_spark.io.sources import load_table, scale_partitions
 from vector_ai_npm_spark.registry import query
 
 
@@ -84,7 +84,12 @@ def multimodal_decode_jpeg_variants(
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # ~75 s of intrinsic pure-Python JPEG codec work per sf0.1 pass rides
+    # this face; the input is 8 B/row of doc_id, so spreading it to
+    # executor parallelism is free and unserializes the decode
+    docs = scale_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
 
     def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
