@@ -59,8 +59,43 @@ _O_EDGES = f"""
 """
 
 
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (src < dst) co-purchase edges with weight ≥ _MIN_W.
+    """Canonical (src < dst) co-purchase edges with weight ≥ _MIN_W,
+    persisted once per (application, fixture dir).
+
+    Every graph face starts from this frame, and the build (the
+    corpus-scale basket aggregate below) measured 1.29 s at sf0.1 for a
+    3,573-row result — while ten registry faces each re-derived it per
+    invocation (r13 optimization round).  The cache is the
+    `_pagerank_sym_cached` discipline applied one level down: keyed by
+    applicationId (not id(spark)); prior-application entries evicted
+    best-effort.  The cached frame is graph-sized (≤ distinct-part
+    pairs with support ≥ _MIN_W), never corpus-sized, so the persist
+    is bounded at any scale."""
+    from pyspark.storagelevel import StorageLevel
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _EDGE_CACHE if k[0] != app_id]:
+        df = _EDGE_CACHE.pop(stale)
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # dead JVM — the storage died with it
+    key = (app_id, sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is None:
+        cached = _copurchase_edges_uncached(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _EDGE_CACHE[key] = cached
+    return cached
+
+
+def _copurchase_edges_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edge build itself.
 
     TWO shuffles total, no join: group lineitem by order (collect_set
     dedupes parts within the basket — no separate distinct pass), then
@@ -195,7 +230,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a power-law hub with degree 10⁶ contributes ~nothing instead of
     10¹² wedges. All three joins are equi-joins (no cross product);
     the closing probe keys on the full (lo, hi) edge pair."""
-    return triangle_counts(copurchase_edges(spark, sf_dir).select("src", "dst"))
+    # deliberately the UNCACHED edge build: the 4-branch wedge plan
+    # shares the edge aggregate's Exchange via ReuseExchange inside one
+    # job, which beats 4 InMemoryTableScans of the session-cached frame
+    # (re-measured r13: cached 4.02 s vs uncached 2.83 s best-of-5 —
+    # the same result the original persist experiment found)
+    return triangle_counts(
+        _copurchase_edges_uncached(spark, sf_dir).select("src", "dst")
+    )
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
