@@ -202,3 +202,37 @@ def test_edge_build_equals_naive_self_join(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_edge_cache_evicts_prior_application(spark, sf_smoke):
+    """The derived-frame caches are keyed by applicationId: an entry
+    left behind by a PRIOR application must be evicted (unpersist
+    attempted, key dropped) the next time a live session asks — the
+    staleness contract documented on graph_ops._cache_key (r13 verdict
+    item 8)."""
+    import os
+
+    from vector_ai_npm_spark.operators import graph_ops
+
+    class _DeadFrame:
+        unpersisted = False
+
+        def unpersist(self, blocking=False):
+            _DeadFrame.unpersisted = True
+
+    stale_key = ("application_from_a_previous_life", "/nowhere/sfX")
+    with graph_ops._GRAPH_CACHE_LOCK:
+        graph_ops._EDGE_CACHE[stale_key] = _DeadFrame()
+        graph_ops._SYM_CACHE[stale_key] = _DeadFrame()
+
+    live = graph_ops.copurchase_edges(spark, sf_smoke)
+    assert stale_key not in graph_ops._EDGE_CACHE
+    assert _DeadFrame.unpersisted
+    graph_ops._pagerank_sym_cached(spark, sf_smoke)
+    assert stale_key not in graph_ops._SYM_CACHE
+
+    # key normalization: a trailing slash / relative respelling of the
+    # same fixture dir must hit the SAME persisted frame, not a new one
+    assert graph_ops.copurchase_edges(spark, sf_smoke + "/") is live
+    rel = os.path.relpath(sf_smoke)
+    assert graph_ops.copurchase_edges(spark, rel) is live

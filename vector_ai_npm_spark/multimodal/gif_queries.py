@@ -16,8 +16,10 @@ re-derives the mean pixel as an exact-int sum ÷ 3wh in double, so an
 LZW width-growth, clear-code, KwKwK, sub-block, or interlace defect
 flips mean_pixel or roundtrip_ok and fails the hash.
 
-Scale shape: encode+decode ride one Arrow-batched mapInPandas;
-payloads never shuffle (the multimodal_decode contract).
+Scale shape: encode+decode ride one Arrow-batched mapInPandas; the
+derived input frame crosses ONE bounded RoundRobin exchange
+(~100-500 B/row — scale_partitions, r13) so the CPU-bound codec rides
+executor parallelism; corpus text never shuffles.
 """
 
 from __future__ import annotations

@@ -26,8 +26,10 @@ Contract per asset (all booleans pinned TRUE by the oracle):
   * lossy_not_identity — guards against a decode that short-circuits
     to the input.
 
-Scale shape: encode+decode ride one Arrow-batched mapInPandas;
-payloads never shuffle (the multimodal_decode contract).
+Scale shape: encode+decode ride one Arrow-batched mapInPandas; the
+derived input frame crosses ONE bounded RoundRobin exchange
+(~100-500 B/row — scale_partitions, r13) so the CPU-bound codec rides
+executor parallelism; corpus text never shuffles.
 """
 
 from __future__ import annotations

@@ -13,8 +13,10 @@ dHash is INTEGER-ONLY end to end — luma sums, floor-divide resample
 indices, comparisons, bit packing — so the whole pipeline carries a
 full DuckDB value oracle (reconstructed payload → same bits → same hex)
 instead of a rows-only contract.  At 100 TB the hash pass is one
-Arrow-batched map over payloads (payloads never shuffle — only the
-16-byte fingerprint does), and the pair stage is the SimHash shape:
+Arrow-batched map over payloads (the ~150 B/row derived P6 frame
+crosses ONE bounded RoundRobin exchange — scale_partitions, r13 — and
+only the 16-byte fingerprint leaves the map stage), and the pair stage
+is the SimHash shape:
 explode to 4×16-bit bands, equi-join on band value, Hamming-verify the
 collisions; output-bound, never all-pairs.
 

@@ -148,9 +148,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins roundtrip_ok TRUE — Spark computes it as byte-equality of
     decoded vs pre-encode pixels, so ANY codec defect (filter math,
     stride, chunk parse, CRC misread) flips a value and fails the hash.
-    Scale shape: encode+decode ride one Arrow-batched mapInPandas over
-    payloads that never shuffle; a production PIL/opencv decoder slots
-    behind the same decode_pixels seam."""
+    Scale shape: encode+decode ride one Arrow-batched mapInPandas, fed
+    through one bounded derived-frame exchange (scale_partitions, r13)
+    so the codec rides executor parallelism; a production PIL/opencv
+    decoder slots behind the same decode_pixels seam."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -272,7 +273,8 @@ def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame
     a palette-lookup, bit-unpack, or interlace-scatter defect flips
     mean_pixel or roundtrip_ok and fails the hash.  Scale shape:
     identical to `multimodal_decode_png` — encode+decode ride one
-    Arrow-batched mapInPandas; payloads never shuffle."""
+    Arrow-batched mapInPandas behind one bounded derived-frame
+    exchange (scale_partitions, r13); corpus text never shuffles."""
     from collections.abc import Iterator
 
     import pandas as pd

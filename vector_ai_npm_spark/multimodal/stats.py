@@ -6,7 +6,9 @@
   mean/std preprocessing step).  New shape vs the per-asset decode
   faces (multimodal/queries.py): the decode feeds a corpus-level
   aggregate, so the Python stage emits only 3 integer-sum rows per
-  asset and the payloads never shuffle.
+  asset; the synth media frame reaches it through ONE bounded
+  derived-payload exchange (~100-500 B/row — the shared builders run
+  scale_partitions, r13), and corpus text never shuffles.
 * `multimodal_audio_vad` — voice-activity segmentation: frames whose
   INTEGER energy (sum of squared 8-bit samples — no float enters the
   segmentation) exceeds a threshold are "voiced"; consecutive voiced
@@ -274,7 +276,8 @@ def multimodal_intensity_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     shape as `multimodal_channel_stats`: each asset reduces to ≤8
     (bin, count) integer rows inside the Arrow batch, the global fold
     is an 8-row aggregate, empty bins densify from a literal frame —
-    payloads never shuffle, counts are exact integers."""
+    the media frame crosses only the builders' bounded derived-payload
+    exchange (scale_partitions, r13), counts are exact integers."""
     from vector_ai_npm_spark.multimodal.binary import (
         decode_pixels,
         synth_ppm_media,

@@ -18,8 +18,10 @@ mean pixel, so a PackBits run defect, an LZW width-change/KwKwK/clear
 defect, a predictor cumsum slip, a strip-boundary misread, or an
 endianness bug flips mean_pixel or roundtrip_ok and fails the hash.
 
-Scale shape: encode+decode ride one Arrow-batched mapInPandas;
-payloads never shuffle (the multimodal_decode contract).
+Scale shape: encode+decode ride one Arrow-batched mapInPandas; the
+derived input frame crosses ONE bounded RoundRobin exchange
+(~100-500 B/row — scale_partitions, r13) so the CPU-bound codec rides
+executor parallelism; corpus text never shuffles.
 """
 
 from __future__ import annotations
@@ -196,7 +198,8 @@ def multimodal_decode_tiff_jpeg(
 
     Old-style Compression=6 stays a reasoned quarantine
     (tiff.py decode_tiff; TUNING r13).  Scale shape: one Arrow-batched
-    mapInPandas, payloads never shuffle."""
+    mapInPandas fed through one bounded derived-payload exchange
+    (scale_partitions); corpus text never shuffles."""
     from vector_ai_npm_spark.multimodal.binary import decode_pixels
     from vector_ai_npm_spark.multimodal.tiff import encode_tiff_jpeg
 

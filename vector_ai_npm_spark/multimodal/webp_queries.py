@@ -150,8 +150,9 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     -code, LZ77-distance, cache, transform, or bundling defect flips
     mean_pixel or roundtrip_ok and fails the hash.
 
-    Scale shape: encode+decode ride one Arrow-batched mapInPandas;
-    payloads never shuffle (the multimodal_decode contract)."""
+    Scale shape: encode+decode ride one Arrow-batched mapInPandas; the
+    derived input frame crosses ONE bounded RoundRobin exchange
+    (~250 B/row — scale_partitions, r13); corpus text never shuffles."""
     from vector_ai_npm_spark.multimodal.binary import decode_pixels
     from vector_ai_npm_spark.multimodal.webp import encode_webp_lossless
 

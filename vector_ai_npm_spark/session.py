@@ -136,4 +136,27 @@ def get_spark(app_name: str = "vector-ai-npm-spark", cpus: int | None = None,
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # spark.sql.codegen.cache.maxEntries is a STATIC conf: when
+    # getOrCreate attaches to a SparkContext that already exists in the
+    # process, the builder's value is silently ignored and the
+    # codegen-thrash fix (r13 Change 1) quietly does not apply.  Make
+    # that visible instead of silent (r13 advice).
+    wanted = os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000")
+    try:
+        actual = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+        if actual != wanted:
+            import warnings
+
+            warnings.warn(
+                "get_spark attached to a pre-existing SparkContext: "
+                f"spark.sql.codegen.cache.maxEntries is {actual}, not the "
+                f"requested {wanted} (static conf — set it on the FIRST "
+                "session of the process); expect codegen-cache thrashing "
+                "on large query mixes",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    except Exception:
+        pass  # conf not readable on this build: nothing to compare
+    return spark
