@@ -379,3 +379,56 @@ def test_knn_graph_insert_links_and_finds(spark, sf_smoke):
     )
     top1 = hits.where(F.col("rank") == 1).collect()[0]
     assert top1["vec_id"] == 7 and top1["similarity"] == pytest.approx(1.0)
+
+
+def test_probe_ranking_replica_matches_spark(spark, sf_oracle, tmp_path):
+    """probe_cells_for's driver-side ranking (r14) must reproduce the
+    original Spark ranking bit-for-bit: same cosine fold order, same
+    float32 narrowing of the query, same (sim DESC, cell_id ASC) order
+    — compared over the FULL permutation (nprobe = nlist), not just the
+    probed prefix."""
+    from vector_ai_npm_spark.functions.vectors import cosine_similarity
+    from vector_ai_npm_spark.retrieval import store as st
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    sd = str(tmp_path / "probe_store")
+    st.persist_ivf_store(emb, sd, nlist=8)
+    matrix = st._frozen_centroid_matrix(spark, sd)
+    qvecs = [list(r[0]) for r in emb.select("embedding").take(5)]
+    qvecs.append(list(matrix[3]))  # a centroid itself: sim-1.0 plateau
+    centroids = spark.read.parquet(f"{sd}/centroids")
+    for q in qvecs:
+        py = st._py_rank_cells(matrix, q, len(matrix))
+        qc = F.lit(q).cast("array<float>")
+        ranked = centroids.select(
+            "cell_id", cosine_similarity(F.col("centroid"), qc).alias("sim")
+        ).orderBy(F.col("sim").desc(), "cell_id")
+        jvm = [r.cell_id for r in ranked.take(len(matrix))]
+        assert py == jvm
+    # degenerate inputs must refuse (caller falls back to Spark)
+    assert st._py_rank_cells(matrix, [0.0] * len(matrix[0]), 4) is None
+    assert st._py_rank_cells(matrix, [1.0], 4) is None
+
+
+def test_centroid_memo_invalidates_on_rewrite(spark, sf_oracle, tmp_path):
+    """The frozen-matrix memo is keyed on the side file's identity: a
+    store rebuild (overwrite) must miss the memo and serve the NEW
+    centroids, never the stale matrix."""
+    from vector_ai_npm_spark.retrieval import store as st
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    sd = str(tmp_path / "memo_store")
+    st.persist_ivf_store(emb, sd, nlist=8)
+    k1 = st._centroid_cache_key(sd)
+    m1 = st._frozen_centroid_matrix(spark, sd)
+    assert len(m1) == 8
+    st.persist_ivf_store(emb, sd, nlist=4)
+    k2 = st._centroid_cache_key(sd)
+    assert k1 != k2
+    m2 = st._frozen_centroid_matrix(spark, sd)
+    assert len(m2) == 4
+    # and the memoized value round-trips the parquet exactly
+    rows = (
+        spark.read.parquet(f"{sd}/centroids").orderBy("cell_id").collect()
+    )
+    assert m2 == [list(r.centroid) for r in rows]

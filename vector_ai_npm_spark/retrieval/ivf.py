@@ -113,6 +113,10 @@ def build_ivf_index(store: DataFrame, vec_col: str = "embedding",
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         ["cell_id", "centroid"],
     )
+    # tag the trained matrix on the frame so store.persist_ivf_store can
+    # seed its frozen-matrix memo without a read-back job (r14); the
+    # parquet round-trip of these doubles is exact, so memo == file
+    centroids._ivf_centroid_matrix = [[float(x) for x in c] for c in C]
     return assigned, centroids
 
 

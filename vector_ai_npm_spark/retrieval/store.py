@@ -47,7 +47,48 @@ def persist_ivf_store(
         .partitionBy("cell_id")
         .parquet(f"{store_dir}/cells")
     )
-    centroids.write.mode("overwrite").parquet(f"{store_dir}/centroids")
+    # The centroids side file is nlist rows of metadata: writing it
+    # through a Spark job priced an 8-row file at a full job + commit
+    # protocol per store build (r14).  Write it driver-side via
+    # pyarrow — same parquet bytes semantics, same spark.read.parquet
+    # read face — and fall back to the Spark writer if the matrix tag
+    # is missing (externally built centroids frames).
+    matrix = getattr(centroids, "_ivf_centroid_matrix", None)
+    if matrix is not None:
+        _write_centroids_file(store_dir, matrix)
+        # seed the frozen-matrix memo with what was just written
+        # (doubles round-trip parquet exactly), so the first
+        # append/search against this store skips the read-back job —
+        # the stream face paid that listing + collect per micro-batch
+        _centroid_cache_put(store_dir, matrix)
+    else:
+        centroids.write.mode("overwrite").parquet(f"{store_dir}/centroids")
+
+
+def _write_centroids_file(store_dir: str, matrix: list) -> None:
+    """Driver-side overwrite of {store_dir}/centroids with the dense
+    positional matrix — schema-identical to the Spark writer's output
+    (cell_id long, centroid array<double>)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = f"{store_dir}/centroids"
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.makedirs(dest, exist_ok=True)
+    table = pa.table(
+        {
+            "cell_id": pa.array(range(len(matrix)), pa.int64()),
+            "centroid": pa.array(
+                [[float(x) for x in c] for c in matrix],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(table, f"{dest}/part-00000.parquet")
 
 
 def scaled_nprobe(n_rows: int, nlist: int, base: int = 4) -> int:
@@ -66,12 +107,71 @@ def scaled_nprobe(n_rows: int, nlist: int, base: int = 4) -> int:
     return min(nlist, base + corpus_decades(n_rows))
 
 
+def _py_rank_cells(
+    matrix: list, query_vec: list[float], nprobe: int
+) -> list[int] | None:
+    """Driver-side replica of the Spark centroid ranking: bit-identical
+    IEEE-754 arithmetic in the SAME fold order as
+    functions.vectors.cosine_similarity over `lit(q).cast(array<float>)`
+    — per-element double multiply after a float32 narrowing of the
+    query, strict left-fold adds, sqrt, norm-product divide, then sort
+    by (sim DESC, cell_id ASC).  Python floats and JVM doubles are both
+    IEEE binary64 with correctly-rounded ops, so identical op order ⇒
+    identical bits ⇒ identical ranking (pinned against the Spark path
+    in tests/test_retrieval.py).  Returns None when the replica cannot
+    guarantee equivalence (zero norms, length mismatch, NaN) — callers
+    fall back to the Spark ranking."""
+    import math
+    import struct
+
+    qf = [struct.unpack("f", struct.pack("f", float(v)))[0] for v in query_vec]
+    nq = 0.0
+    for y in qf:
+        nq = nq + y * y
+    nq = math.sqrt(nq)
+    if nq == 0.0:
+        return None
+    sims: list[tuple[float, int]] = []
+    for cell_id, c in enumerate(matrix):
+        if len(c) != len(qf):
+            return None
+        s = 0.0
+        for x, y in zip(c, qf):
+            s = s + x * y
+        nc = 0.0
+        for x in c:
+            nc = nc + x * x
+        nc = math.sqrt(nc)
+        if nc == 0.0:
+            return None
+        sim = s / (nc * nq)
+        if sim != sim:  # NaN: Spark's sort order would differ
+            return None
+        sims.append((sim, cell_id))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return [cid for _, cid in sims[:nprobe]]
+
+
 def probe_cells_for(
     spark: SparkSession, store_dir: str, query_vec: list[float], nprobe: int
 ) -> list[int]:
     """Rank the (tiny: nlist rows) centroid table against one query
     vector. Driver-side by design: the output IS the partition filter,
-    and partition pruning needs a literal predicate at plan time."""
+    and partition pruning needs a literal predicate at plan time.
+
+    r14: the ranking itself also runs driver-side (an nlist × dim
+    problem — 8×64 here — that cost a full Spark job per search), via
+    the bit-exact _py_rank_cells replica over the memoized frozen
+    matrix; any case the replica cannot prove equivalent falls back to
+    the original Spark ranking."""
+    try:
+        matrix = _frozen_centroid_matrix(spark, store_dir)
+    except ValueError:
+        matrix = None  # non-dense external layout: rank in Spark
+    if matrix is not None:
+        ranked = _py_rank_cells(matrix, query_vec, nprobe)
+        if ranked is not None:
+            return ranked
     centroids = spark.read.parquet(f"{store_dir}/centroids")
     q = F.lit(query_vec).cast("array<float>")
     ranked = centroids.select(
@@ -140,13 +240,66 @@ def fetch_by_ids_bucketed(
     return store.join(ids, "vec_id")
 
 
+# Frozen-centroid matrix memo (r14): the centroids side file is
+# immutable between writes by the layout contract ("frozen centroids"),
+# yet every append / micro-batch trigger / probe re-listed and re-read
+# it as its own Spark job (~0.25 s apiece at any scale — it is driver
+# round-trip cost, not data cost).  Key = (realpath, sorted (name,
+# size, mtime_ns) of the parquet files), so any rewrite of the side
+# file (new part names under overwrite mode) misses the cache; entries
+# are values (plain float lists), never DataFrames, and the dict is
+# bounded LRU.  This never caches across bench runs: every invocation
+# builds its store under a fresh tempdir, so keys are invocation-local.
+_CENTROID_CACHE: dict = {}
+_CENTROID_CACHE_LOCK = __import__("threading").Lock()
+_CENTROID_CACHE_MAX = 16
+
+
+def _centroid_cache_key(store_dir: str):
+    import glob as _glob
+    import os as _os
+
+    root = _os.path.realpath(store_dir)
+    try:
+        files = tuple(sorted(
+            (
+                _os.path.basename(f),
+                _os.path.getsize(f),
+                _os.stat(f).st_mtime_ns,
+            )
+            for f in _glob.glob(f"{root}/centroids/*.parquet")
+        ))
+    except OSError:
+        return None  # racing a rewrite: treat as uncacheable
+    return (root, files) if files else None
+
+
+def _centroid_cache_put(store_dir: str, matrix: list) -> None:
+    key = _centroid_cache_key(store_dir)
+    if key is None:
+        return
+    with _CENTROID_CACHE_LOCK:
+        _CENTROID_CACHE[key] = [list(c) for c in matrix]
+        while len(_CENTROID_CACHE) > _CENTROID_CACHE_MAX:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+
+
 def _frozen_centroid_matrix(spark: SparkSession, store_dir: str) -> list:
     """Load the centroids side file as a positional matrix for
     assign_to_cells (which returns the positional argmin into this
     ordered list).  The layout contract is that cell_id values are
     exactly the dense positions 0..n-1 — assert it so any future gap
     or renumbering in cell_id fails loudly instead of silently
-    misfiling appended vectors into wrong cell directories."""
+    misfiling appended vectors into wrong cell directories.
+
+    Served from the in-process memo when the side file is byte-unchanged
+    since the last read/write (see _CENTROID_CACHE above)."""
+    key = _centroid_cache_key(store_dir)
+    if key is not None:
+        with _CENTROID_CACHE_LOCK:
+            hit = _CENTROID_CACHE.get(key)
+        if hit is not None:
+            return [list(c) for c in hit]
     rows = (
         spark.read.parquet(f"{store_dir}/centroids")
         .orderBy("cell_id")
@@ -158,7 +311,13 @@ def _frozen_centroid_matrix(spark: SparkSession, store_dir: str) -> list:
                 f"IVF centroids file is not densely numbered: position "
                 f"{pos} has cell_id={r.cell_id}; appends would misfile"
             )
-    return [list(r.centroid) for r in rows]
+    matrix = [list(r.centroid) for r in rows]
+    if key is not None:
+        with _CENTROID_CACHE_LOCK:
+            _CENTROID_CACHE[key] = [list(c) for c in matrix]
+            while len(_CENTROID_CACHE) > _CENTROID_CACHE_MAX:
+                _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+    return matrix
 
 
 def append_ivf_store(
@@ -337,20 +496,6 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
     # bit-exact), then the update-conflict assert: any vec_id still
     # carrying >1 distinct row is a real update, not a replay
     merged = merged.dropDuplicates()
-    conflicts = (
-        merged.groupBy("vec_id")
-        .count()
-        .where(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if conflicts:
-        raise ValueError(
-            f"IVF append for vec_id={conflicts[0]['vec_id']} carries a "
-            "different row than the store: this layout assumes appends "
-            "are exact replays or new vectors (frozen centroids); "
-            "updates need a delete+rebuild or a real table format"
-        )
     staging = f"{store_dir}/cells__compact_staging"
     (
         merged.repartition("cell_id")
@@ -358,6 +503,28 @@ def compact_ivf_appends(spark: SparkSession, store_dir: str) -> int:
         .partitionBy("cell_id")
         .parquet(staging)
     )
+    # The update-conflict assert runs against the layout JUST staged:
+    # one scan of the freshly written files instead of a second full
+    # recompute of `merged` (base scan + tombstone anti-join + dedup +
+    # shuffle — the pre-r14 shape computed all of it twice).  On
+    # conflict the staging dir is dropped and the live store is left
+    # untouched, exactly as when the assert ran pre-write.
+    conflicts = (
+        spark.read.parquet(staging)
+        .groupBy("vec_id")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if conflicts:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"IVF append for vec_id={conflicts[0]['vec_id']} carries a "
+            "different row than the store: this layout assumes appends "
+            "are exact replays or new vectors (frozen centroids); "
+            "updates need a delete+rebuild or a real table format"
+        )
     if _test_after_staging is not None:
         _test_after_staging()
     pre = f"{store_dir}/cells__pre_compact"
