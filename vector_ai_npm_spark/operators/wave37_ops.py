@@ -260,6 +260,11 @@ def multimodal_tiff_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["endianness", "width", "height", "ok"]
             )
 
+    # CPU-bound synth+parse over an 8 B/row doc_id frame: spread to
+    # executor parallelism (r13 decode-face pattern, r14 audits)
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    docs = scale_partitions(docs, spark)
     parsed = docs.mapInPandas(
         _audit,
         schema="endianness string, width long, height long, ok boolean",

@@ -209,6 +209,13 @@ def multimodal_exif_orientation(
                 ],
             )
 
+    # Deliberately NOT spread to executor parallelism (r14 measured
+    # counter-case): the exif skeleton synth+parse is ~0.3 s of Python
+    # for the whole sf0.1 corpus, and the RoundRobin exchange moved the
+    # isolated face 0.49 s -> 0.53-0.64 s (1.05 -> up to 1.36x its
+    # pin).  The r13 spread pattern stays right where per-row codec
+    # cost dominates (decode faces, pdf audit); here the per-task
+    # Arrow/scheduling overhead exceeds the freed compute.
     parsed = docs.mapInPandas(
         _audit,
         schema="orientation long, needs_transpose boolean, "

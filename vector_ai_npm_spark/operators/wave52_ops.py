@@ -88,6 +88,13 @@ def multimodal_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["version", "n_pages", "encrypted", "ok"]
             )
 
+    # the synth+parse below is CPU-bound per row while the input is
+    # 8 B/row of doc_id: spread to executor parallelism so a byte-sized
+    # input split cannot serialize the audit onto one core (the r13
+    # decode-face pattern, extended to the container audits in r14)
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    docs = scale_partitions(docs, spark)
     parsed = docs.mapInPandas(
         _audit,
         schema="version string, n_pages long, encrypted boolean, ok boolean",

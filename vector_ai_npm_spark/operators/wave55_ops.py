@@ -265,6 +265,11 @@ def multimodal_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    # CPU-bound synth+parse over an 8 B/row doc_id frame: spread to
+    # executor parallelism (r13 decode-face pattern, r14 audits)
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    docs = scale_partitions(docs, spark)
     parsed = docs.mapInPandas(
         _audit,
         schema="is_animated boolean, frames long, infinite boolean, "

@@ -230,6 +230,11 @@ def multimodal_wav_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["channels", "sample_rate", "frames", "micros", "ok"],
             )
 
+    # CPU-bound synth+parse over an 8 B/row doc_id frame: spread to
+    # executor parallelism (r13 decode-face pattern, r14 audits)
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    docs = scale_partitions(docs, spark)
     parsed = docs.mapInPandas(
         _audit,
         schema="channels long, sample_rate long, frames long, "

@@ -72,6 +72,11 @@ def multimodal_mp4_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["brand", "tracks", "millis", "ok"]
             )
 
+    # CPU-bound synth+parse over an 8 B/row doc_id frame: spread to
+    # executor parallelism (r13 decode-face pattern, r14 audits)
+    from vector_ai_npm_spark.io.sources import scale_partitions
+
+    docs = scale_partitions(docs, spark)
     parsed = docs.mapInPandas(
         _audit,
         schema="brand string, tracks long, millis long, ok boolean",
