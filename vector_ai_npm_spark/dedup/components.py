@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_SUM_UNSET = object()  # convergence-sum sentinel (see the round loop)
+
 
 def connected_components(
     pairs: DataFrame,
@@ -52,6 +54,7 @@ def connected_components(
     labels = edges.select(F.col("s").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
+    prev_sum: object = _SUM_UNSET
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.d == labels.v)
@@ -78,18 +81,26 @@ def connected_components(
                     F.col("label"), F.coalesce("jlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # cut lineage; also materializes for the
-            # convergence count below without recompute
+            .localCheckpoint(eager=False)  # lazy: the convergence
+            # aggregate below is the materializing action, so lineage
+            # is cut at ONE job per round instead of checkpoint + check
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # Convergence witness (r14): labels only ever DECREASE (every
+        # update is a least() against the previous value over a fixed
+        # vertex set), so an unchanged exact label SUM proves no vertex
+        # changed — replacing the old per-round new⋈old join+count with
+        # one aggregate that doubles as the checkpoint materializer.
+        # decimal(38,0) keeps the sum exact at any vertex-id magnitude.
+        lsum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        # sentinel start: the first round can never false-break, and an
+        # EMPTY vertex set (sum NULL every round) still terminates on
+        # the second round's NULL == NULL
+        if lsum == prev_sum:
             break
+        prev_sum = lsum
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
 
 

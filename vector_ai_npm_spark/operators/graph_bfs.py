@@ -90,6 +90,8 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_N_SEEDS)
         .select("node", F.lit(0).alias("dist"))
     )
+    from vector_ai_npm_spark.io.sources import materialize_count
+
     dist = seeds.localCheckpoint(eager=True)
     frontier = dist.select("node").localCheckpoint(eager=True)
     for r in range(1, _ROUNDS + 1):
@@ -99,8 +101,16 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         newly = neighbors.join(dist, "node", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
+        # r14: the frontier checkpoint is lazy and the materializing
+        # count doubles as the dead-frontier witness — an EMPTY frontier
+        # makes every remaining round the identity (no neighbors, no new
+        # nodes, dist unchanged), so skipping them is bit-identical to
+        # the full unroll.  Same one-job-per-frame count as the old
+        # eager checkpoint.
+        if materialize_count(newly) == 0:
+            break
         dist = dist.unionByName(
             newly.select("node", F.lit(r).alias("dist"))
         ).localCheckpoint(eager=True)

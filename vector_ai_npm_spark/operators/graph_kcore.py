@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_ai_npm_spark.io.sources import materialize_count
 from vector_ai_npm_spark.operators.graph_ops import (
     _O_EDGES,
     _pagerank_sym_cached,
@@ -89,6 +90,16 @@ def kcore(spark: SparkSession, sf_dir: str, k: int = _K,
     synchronous peel rounds (exact k-core once fixpoint is reached —
     pinned on fixtures by tests/test_wave7.py)."""
     edges = _pagerank_sym_cached(spark, sf_dir)
+    # r14: rounds past the fixpoint are skipped — the peel only REMOVES
+    # edges, so an unchanged edge count proves the surviving edge set is
+    # identical and every remaining unrolled round is the identity (the
+    # answer is bit-identical to the full unroll).  At sf0.001 the peel
+    # converges immediately (4 of 6 rounds skipped); at sf0.1 depth 5
+    # means no round is skipped — which is why the count must be FREE:
+    # the per-round checkpoint is lazy (eager=False) and count() is the
+    # action that materializes it, so each round still runs exactly two
+    # jobs (alive, edges) and the fixpoint witness costs no extra job.
+    n_prev = None
     for _ in range(rounds):
         deg = edges.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
         alive = deg.where(F.col("c") >= k).select("node").localCheckpoint()
@@ -98,8 +109,12 @@ def kcore(spark: SparkSession, sf_dir: str, k: int = _K,
                 alive.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
             )
             .select("node", "nbr")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        n = materialize_count(edges)  # one job: checkpoint + witness
+        if n == n_prev:
+            break  # fixpoint reached: later rounds drop nothing
+        n_prev = n
     return (
         edges.groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_deg"))

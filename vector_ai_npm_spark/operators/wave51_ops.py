@@ -75,15 +75,34 @@ def ktruss_edges(edges: DataFrame, k: int = _K,
     """(src, dst, support) of the k-truss fixpoint, support computed in
     the FINAL subgraph.  Production form loops on a per-round
     `dropped == 0` scalar; the registry face unrolls a proven-
-    sufficient round count (the graph_kcore decision)."""
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    sufficient round count (the graph_kcore decision).
+
+    r14: rounds past the fixpoint are skipped.  The support filter only
+    ever REMOVES edges (each surviving (lo, hi) is a canonical edge of
+    the round's input), so an unchanged edge COUNT after a round proves
+    the edge set is identical — every remaining unrolled round would
+    recompute the same set, and the final support pass sees the same
+    subgraph either way.  The witness is free: the per-round checkpoint
+    is lazy (eager=False) and count() is the action that materializes
+    it — one job per round exactly as before, while each skipped round
+    saves a full wedge-join pass (~0.5 s at sf0.1, fixpoint depth 2 of
+    3 unrolled rounds).  Results are provably bit-identical to the full
+    unroll."""
+    from vector_ai_npm_spark.io.sources import materialize_count
+
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    n_prev = materialize_count(e)  # one job: checkpoint + witness
     for _ in range(rounds):
         sup = edge_support(e)
         e = (
             sup.where(F.col("support") >= k - 2)
             .select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n = materialize_count(e)
+        if n == n_prev:
+            break  # fixpoint: nothing dropped, later rounds are identity
+        n_prev = n
     return (
         edge_support(e)
         .where(F.col("support") >= k - 2)
