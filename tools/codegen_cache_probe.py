@@ -60,6 +60,15 @@ def main() -> None:
     from vector_ai_npm_spark import registry
     from vector_ai_npm_spark.session import get_spark
 
+    queries_list = QUERIES
+    if "--full" in sys.argv:
+        # the full pinned bench mix — the working set the r13 evidence
+        # was measured under (the 40-query slice above does NOT
+        # overflow a 100-entry cache hard enough to show the thrash)
+        import bench
+
+        queries_list = bench.BENCH_QUERIES
+
     cache = os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000 (default)")
     spark = get_spark("codegen-cache-probe")
     jvm_pid = None
@@ -80,7 +89,7 @@ def main() -> None:
         sys.exit(1)
 
     queries = registry.all_queries()
-    names = [n for n in QUERIES if n in queries]
+    names = [n for n in queries_list if n in queries]
     u0, t0 = jstat_class(jvm_pid)
     wall0 = time.perf_counter()
     from pyspark.sql import functions as F
